@@ -1,0 +1,46 @@
+"""auditory-tpu: a TPU-native (JAX/XLA/Pallas) auditory & speech
+pre-processing framework with the capabilities of ``emer/auditory``.
+
+Pipeline: WAV -> float signal -> overlapping windows -> DFT power spectrum ->
+mel filterbank (log) -> optional MFCC (DCT + energy + deltas) -> 2-D gabor
+convolution -> optional neighborhood inhibition + FFFB kWTA sparsification.
+
+Everything numeric runs as one jitted tensor program, batched over segments
+(and utterances, see :mod:`auditory_tpu.pipeline.batch`) and shardable over a
+device mesh (see :mod:`auditory_tpu.parallel`).
+"""
+
+from .config import (
+    DFTParams,
+    FilterBank,
+    GaborSet,
+    GaborSpec,
+    KWTAParams,
+    MelParams,
+    NeighInhibParams,
+    SndEnvConfig,
+    WindowParams,
+    default_gabor_specs,
+    msec_to_samples,
+    samples_to_msec,
+)
+from .pipeline.sndenv import SndEnv, SndEnvOutputs
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DFTParams",
+    "FilterBank",
+    "GaborSet",
+    "GaborSpec",
+    "KWTAParams",
+    "MelParams",
+    "NeighInhibParams",
+    "SndEnv",
+    "SndEnvOutputs",
+    "SndEnvConfig",
+    "WindowParams",
+    "default_gabor_specs",
+    "msec_to_samples",
+    "samples_to_msec",
+]

@@ -1,0 +1,112 @@
+"""Batched DFT power spectrum (device side).
+
+TPU-native form of ``dft.Params.Filter``/``Power`` (reference dft/dft.go:42-85):
+
+- NO analysis window by default (the reference feeds the raw rectangular
+  window into the FFT, dft/dft.go:42-59).
+- power[k] = re^2 + im^2 for k in [0, N/2] of the unnormalized forward DFT.
+- optional temporal smoothing ``p'_t = prev*p'_{t-1} + cur*p_t`` applied for
+  step t>0 (dft/dft.go:67-69); a linear scan over the step axis.
+- log power = ln(power + LogOffSet), with the exact ``== 0`` -> LogMin floor
+  (dft/dft.go:73-83).
+
+Two spectrum methods:
+- 'matmul': windows @ cos/sin DFT basis -- two MXU matmuls; preferred on TPU
+  (high f32 precision, fuses with the mel matmul downstream).
+- 'fft': jnp.fft.rfft -- preferred on CPU/f64 parity runs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DFTParams
+from .design import dft_matrices
+
+__all__ = ["power_spectrum", "smooth_power", "log_power", "dft_power_pipeline"]
+
+
+def power_spectrum(
+    windows: jnp.ndarray,
+    method: str = "matmul",
+    basis: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """[..., W] windows -> [..., W//2+1] DFT power."""
+    w = windows.shape[-1]
+    if method == "fft":
+        coefs = jnp.fft.rfft(windows, axis=-1)
+        return jnp.real(coefs) ** 2 + jnp.imag(coefs) ** 2
+    if method == "matmul":
+        if basis is None:
+            cos_m, sin_m = dft_matrices(w)
+            cos_m = jnp.asarray(cos_m, dtype=windows.dtype)
+            sin_m = jnp.asarray(sin_m, dtype=windows.dtype)
+        else:
+            cos_m, sin_m = basis
+        re = jnp.matmul(windows, cos_m, preferred_element_type=windows.dtype)
+        im = jnp.matmul(windows, sin_m, preferred_element_type=windows.dtype)
+        return re * re + im * im
+    raise ValueError(f"unknown spectrum method: {method}")
+
+
+def smooth_power(power: jnp.ndarray, dft: DFTParams) -> jnp.ndarray:
+    """Temporal smoothing over the step axis (axis=-2 of [..., steps, bins]).
+
+    p'_0 = p_0 (step 0 is not smoothed, dft/dft.go:67); for t>0:
+    p'_t = prev_smooth * p'_{t-1} + cur_smooth * p_t.
+    """
+    if dft.prev_smooth == 0.0:
+        return power
+
+    ps = jnp.asarray(dft.prev_smooth, dtype=power.dtype)
+    cs = jnp.asarray(dft.cur_smooth, dtype=power.dtype)
+
+    # first-order linear recurrence via associative scan:
+    # state_t = a_t * state_{t-1} + b_t with a_0=0, b_0=p_0; a_t=ps, b_t=cs*p_t
+    steps = power.shape[-2]
+    a = jnp.full((steps,), ps, dtype=power.dtype).at[0].set(0)
+    a = jnp.broadcast_to(
+        a[(None,) * (power.ndim - 2) + (slice(None), None)], power.shape
+    )
+    b = cs * power
+    b = b.at[..., 0, :].set(power[..., 0, :])
+
+    def combine(x, y):
+        ax, bx = x
+        ay, by = y
+        return ax * ay, ay * bx + by
+
+    _, out = jax.lax.associative_scan(combine, (a, b), axis=power.ndim - 2)
+    return out
+
+
+def log_power(power: jnp.ndarray, dft: DFTParams) -> jnp.ndarray:
+    """ln(power + LogOffSet) with ==0 -> LogMin (dft/dft.go:73-83)."""
+    shifted = power + jnp.asarray(dft.log_offset, dtype=power.dtype)
+    safe = jnp.where(shifted == 0, 1.0, shifted)
+    return jnp.where(
+        shifted == 0,
+        jnp.asarray(dft.log_min, dtype=power.dtype),
+        jnp.log(safe),
+    )
+
+
+def dft_power_pipeline(
+    windows: jnp.ndarray,
+    dft: DFTParams,
+    method: str = "matmul",
+    basis: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    analysis_window: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """windows [..., steps, W] -> (power, log_power) [..., steps, W//2+1]."""
+    if analysis_window is not None:
+        windows = windows * analysis_window
+    p = power_spectrum(windows, method=method, basis=basis)
+    p = smooth_power(p, dft)
+    lp = log_power(p, dft) if dft.comp_log_pow else jnp.zeros_like(p)
+    return p, lp

@@ -1,0 +1,128 @@
+"""Mel filterbank, MFCC cepstrum, energy, and delta features (device side).
+
+TPU-native form of the reference mel package + SndEnv post-processing:
+
+- :func:`apply_mel` -- mel.FilterDft (mel/mel.go:120-153) as one MXU matmul
+  against the dense triangle matrix from :mod:`.design`, followed by the
+  +LogOff / ==0 -> LogMin / ln / optional renorm-clamp chain.
+- :func:`mfcc_dct` -- mel.CepstrumDct (mel/mel.go:192-212): unnormalized DCT-I
+  matmul, coef0 replaced by ln(1 + c0^2), first NCoefs kept.
+- :func:`energy` -- the SndEnv Energy computation *including the reference's
+  indexing quirk* (sndenv.go:360-366): with mode='sndenv', Energy[s] sums
+  LogPowerSegment[s, 0:steps] -- the step index is used as the frequency row.
+  mode='gaborview' reproduces gbv.go:553-560 (sum over the first `steps`
+  frequency rows at step s); mode='spectral' is the corrected per-step sum
+  over all frequency bins.
+- :func:`mfcc_deltas` -- the accumulating delta/delta-delta recurrence
+  (sndenv.go:379-432). The reference accumulates ``prv``/``nxt`` across BOTH
+  the coefficient loop i and the tap loop n without reset; this is a pure
+  prefix-sum over the flattened (i, n) axis, so it vectorizes as a cumsum.
+  mode='gaborview' uses the gbv.go:570-620 variant d = nume/2 * n^2.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..config import FilterBank, MelParams
+
+__all__ = ["apply_mel", "mfcc_dct", "energy", "mfcc_deltas"]
+
+
+def apply_mel(
+    power: jnp.ndarray, mel_weights: jnp.ndarray, fbank: FilterBank
+) -> jnp.ndarray:
+    """power [..., n_bins] -> log-mel [..., n_filters]."""
+    s = jnp.matmul(power, mel_weights.T, preferred_element_type=power.dtype)
+    s = s + jnp.asarray(fbank.log_off, dtype=power.dtype)
+    safe = jnp.where(s == 0, 1.0, s)
+    val = jnp.where(
+        s == 0, jnp.asarray(fbank.log_min, dtype=power.dtype), jnp.log(safe)
+    )
+    if fbank.renorm_effective:
+        val = (val - fbank.renorm_min) * fbank.renorm_scale
+        val = jnp.clip(val, 0.0, 1.0)
+    return val
+
+
+def mfcc_dct(mel_vals: jnp.ndarray, dct_mat: jnp.ndarray, n_coefs: int) -> jnp.ndarray:
+    """log-mel [..., n_filters] -> MFCC [..., n_coefs] (mel/mel.go:192-212)."""
+    out = jnp.matmul(mel_vals, dct_mat.T, preferred_element_type=mel_vals.dtype)
+    c0 = out[..., 0]
+    out = out.at[..., 0].set(jnp.log(1.0 + c0 * c0))
+    return out[..., :n_coefs]
+
+
+def energy(log_power_seg: jnp.ndarray, mode: str = "sndenv") -> jnp.ndarray:
+    """log_power_seg [..., steps, n_bins] -> energy [..., steps].
+
+    mode='sndenv' (reference sndenv.go:360-366): Energy[s] = sum_t LPS[s, t]
+    where LPS is the [freq, step] matrix -- i.e. sum over *steps* of frequency
+    row s. In our [steps, bins] layout: sum over axis -2 of the leading
+    [0:steps] slice of the bin axis, transposed.
+    """
+    steps = log_power_seg.shape[-2]
+    n_bins = log_power_seg.shape[-1]
+    if mode == "sndenv":
+        if steps > n_bins:
+            raise ValueError(
+                "energy mode 'sndenv' requires segment_steps <= n_bins "
+                "(the reference would index out of range)"
+            )
+        # LPS_go[s, t] = log_power_seg[..., t, s]; Energy[s] = sum_t LPS_go[s, t]
+        return jnp.sum(log_power_seg[..., :, :steps], axis=-2)
+    if mode == "gaborview":
+        # gbv.go:553-560: Energy[s] = sum_{f<steps} LPS_go[f, s]
+        if steps > n_bins:
+            raise ValueError("energy mode 'gaborview' requires steps <= n_bins")
+        return jnp.sum(log_power_seg[..., :steps], axis=-1)
+    if mode == "spectral":
+        return jnp.sum(log_power_seg, axis=-1)
+    raise ValueError(f"unknown energy mode: {mode}")
+
+
+def mfcc_deltas(
+    mfcc_seg: jnp.ndarray, npn: int = 2, mode: str = "sndenv"
+) -> jnp.ndarray:
+    """mfcc_seg [..., steps, n_coefs] -> deltas of the same shape.
+
+    Vectorization of the reference recurrence (sndenv.go:379-432): per step s,
+    with prv/nxt accumulating over the flattened (coefficient i, tap n) loop
+    order and nume resetting per coefficient:
+
+        prv_cum[i, n] = sum of src[i', clamp(s - n')] over (i', n') <= (i, n)
+        nxt_cum[i, n] = likewise with clamp(s + n')
+        d[i, s] = (sum_{n=1..npn} n * (nxt_cum[i, n] - prv_cum[i, n])) / (2*npn^2)
+
+    mode='gaborview' (gbv.go:590-592): d = nume / 2 * npn^2.
+    """
+    *batch, steps, ncoef = mfcc_seg.shape
+    s_idx = jnp.arange(steps)
+    n_idx = jnp.arange(1, npn + 1)
+    sprv = jnp.clip(s_idx[:, None] - n_idx[None, :], 0, steps - 1)  # [steps, npn]
+    snxt = jnp.clip(s_idx[:, None] + n_idx[None, :], 0, steps - 1)
+
+    # gather: src[..., clamp(s +- n), i] -> [..., steps, npn, ncoef]
+    p = jnp.take(mfcc_seg, sprv.reshape(-1), axis=-2).reshape(
+        *batch, steps, npn, ncoef
+    )
+    x = jnp.take(mfcc_seg, snxt.reshape(-1), axis=-2).reshape(
+        *batch, steps, npn, ncoef
+    )
+    # flatten (i, n) in the reference loop order: i-major, n-minor
+    p = jnp.moveaxis(p, -1, -2).reshape(*batch, steps, ncoef * npn)
+    x = jnp.moveaxis(x, -1, -2).reshape(*batch, steps, ncoef * npn)
+    p_cum = jnp.cumsum(p, axis=-1).reshape(*batch, steps, ncoef, npn)
+    x_cum = jnp.cumsum(x, axis=-1).reshape(*batch, steps, ncoef, npn)
+
+    weights = n_idx.astype(mfcc_seg.dtype)  # [npn]
+    nume = jnp.sum(weights * (x_cum - p_cum), axis=-1)  # [..., steps, ncoef]
+    if mode == "sndenv":
+        d = nume / float(2 * npn * npn)
+    elif mode == "gaborview":
+        d = nume / 2.0 * float(npn * npn)
+    else:
+        raise ValueError(f"unknown delta mode: {mode}")
+    return d

@@ -1,0 +1,136 @@
+"""FFFB-driven k-winners-take-all sparsification.
+
+Behavioral re-implementation of ``emer/vision/kwta`` v1.1.15 (external
+dependency of the reference; used at sound/sndenv.go:314-323 as KWTAPool /
+KWTALayer). The upstream package iterates Leabra rate-code dynamics -- FFFB
+inhibition + noisy-XX1 activation -- until activities settle, which yields an
+approximately k-sparse code.
+
+Deviations from upstream (documented, since the dependency is not vendored in
+the reference repo and no oracle exists):
+
+- the activation function is the clean XX1 rate code ``x/(x+1)`` with a
+  linear-below-threshold ramp instead of upstream's precomputed
+  gaussian-convolved noisy-XX1 lookup table;
+- the settle loop runs a fixed ``iters`` count under ``jit`` (upstream
+  early-stops when max |delta act| < del_act_thr; with the default 20 iters
+  the dynamics are settled well past that threshold).
+
+Both variants are provided:
+- :func:`kwta_layer` -- one FFFB group over the whole tensor
+  (kwta.KWTALayer; used by examples/gaborview, gbv.go:839-849).
+- :func:`kwta_pool`  -- per-pool FFFB groups (inner 2 dims) combined with a
+  layer-level group via max (kwta.KWTAPool; used by SndEnv with 4-D output,
+  sndenv.go:314-323).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import KWTAParams
+from .fffb import FFFBState, fffb_init, fffb_step
+
+__all__ = ["xx1", "kwta_layer", "kwta_pool"]
+
+
+def xx1(params: KWTAParams, drive: jnp.ndarray) -> jnp.ndarray:
+    """Rate-code activation: gain-scaled x/(x+1) with a linear ramp below
+    threshold (the nvar->0 limit of leabra's noisy-XX1)."""
+    x = params.xx1_gain * drive
+    pos = x / (x + 1.0)
+    # small linear ramp for slightly-subthreshold drive, width ~ nvar
+    ramp_w = params.xx1_gain * params.xx1_nvar
+    ramp = jnp.clip((x + ramp_w) / (2.0 * ramp_w), 0.0, 1.0) * (
+        ramp_w / (ramp_w + 1.0)
+    )
+    return jnp.where(x > ramp_w, pos, ramp)
+
+
+def _ge_thr(params: KWTAParams, gi: jnp.ndarray) -> jnp.ndarray:
+    """Excitatory conductance needed to reach firing threshold given
+    inhibition gi (leabra membrane-potential threshold solve)."""
+    num = params.gbar_i * gi * (params.thr - params.erev_i) + params.gbar_l * (
+        params.thr - params.erev_l
+    )
+    return num / (params.erev_e - params.thr)
+
+
+def _settle(
+    params: KWTAParams,
+    ge: jnp.ndarray,
+    ext_gi: jnp.ndarray,
+    pool_axes: Optional[Tuple[int, ...]],
+) -> jnp.ndarray:
+    """Run the fixed-iteration FFFB settle; returns final activations."""
+    dtype = ge.dtype
+    lay_state = fffb_init((), dtype)
+    act0 = jnp.zeros_like(ge)
+
+    use_pool = pool_axes is not None
+    if use_pool:
+        pool_state = fffb_init(
+            tuple(
+                1 if (a in pool_axes or a - ge.ndim in pool_axes) else s
+                for a, s in enumerate(ge.shape)
+            ),
+            dtype,
+        )
+    else:
+        pool_state = fffb_init((), dtype)
+
+    def body(carry, _):
+        act, lay_st, pool_st = carry
+        lay_st = fffb_step(
+            params.lay_fffb, lay_st, jnp.mean(ge), jnp.max(ge), jnp.mean(act)
+        )
+        gi = lay_st.gi
+        if use_pool:
+            pool_st = fffb_step(
+                params.pool_fffb,
+                pool_st,
+                jnp.mean(ge, axis=pool_axes, keepdims=True),
+                jnp.max(ge, axis=pool_axes, keepdims=True),
+                jnp.mean(act, axis=pool_axes, keepdims=True),
+            )
+            gi = jnp.maximum(gi, pool_st.gi)
+        gi = gi + ext_gi
+        drive = ge - _ge_thr(params, gi)
+        target = xx1(params, drive)
+        act = act + params.act_dt * (target - act)
+        return (act, lay_st, pool_st), None
+
+    (act, _, _), _ = jax.lax.scan(
+        body, (act0, lay_state, pool_state), None, length=params.iters
+    )
+    return act
+
+
+def kwta_layer(
+    params: KWTAParams, raw: jnp.ndarray, ext_gi: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Layer-level kwta: one FFFB inhibition group over the whole tensor."""
+    if not params.on:
+        return raw
+    ge = raw.astype(jnp.float32)
+    eg = jnp.zeros_like(ge) if ext_gi is None else ext_gi.astype(ge.dtype)
+    return _settle(params, ge, eg, pool_axes=None)
+
+
+def kwta_pool(
+    params: KWTAParams,
+    raw: jnp.ndarray,
+    ext_gi: Optional[jnp.ndarray] = None,
+    pool_axes: Tuple[int, ...] = (-2, -1),
+) -> jnp.ndarray:
+    """Pool-level kwta: FFFB per pool (the inner ``pool_axes`` dims, i.e. the
+    [2, n_filters] units of one (fIdx, tIdx) pool in the 4-D layout) combined
+    with a layer-level group via max."""
+    if not params.on:
+        return raw
+    ge = raw.astype(jnp.float32)
+    eg = jnp.zeros_like(ge) if ext_gi is None else ext_gi.astype(ge.dtype)
+    return _settle(params, ge, eg, pool_axes=tuple(a % ge.ndim for a in pool_axes))

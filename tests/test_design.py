@@ -1,0 +1,112 @@
+"""Host design constants vs the literal oracle: mel triangles, DCT-I, gabors."""
+
+import numpy as np
+import pytest
+
+from auditory_tpu.config import FilterBank, GaborSet, GaborSpec, default_gabor_specs
+from auditory_tpu.dsp import design
+from auditory_tpu.refemu import goref
+
+
+@pytest.mark.parametrize(
+    "sr,win,nf,lo,hi",
+    [
+        (16000, 400, 32, 0.0, 8000.0),
+        (44100, 1102, 32, 0.0, 8000.0),
+        (16000, 400, 26, 300.0, 4000.0),
+        (44100, 1102, 40, 120.0, 10000.0),
+        (16000, 400, 64, 0.0, 8000.0),  # narrow filters -> NaN quirk territory
+    ],
+)
+def test_mel_design_matches_oracle(sr, win, nf, lo, hi):
+    fb = FilterBank(n_filters=nf, lo_hz=lo, hi_hz=hi)
+    des = design.mel_design(fb, win, sr)
+    bin_pts, hz_pts, tri = goref.init_filters(fb, win, sr)
+    np.testing.assert_array_equal(des.bin_pts, bin_pts)
+    np.testing.assert_allclose(des.hz_pts, hz_pts, rtol=1e-12)
+
+    # compare the dense matrix row-by-row against the oracle's per-filter
+    # weight vectors at the bins FilterDft would touch
+    n_bins = win // 2 + 1
+    for f in range(nf):
+        bmin, bmax = int(bin_pts[f]), int(bin_pts[f + 2])
+        dense_row = des.weights[f]
+        # outside [bmin, bmax] the dense matrix must be exactly zero
+        outside = np.ones(n_bins, dtype=bool)
+        outside[bmin : bmax + 1] = False
+        assert np.all(dense_row[outside] == 0)
+        for fi, b in enumerate(range(bmin, bmax + 1)):
+            ref = tri[f, fi]
+            got = dense_row[b]
+            if np.isnan(ref):
+                assert np.isnan(got), (f, b)
+            else:
+                np.testing.assert_allclose(got, ref, rtol=1e-12, atol=0)
+
+
+def test_mel_nan_quirk_reproduced():
+    """Many filters at low sample resolution force adjacent mel points into
+    the same bin -> 0/0 NaN weights (mel/mel.go:99-116)."""
+    fb = FilterBank(n_filters=80, lo_hz=0.0, hi_hz=4000.0)
+    des = design.mel_design(fb, 256, 8000)
+    _, _, tri = goref.init_filters(fb, 256, 8000)
+    assert np.isnan(tri).any(), "expected the oracle to produce NaN weights"
+    assert np.isnan(des.weights).any(), "dense design must reproduce the NaN quirk"
+
+
+def test_dct1_matrix_matches_oracle_and_scipy():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=32)
+    m = design.dct1_matrix(32)
+    np.testing.assert_allclose(m @ x, goref.dct1(x), rtol=1e-12)
+    scipy = pytest.importorskip("scipy.fft")
+    np.testing.assert_allclose(m @ x, scipy.dct(x, type=1), rtol=1e-10)
+
+
+def test_dft_matrices_match_fft():
+    rng = np.random.default_rng(1)
+    for n in (400, 1102, 37):
+        w = rng.normal(size=n)
+        c, s = design.dft_matrices(n)
+        coefs = np.fft.rfft(w)
+        np.testing.assert_allclose(w @ c, coefs.real, atol=1e-9)
+        np.testing.assert_allclose(w @ s, coefs.imag, atol=1e-9)
+
+
+@pytest.mark.parametrize("distribute", [False, True])
+@pytest.mark.parametrize(
+    "specs",
+    [
+        default_gabor_specs(phases=(0.0, 1.5708)),
+        default_gabor_specs(phases=(0.0,)),
+        (GaborSpec(wavelen=1.5, circular=True, sigma_width=0.6),),
+        (
+            GaborSpec(wavelen=2.0, orientation=0, sigma_width=0.5, sigma_length=0.3),
+            GaborSpec(wavelen=2.0, orientation=0, sigma_width=0.5, sigma_length=0.3),
+            GaborSpec(wavelen=2.0, orientation=90, sigma_width=0.5, sigma_length=0.3),
+            GaborSpec(off=True, wavelen=2.0, orientation=45, sigma_width=0.5,
+                      sigma_length=0.3),
+        ),
+    ],
+)
+def test_gabor_render_matches_oracle(distribute, specs):
+    for sx, sy in [(9, 9), (8, 8), (8, 6)]:
+        gset = GaborSet(
+            size_x=sx, size_y=sy, stride_x=3, stride_y=3, gain=2.0,
+            distribute=distribute, specs=tuple(specs),
+        )
+        got = design.gabor_filters(gset)
+        ref = goref.gabor_to_tensor(gset.active_specs(), gset)
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-15)
+
+
+def test_gabor_renorm_halves():
+    gset = GaborSet(
+        size_x=9, size_y=9, stride_x=3, stride_y=3,
+        specs=default_gabor_specs(phases=(0.0,)),
+    )
+    f = design.gabor_filters(gset)
+    pos = np.where(f > 0, f, 0).sum(axis=(1, 2))
+    neg = np.where(f < 0, f, 0).sum(axis=(1, 2))
+    np.testing.assert_allclose(pos, 1.0, rtol=1e-9)
+    np.testing.assert_allclose(neg, -1.0, rtol=1e-9)

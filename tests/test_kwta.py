@@ -1,0 +1,123 @@
+"""Functional tests for the FFFB kWTA + neighbor-inhibition stage.
+
+No bit-level oracle exists (the reference depends on external, unvendored
+packages emer/vision/kwta + emer/leabra/fffb), so these tests check the
+documented behavioral contract: sparsification, winner preservation,
+monotonicity in gi, and inhibition geometry.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from auditory_tpu.config import KWTAParams, NeighInhibParams
+from auditory_tpu.nn.kwta import kwta_layer, kwta_pool, xx1
+from auditory_tpu.nn.neigh_inhib import inhib4, orthogonal_offsets
+
+
+def rand_acts(shape, seed=0, scale=1.0):
+    r = np.random.default_rng(seed)
+    return jnp.asarray(np.abs(r.normal(scale=scale, size=shape)), dtype=jnp.float32)
+
+
+def test_xx1_monotone_and_bounded():
+    p = KWTAParams()
+    x = jnp.linspace(-1.0, 5.0, 301)
+    y = xx1(p, x)
+    assert float(y.min()) >= 0.0
+    assert float(y.max()) < 1.0
+    assert np.all(np.diff(np.asarray(y)) >= -1e-7)
+    assert float(xx1(p, jnp.asarray(-1.0))) == 0.0
+
+
+def test_kwta_layer_sparsifies_and_keeps_winners():
+    p = KWTAParams()
+    raw = rand_acts((16, 32), seed=1)
+    out = kwta_layer(p, raw)
+    assert out.shape == raw.shape
+    frac_active = float((out > 0.1).mean())
+    assert frac_active < 0.5, "kwta should sparsify"
+    # strongest input must remain among the active outputs
+    i = jnp.unravel_index(jnp.argmax(raw), raw.shape)
+    assert float(out[i]) == float(out.max())
+
+
+def test_kwta_gi_monotonicity():
+    raw = rand_acts((8, 24), seed=2)
+    lo = KWTAParams(lay_fffb=dataclasses.replace(KWTAParams().lay_fffb, gi=0.8))
+    hi = KWTAParams(lay_fffb=dataclasses.replace(KWTAParams().lay_fffb, gi=3.0))
+    act_lo = float((kwta_layer(lo, raw) > 0.1).mean())
+    act_hi = float((kwta_layer(hi, raw) > 0.1).mean())
+    assert act_hi <= act_lo, "more inhibition => sparser output"
+
+
+def test_kwta_off_is_identity_and_zeros_stay_zero():
+    p = KWTAParams(on=False)
+    raw = rand_acts((4, 6), seed=3)
+    np.testing.assert_array_equal(np.asarray(kwta_layer(p, raw)), np.asarray(raw))
+    z = kwta_layer(KWTAParams(), jnp.zeros((4, 6), jnp.float32))
+    assert float(jnp.abs(z).max()) < 1e-3
+
+
+def test_kwta_pool_localizes_competition():
+    """With pool-level inhibition, a weak unit in a quiet pool can stay more
+    active than the same-strength unit in a pool with a dominant winner."""
+    p = KWTAParams()
+    raw = np.zeros((2, 1, 2, 4), dtype=np.float32)
+    raw[0, 0, 0, 0] = 2.0  # dominant winner in pool 0
+    raw[0, 0, 0, 1] = 0.6  # weak unit in the loud pool
+    raw[1, 0, 0, 1] = 0.6  # same-strength unit in quiet pool 1
+    out = np.asarray(kwta_pool(p, jnp.asarray(raw)))
+    assert out[1, 0, 0, 1] >= out[0, 0, 0, 1]
+
+
+def test_kwta_ext_gi_suppresses():
+    p = KWTAParams()
+    raw = rand_acts((6, 8), seed=4)
+    base = np.asarray(kwta_layer(p, raw))
+    eg = jnp.full(raw.shape, 2.0, dtype=jnp.float32)
+    suppressed = np.asarray(kwta_layer(p, raw, eg))
+    assert suppressed.sum() < base.sum()
+
+
+def test_kwta_jit_and_fixed_point():
+    p = KWTAParams()
+    raw = rand_acts((8, 8), seed=5)
+    f = jax.jit(lambda r: kwta_layer(p, r))
+    o1 = np.asarray(f(raw))
+    more = dataclasses.replace(p, iters=40)
+    o2 = np.asarray(kwta_layer(more, raw))
+    np.testing.assert_allclose(o1, o2, atol=0.05)  # settled dynamics
+
+
+def test_orthogonal_offsets():
+    offs = orthogonal_offsets([0.0, 45.0, 90.0, 135.0])
+    assert offs.tolist() == [[1, 0], [1, -1], [0, -1], [-1, -1]]
+
+
+def test_inhib4_geometry():
+    params = NeighInhibParams(on=True, gi=0.6)
+    act = np.zeros((5, 5, 2, 4), dtype=np.float32)
+    act[2, 2, 0, 0] = 1.0  # horizontal filter at center
+    eg = np.asarray(inhib4(params, jnp.asarray(act), [0.0, 45.0, 90.0, 135.0]))
+    # orientation 0 -> orthogonal neighbors are (y+-1, x): they get inhibited
+    assert eg[1, 2, 0, 0] == np.float32(0.6)
+    assert eg[3, 2, 0, 0] == np.float32(0.6)
+    # non-orthogonal neighbor and other features untouched
+    assert eg[2, 1, 0, 0] == 0.0
+    assert eg[1, 2, 0, 1] == 0.0
+    # off => zeros
+    off = inhib4(NeighInhibParams(on=False), jnp.asarray(act), [0.0, 45, 90, 135])
+    assert float(jnp.abs(off).max()) == 0.0
+
+
+def test_inhib4_border_zero_fill():
+    params = NeighInhibParams(on=True, gi=1.0)
+    act = np.zeros((3, 3, 2, 4), dtype=np.float32)
+    act[0, 0, 1, 2] = 1.0  # vertical filter at corner; orth neighbors (y, x+-1)
+    eg = np.asarray(inhib4(params, jnp.asarray(act), [0.0, 45.0, 90.0, 135.0]))
+    assert eg[0, 1, 1, 2] == 1.0
+    # the roll wrap-around must be zero-filled, not wrapped
+    assert eg[0, 2, 1, 2] == 0.0

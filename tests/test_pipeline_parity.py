@@ -1,0 +1,197 @@
+"""End-to-end parity: the jitted JAX pipeline vs the literal Go-semantics
+oracle, float64, on synthetic signals and the reference WAV assets.
+
+Gate: <= 1e-5 max-abs deviation (BASELINE.json north-star; the f64 path lands
+around 1e-9, dominated by summation-order differences in the matmuls).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auditory_tpu.config import MelParams, SndEnvConfig
+from auditory_tpu.io.wav import load_wav
+from auditory_tpu.pipeline.sndenv import SndEnv
+from auditory_tpu.refemu.goref import SndEnvRef
+from tests.conftest import default_cfg_2d, tone
+
+TOL = 1e-5
+SR = 16000
+
+
+def run_both(cfg: SndEnvConfig, signal: np.ndarray, sr: int, add: int = 0):
+    ref = SndEnvRef(cfg)
+    ref.init(signal, sr)
+
+    env = SndEnv(cfg, sr, dtype=jnp.float64, spectrum_method="fft")
+    out = env.process(signal, add_ms=add)
+    return ref, env, out
+
+
+def assert_segments_match(cfg, signal, sr, add=0, tol=TOL, check_gabor=True):
+    ref, env, out = run_both(cfg, signal, sr, add)
+    n_seg = max(ref.seg_cnt, 0)
+    assert out.power_segment.shape[0] == n_seg
+
+    for seg in range(n_seg):
+        ref.process_segment(seg, add)
+        np.testing.assert_allclose(
+            np.asarray(out.power_segment[seg]), ref.power_segment, atol=tol,
+            rtol=0, err_msg=f"power seg {seg}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.log_power_segment[seg]), ref.log_power_segment,
+            atol=tol, rtol=0, err_msg=f"logpower seg {seg}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.mel_fbank_segment[seg]), ref.mel_fbank_segment,
+            atol=tol, rtol=0, err_msg=f"mel seg {seg}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.energy[seg]), ref.energy, atol=tol, rtol=1e-9,
+            err_msg=f"energy seg {seg}",
+        )
+        if cfg.mel.mfcc:
+            np.testing.assert_allclose(
+                np.asarray(out.mfcc_segment[seg]), ref.mfcc_segment,
+                atol=tol, rtol=1e-9, err_msg=f"mfcc seg {seg}",
+            )
+            if cfg.mel.deltas:
+                np.testing.assert_allclose(
+                    np.asarray(out.mfcc_deltas[seg]), ref.mfcc_deltas,
+                    atol=tol, rtol=1e-9, err_msg=f"deltas seg {seg}",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(out.mfcc_delta_deltas[seg]),
+                    ref.mfcc_delta_deltas, atol=tol, rtol=1e-9,
+                    err_msg=f"ddeltas seg {seg}",
+                )
+        if check_gabor:
+            gref = ref.apply_gabor()
+            np.testing.assert_allclose(
+                np.asarray(out.gabor_raw[seg]), gref, atol=1e-4, rtol=1e-5,
+                err_msg=f"gabor seg {seg}",
+            )
+
+
+def test_tone_default_pipeline():
+    cfg = default_cfg_2d()
+    sig = tone(1000.0, 0.35, SR)
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    sig = env.pad(sig)
+    assert_segments_match(cfg, sig, SR)
+
+
+def test_multitone_44k():
+    cfg = default_cfg_2d()
+    sig = (
+        tone(800.0, 0.25, 44100, 0.3)
+        + tone(2000.0, 0.25, 44100, 0.3)
+        + tone(5000.0, 0.25, 44100, 0.3)
+    )
+    env = SndEnv(cfg, 44100, dtype=jnp.float64)
+    sig = env.pad(sig)
+    assert_segments_match(cfg, sig, 44100)
+
+
+def test_noise_no_mfcc():
+    rng = np.random.default_rng(7)
+    cfg = dataclasses.replace(
+        default_cfg_2d(), mel=MelParams(mfcc=False, deltas=False)
+    )
+    sig = rng.normal(scale=0.2, size=int(0.28 * SR))
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    sig = env.pad(sig)
+    assert_segments_match(cfg, sig, SR)
+
+
+def test_silence_and_short_signal():
+    """Silence exercises the ==0 -> LogMin floors; a short signal exercises
+    the step-overrun break semantics (zero suffix columns)."""
+    cfg = default_cfg_2d()
+    sig = np.zeros(int(0.15 * SR))
+    assert_segments_match(cfg, sig, SR)
+
+
+def test_unpadded_signal_step_overrun():
+    cfg = default_cfg_2d()
+    sig = tone(500.0, 0.237, SR)  # deliberately not padded
+    assert_segments_match(cfg, sig, SR)
+
+
+def test_prev_smooth_recurrence():
+    cfg = dataclasses.replace(
+        default_cfg_2d(),
+        dft=dataclasses.replace(default_cfg_2d().dft, prev_smooth=0.4),
+    )
+    sig = tone(1200.0, 0.25, SR) + tone(300.0, 0.25, SR, 0.2)
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    sig = env.pad(sig)
+    assert_segments_match(cfg, sig, SR)
+
+
+def test_gaborview_modes():
+    cfg = dataclasses.replace(
+        default_cfg_2d(), energy_mode="sndenv", delta_mode="gaborview"
+    )
+    sig = tone(2000.0, 0.25, SR)
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    sig = env.pad(sig)
+    assert_segments_match(cfg, sig, SR)
+
+
+def test_4d_pooled_layout():
+    cfg = dataclasses.replace(
+        default_cfg_2d(), gbor_out_pools_y=8, gbor_out_pools_x=2,
+        gbor_out_units_y=2, gbor_out_units_x=8,
+    )
+    sig = tone(700.0, 0.25, SR)
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    sig = env.pad(sig)
+    assert_segments_match(cfg, sig, SR)
+
+
+def test_by_time_layout():
+    cfg = dataclasses.replace(default_cfg_2d(), by_time=True)
+    sig = tone(900.0, 0.25, SR)
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    sig = env.pad(sig)
+    assert_segments_match(cfg, sig, SR)
+
+
+def test_add_offset():
+    cfg = default_cfg_2d()
+    sig = tone(1500.0, 0.3, SR)
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    sig = env.pad(sig)
+    assert_segments_match(cfg, sig, SR, add=20)
+
+
+def test_reference_wav_parity(ref_wavs):
+    cfg = default_cfg_2d()
+    for name in ("800", "noise130ms", "female_la_100ms", "silence_100ms"):
+        w = load_wav(ref_wavs[name])
+        sig = w.sound_to_tensor()
+        env = SndEnv(cfg, w.sample_rate, dtype=jnp.float64)
+        sig = env.pad(sig)
+        assert_segments_match(cfg, sig, w.sample_rate)
+
+
+def test_float32_device_path_close():
+    """The f32 matmul path (what runs on TPU) must stay within loose but
+    meaningful tolerance of the f64 oracle."""
+    cfg = default_cfg_2d()
+    sig = tone(1000.0, 0.3, SR)
+    env64 = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    sig = env64.pad(sig)
+    env32 = SndEnv(cfg, SR, dtype=jnp.float32, spectrum_method="matmul")
+    o64 = env64.process(sig)
+    o32 = env32.process(sig)
+    mel64 = np.asarray(o64.mel_fbank_segment)
+    mel32 = np.asarray(o32.mel_fbank_segment)
+    assert np.max(np.abs(mel64 - mel32)) < 5e-3
+    g64 = np.asarray(o64.gabor_raw)
+    g32 = np.asarray(o32.gabor_raw)
+    assert np.max(np.abs(g64 - g32)) < 2e-2

@@ -1,0 +1,63 @@
+"""WAV IO: round-trip, bit-depth normalization, reference-asset decode."""
+
+import numpy as np
+import pytest
+
+from auditory_tpu.io.wav import Wave, float_to_wave, load_wav, write_wav
+from tests.conftest import tone
+
+
+@pytest.mark.parametrize("bit_depth", [8, 16, 24, 32])
+def test_roundtrip(tmp_path, bit_depth):
+    sig = tone(440.0, 0.05, 16000)
+    w = float_to_wave(sig, 16000, bit_depth=bit_depth)
+    p = str(tmp_path / f"t{bit_depth}.wav")
+    write_wav(p, w)
+    w2 = load_wav(p)
+    assert w2.sample_rate == 16000
+    assert w2.channels == 1
+    assert w2.source_bit_depth == bit_depth
+    np.testing.assert_array_equal(w.data, w2.data)
+
+
+def test_normalization_16bit():
+    w = Wave(
+        data=np.array([0x7FFF, -0x7FFF, 0], dtype=np.int32),
+        sample_rate=16000,
+        channels=1,
+        source_bit_depth=16,
+    )
+    sig = w.sound_to_tensor()
+    np.testing.assert_allclose(sig, [1.0, -1.0, 0.0])
+
+
+def test_sound_to_tensor_stereo_quirk():
+    """SoundToTensor takes the first NumFrames *interleaved* samples
+    (sound/sound.go:116-127)."""
+    data = np.arange(8, dtype=np.int32)  # stereo: 4 frames
+    w = Wave(data=data, sample_rate=8000, channels=2, source_bit_depth=16)
+    sig = w.sound_to_tensor()
+    np.testing.assert_allclose(sig, np.arange(4) / 0x7FFF)
+    # the sane per-channel accessor
+    np.testing.assert_allclose(w.channel_signal(0), np.array([0, 2, 4, 6]) / 0x7FFF)
+
+
+def test_quantize_roundtrip_close():
+    sig = tone(1000.0, 0.02, 44100, amp=0.9)
+    w = float_to_wave(sig, 44100, bit_depth=16)
+    back = w.sound_to_tensor()
+    assert np.max(np.abs(back - sig)) < 1.0 / 0x7FFE
+
+
+def test_reference_assets_decode(ref_wavs):
+    w = load_wav(ref_wavs["800"])
+    assert w.sample_rate in (16000, 44100)
+    sig = w.sound_to_tensor()
+    assert len(sig) > 0
+    assert np.max(np.abs(sig)) <= 1.0 + 1e-9
+    # 800 Hz tone should have its strongest DFT bin near 800 Hz
+    n = min(len(sig), 4096)
+    spec = np.abs(np.fft.rfft(sig[:n]))
+    spec[0] = 0
+    peak_hz = np.argmax(spec) * w.sample_rate / n
+    assert abs(peak_hz - 800) < 40
