@@ -1,0 +1,205 @@
+"""Command-line interface.
+
+CLI equivalents of the reference example apps:
+
+- ``process``  <- examples/processspeech (single WAV -> power/mel/MFCC/gabor
+  tensors, written to .npz instead of rendered in a GoGi grid)
+- ``corpus``   <- the corpus-scale batch path (TIMIT-style extraction)
+- ``info``     <- WAV metadata
+- ``play``     <- examples/play (host audio out; gated on an available audio
+  backend, otherwise reports and exits)
+
+Usage: ``python -m auditory_tpu.cli process sounds/bug.wav --out out.npz``
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob as _glob
+import json
+import sys
+
+import numpy as np
+
+from .config import (
+    DFTParams,
+    FilterBank,
+    GaborSet,
+    MelParams,
+    SndEnvConfig,
+    WindowParams,
+    default_gabor_specs,
+)
+from .io.wav import load_wav
+from .pipeline.sndenv import SndEnv
+
+
+def _build_cfg(args) -> SndEnvConfig:
+    gset = GaborSet(
+        size_x=args.gabor_size,
+        size_y=args.gabor_size,
+        stride_x=args.gabor_stride,
+        stride_y=args.gabor_stride,
+        gain=args.gabor_gain,
+        specs=default_gabor_specs(
+            phases=(0.0, 1.5708) if args.gabor_phases == 2 else (0.0,)
+        ),
+    )
+    return SndEnvConfig(
+        params=WindowParams(
+            win_ms=args.win_ms,
+            step_ms=args.step_ms,
+            segment_ms=args.segment_ms,
+            stride_ms=args.stride_ms,
+            border_steps=args.border_steps,
+        ),
+        dft=DFTParams(),
+        mel=MelParams(
+            fbank=FilterBank(n_filters=args.mel_filters, hi_hz=args.hi_hz),
+            mfcc=not args.no_mfcc,
+            deltas=not args.no_mfcc,
+        ),
+        gabor=gset,
+        kwta=dataclasses.replace(SndEnvConfig().kwta, on=not args.no_kwta),
+    )
+
+
+def _add_pipeline_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--win-ms", type=float, default=25.0)
+    p.add_argument("--step-ms", type=float, default=10.0)
+    p.add_argument("--segment-ms", type=float, default=100.0)
+    p.add_argument("--stride-ms", type=float, default=100.0)
+    p.add_argument("--border-steps", type=int, default=2)
+    p.add_argument("--mel-filters", type=int, default=32)
+    p.add_argument("--hi-hz", type=float, default=8000.0)
+    p.add_argument("--no-mfcc", action="store_true")
+    p.add_argument("--no-kwta", action="store_true")
+    p.add_argument("--gabor-size", type=int, default=9)
+    p.add_argument("--gabor-stride", type=int, default=3)
+    p.add_argument("--gabor-gain", type=float, default=2.0)
+    p.add_argument("--gabor-phases", type=int, default=2, choices=(1, 2))
+    p.add_argument("--f64", action="store_true", help="float64 (CPU) parity mode")
+
+
+def cmd_process(args) -> int:
+    import jax.numpy as jnp
+
+    w = load_wav(args.file)
+    sig = w.sound_to_tensor()
+    cfg = _build_cfg(args)
+    env = SndEnv(cfg, w.sample_rate, dtype=jnp.float64 if args.f64 else jnp.float32)
+    if args.pad:
+        sig = env.pad(sig)
+    out = env.process(sig)
+    arrays = {
+        k: np.asarray(v)
+        for k, v in dataclasses.asdict(out).items()
+        if v is not None
+    }
+    np.savez(args.out, **arrays)
+    n_seg = arrays["power_segment"].shape[0]
+    print(
+        f"{args.file}: {w.sample_rate} Hz, {w.num_frames} frames -> "
+        f"{n_seg} segments; wrote {sorted(arrays)} to {args.out}"
+    )
+    return 0
+
+
+def cmd_corpus(args) -> int:
+    import jax.numpy as jnp
+
+    from .parallel.mesh import make_mesh
+    from .pipeline.batch import CorpusRunner
+
+    paths = sorted(_glob.glob(args.glob))
+    if not paths:
+        print(f"no files match {args.glob}", file=sys.stderr)
+        return 1
+    cfg = _build_cfg(args)
+    mesh = make_mesh() if args.mesh else None
+    runner = CorpusRunner(
+        cfg,
+        args.rate,
+        batch_size=args.batch_size,
+        dtype=jnp.float64 if args.f64 else jnp.float32,
+        mesh=mesh,
+    )
+    stats = runner.run(paths, args.out, resume=not args.no_resume)
+    print(
+        json.dumps(
+            {
+                "files_done": stats.files_done,
+                "files_failed": stats.files_failed,
+                "audio_seconds": round(stats.audio_seconds, 3),
+                "wall_seconds": round(stats.wall_seconds, 3),
+                "rtf": round(stats.rtf, 1),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_info(args) -> int:
+    w = load_wav(args.file)
+    dur = w.num_frames / w.sample_rate
+    print(
+        f"{args.file}: {w.sample_rate} Hz, {w.channels} ch, "
+        f"{w.source_bit_depth}-bit, {w.num_frames} frames ({dur:.3f} s)"
+    )
+    return 0
+
+
+def cmd_play(args) -> int:
+    """Host audio playback (reference sound/playwav.go:20-62 equivalent)."""
+    w = load_wav(args.file)
+    sig = w.channel_signal(0, dtype=np.float32)
+    try:
+        import sounddevice  # type: ignore
+    except ImportError:
+        print(
+            "no audio backend available (sounddevice not installed); "
+            f"decoded {len(sig)} samples at {w.sample_rate} Hz OK",
+            file=sys.stderr,
+        )
+        return 2
+    sounddevice.play(sig, w.sample_rate, blocking=True)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="auditory_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("process", help="process one WAV through the full pipeline")
+    p.add_argument("file")
+    p.add_argument("--out", default="out.npz")
+    p.add_argument("--pad", action="store_true", default=True)
+    p.add_argument("--no-pad", dest="pad", action="store_false")
+    _add_pipeline_args(p)
+    p.set_defaults(fn=cmd_process)
+
+    p = sub.add_parser("corpus", help="batched extraction over a corpus")
+    p.add_argument("--glob", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--rate", type=int, default=16000)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--mesh", action="store_true", help="shard over all devices")
+    p.add_argument("--no-resume", action="store_true")
+    _add_pipeline_args(p)
+    p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser("info", help="WAV metadata")
+    p.add_argument("file")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("play", help="play a WAV on the host audio device")
+    p.add_argument("file")
+    p.set_defaults(fn=cmd_play)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,270 @@
+"""Batched / sharded corpus processing.
+
+The reference processes one window at a time in one goroutine; at corpus
+scale (TIMIT: thousands of utterances) the TPU-native form is: pad utterances
+into [B, S_max] batches (bucketed by length), run the whole SndEnv pipeline
+for every segment of every utterance in one jitted program, shard the batch
+axis over the device mesh, and mask invalid segments/steps.
+
+Masking semantics (matches the reference exactly):
+- step-invalid: window end beyond the signal -> zero columns
+  (sndenv.go:353-359 break semantics; see dsp/frame.py)
+- segment-invalid: segment index >= SegCnt(len) (sndenv.go:263-265) -> the
+  reference never runs ProcessSegment for these; all outputs zeroed and
+  ``seg_valid`` False.
+
+Also provides :class:`CorpusRunner`: host-side WAV decode (thread pool) ->
+bucketed batches -> device pipeline -> per-utterance ``.npz`` outputs, with a
+resumable JSONL manifest (checkpoint/restart + failure records for
+undecodable files; SURVEY.md section 5 aux-subsystem equivalents).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SndEnvConfig
+from ..io.wav import load_wav
+from ..parallel.mesh import batch_sharding, make_mesh, pad_to_multiple, replicated
+from .sndenv import SndEnv, SndEnvOutputs
+
+__all__ = ["BatchedSndEnv", "CorpusRunner", "bucket_length"]
+
+
+def bucket_length(n: int, timing, min_samples: Optional[int] = None) -> int:
+    """Round a padded signal length up to the next stride boundary so jit
+    recompiles only per bucket, not per file."""
+    stride = timing.stride_samples
+    base = timing.segment_samples
+    if n <= base:
+        return base if min_samples is None else max(base, min_samples)
+    k = -(-(n - base) // stride)
+    out = base + k * stride
+    if min_samples is not None:
+        out = max(out, min_samples)
+    return out
+
+
+class BatchedSndEnv:
+    """The SndEnv pipeline vmapped over a padded utterance batch and
+    (optionally) sharded over a data-parallel mesh."""
+
+    def __init__(
+        self,
+        env: SndEnv,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        axis_name: str = "data",
+    ):
+        self.env = env
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self._jit_cache: Dict[Tuple[int, int], Any] = {}
+
+    def _build(self, n_samples: int, add_ms: int):
+        env = self.env
+        t = env.timing
+        program = env._build(n_samples, add_ms)
+        seg_cnt_static = max(env.seg_cnt(n_samples), 0)
+
+        def batch_program(signals: jnp.ndarray, lengths: jnp.ndarray):
+            out = jax.vmap(program)(signals, lengths)
+            # per-utterance SegCnt (sndenv.go:263-265, truncating division;
+            # lengths <= n_samples so siglen fits int32)
+            siglen = lengths.astype(jnp.int32) - t.segment_samples
+            seg_cnt = (
+                jnp.sign(siglen) * (jnp.abs(siglen) // t.stride_samples) + 1
+            )
+            seg_idx = jnp.arange(seg_cnt_static, dtype=jnp.int32)
+            seg_valid = seg_idx[None, :] < seg_cnt[:, None]  # [B, seg]
+
+            def mask(x):
+                if x is None:
+                    return None
+                m = seg_valid.reshape(seg_valid.shape + (1,) * (x.ndim - 2))
+                return jnp.where(m, x, jnp.zeros((), dtype=x.dtype))
+
+            out = jax.tree_util.tree_map(
+                mask, out, is_leaf=lambda x: x is None
+            )
+            out = dataclasses.replace(
+                out, step_valid=out.step_valid & seg_valid[..., None]
+            )
+            return out, seg_valid
+
+        if self.mesh is not None:
+            in_shardings = (
+                batch_sharding(self.mesh, 2, self.axis_name),
+                batch_sharding(self.mesh, 1, self.axis_name),
+            )
+            return jax.jit(batch_program, in_shardings=in_shardings)
+        return jax.jit(batch_program)
+
+    def process_fn(self, n_samples: int, add_ms: int = 0):
+        key = (n_samples, add_ms)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build(n_samples, add_ms)
+        return self._jit_cache[key]
+
+    def process(
+        self,
+        signals: np.ndarray,
+        lengths: np.ndarray,
+        add_ms: int = 0,
+    ) -> Tuple[SndEnvOutputs, jnp.ndarray]:
+        """signals [B, S] (padded), lengths [B] -> (outputs with leading
+        [B, seg] axes, seg_valid [B, seg])."""
+        signals = jnp.asarray(signals)
+        fn = self.process_fn(signals.shape[-1], add_ms)
+        if self.mesh is not None:
+            signals = jax.device_put(
+                signals, batch_sharding(self.mesh, 2, self.axis_name)
+            )
+            lengths = jax.device_put(
+                jnp.asarray(lengths, dtype=jnp.int32),
+                batch_sharding(self.mesh, 1, self.axis_name),
+            )
+        else:
+            lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        return fn(signals, lengths)
+
+    @property
+    def batch_multiple(self) -> int:
+        return 1 if self.mesh is None else self.mesh.devices.size
+
+
+@dataclass
+class CorpusStats:
+    files_done: int = 0
+    files_failed: int = 0
+    audio_seconds: float = 0.0
+    wall_seconds: float = 0.0
+
+    @property
+    def rtf(self) -> float:
+        return self.audio_seconds / self.wall_seconds if self.wall_seconds else 0.0
+
+
+class CorpusRunner:
+    """Resumable batched extraction over a corpus of WAV files.
+
+    - host decode in a thread pool, device compute in length buckets
+    - JSONL manifest ``manifest.jsonl`` in ``out_dir``: one record per file
+      ({path, status: ok|error, error?}); on resume, files already 'ok' are
+      skipped (checkpoint/restart equivalent, SURVEY.md section 5)
+    - undecodable/odd files are recorded as errors and skipped, never fatal
+      (failure-detection equivalent)
+    """
+
+    def __init__(
+        self,
+        cfg: SndEnvConfig,
+        sample_rate: int,
+        batch_size: int = 64,
+        dtype=jnp.float32,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        save_keys: Sequence[str] = ("mel_fbank_segment", "gabor_kwta"),
+        decode_threads: int = 8,
+    ):
+        self.env = SndEnv(cfg, sample_rate, dtype=dtype)
+        self.batched = BatchedSndEnv(self.env, mesh=mesh)
+        self.batch_size = batch_size
+        self.save_keys = tuple(save_keys)
+        self.decode_threads = decode_threads
+        self.sample_rate = sample_rate
+
+    def _decode(self, path: str) -> Tuple[str, Optional[np.ndarray], Optional[str]]:
+        try:
+            w = load_wav(path)
+            if w.sample_rate != self.sample_rate:
+                return path, None, (
+                    f"sample rate {w.sample_rate} != pipeline rate "
+                    f"{self.sample_rate}"
+                )
+            sig = w.sound_to_tensor(dtype=np.float32)
+            sig = self.env.pad(sig)
+            return path, sig, None
+        except Exception as e:  # noqa: BLE001 - failure detection, not flow
+            return path, None, f"{type(e).__name__}: {e}"
+
+    def run(
+        self,
+        wav_paths: Sequence[str],
+        out_dir: str,
+        resume: bool = True,
+        add_ms: int = 0,
+    ) -> CorpusStats:
+        os.makedirs(out_dir, exist_ok=True)
+        manifest_path = os.path.join(out_dir, "manifest.jsonl")
+        done = set()
+        if resume and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if rec.get("status") == "ok":
+                        done.add(rec["path"])
+        todo = [p for p in wav_paths if p not in done]
+
+        stats = CorpusStats()
+        t0 = time.perf_counter()
+        manifest = open(manifest_path, "a")
+        try:
+            with ThreadPoolExecutor(self.decode_threads) as pool:
+                decoded = pool.map(self._decode, todo)
+                buckets: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+                for path, sig, err in decoded:
+                    if err is not None:
+                        stats.files_failed += 1
+                        manifest.write(
+                            json.dumps({"path": path, "status": "error", "error": err})
+                            + "\n"
+                        )
+                        continue
+                    blen = bucket_length(len(sig), self.env.timing)
+                    buckets.setdefault(blen, []).append((path, sig))
+                    if len(buckets[blen]) >= self.batch_size:
+                        self._flush(buckets.pop(blen), blen, out_dir, add_ms,
+                                    manifest, stats)
+                for blen, items in list(buckets.items()):
+                    self._flush(items, blen, out_dir, add_ms, manifest, stats)
+        finally:
+            manifest.close()
+        stats.wall_seconds = time.perf_counter() - t0
+        return stats
+
+    def _flush(self, items, blen, out_dir, add_ms, manifest, stats):
+        mult = self.batched.batch_multiple
+        b = pad_to_multiple(len(items), mult)
+        signals = np.zeros((b, blen), dtype=np.float32)
+        lengths = np.zeros(b, dtype=np.int32)
+        for i, (_, sig) in enumerate(items):
+            signals[i, : len(sig)] = sig
+            lengths[i] = len(sig)
+        out, seg_valid = self.batched.process(signals, lengths, add_ms)
+        out = jax.block_until_ready(out)
+        sv = np.asarray(seg_valid)
+        for i, (path, sig) in enumerate(items):
+            rec: Dict[str, Any] = {}
+            n_seg = int(sv[i].sum())
+            for k in self.save_keys:
+                v = getattr(out, k)
+                if v is not None:
+                    rec[k] = np.asarray(v[i][:n_seg])
+            stem = os.path.splitext(os.path.basename(path))[0]
+            np.savez(os.path.join(out_dir, stem + ".npz"), **rec)
+            manifest.write(json.dumps({"path": path, "status": "ok"}) + "\n")
+            stats.files_done += 1
+            stats.audio_seconds += len(sig) / self.sample_rate
+        manifest.flush()

@@ -1,0 +1,100 @@
+"""Benchmark: batched TIMIT-style 16 kHz mel+gabor extraction throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "audio_sec_per_sec_per_chip",
+   "vs_baseline": N}
+
+The metric is the BASELINE.json north-star: real-time factor (seconds of
+audio processed per wall second per chip) of the full default pipeline --
+window gather, DFT power, log power, mel filterbank, MFCC + deltas, gabor
+convolution with on/off rectification -- on a batch of synthetic 16 kHz
+utterances with TIMIT-like durations. Baseline target: 5000x per chip.
+
+kWTA is excluded from the headline (the north-star names mel+gabor
+extraction); pass --kwta to include it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128, help="utterances per step")
+    ap.add_argument("--seconds", type=float, default=3.0, help="utterance length")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--kwta", action="store_true", help="include kWTA settle")
+    ap.add_argument("--f64", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
+    from auditory_tpu.pipeline.batch import BatchedSndEnv, bucket_length
+    from auditory_tpu.pipeline.sndenv import SndEnv
+
+    sr = 16000
+    cfg = SndEnvConfig(
+        gabor=GaborSet(
+            size_x=9, size_y=9, stride_x=3, stride_y=3, gain=2.0,
+            specs=default_gabor_specs(phases=(0.0, 1.5708)),
+        )
+    )
+    if not args.kwta:
+        cfg = dataclasses.replace(
+            cfg, kwta=dataclasses.replace(cfg.kwta, on=False)
+        )
+
+    env = SndEnv(cfg, sr, dtype=jnp.float64 if args.f64 else jnp.float32)
+    benv = BatchedSndEnv(env)
+
+    rng = np.random.default_rng(0)
+    n = bucket_length(int(args.seconds * sr), env.timing)
+    # TIMIT-like content: speech-band noise + tones, variable true lengths
+    t = np.arange(n) / sr
+    base = 0.1 * np.sin(2 * np.pi * 180 * t) + 0.05 * np.sin(2 * np.pi * 1200 * t)
+    signals = (
+        base[None, :] + 0.02 * rng.standard_normal((args.batch, n))
+    ).astype(np.float32)
+    lengths = rng.integers(int(0.8 * n), n + 1, size=args.batch).astype(np.int32)
+
+    signals_d = jax.device_put(jnp.asarray(signals))
+    lengths_d = jax.device_put(jnp.asarray(lengths))
+    fn = benv.process_fn(n, 0)
+
+    for _ in range(args.warmup):
+        out, _ = fn(signals_d, lengths_d)
+        jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out, _ = fn(signals_d, lengths_d)
+        jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    audio_seconds = float(lengths.sum()) / sr * args.iters
+    rtf = audio_seconds / dt
+    baseline = 5000.0
+    print(
+        json.dumps(
+            {
+                "metric": "timit16k_mel_gabor_rtf"
+                + ("_kwta" if args.kwta else ""),
+                "value": round(rtf, 1),
+                "unit": "audio_sec_per_sec_per_chip",
+                "vs_baseline": round(rtf / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

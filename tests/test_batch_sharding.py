@@ -1,0 +1,129 @@
+"""Batched processing + data-parallel sharding over the 8-device CPU mesh."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auditory_tpu.io.wav import float_to_wave, write_wav
+from auditory_tpu.parallel.mesh import make_mesh
+from auditory_tpu.pipeline.batch import BatchedSndEnv, CorpusRunner, bucket_length
+from auditory_tpu.pipeline.sndenv import SndEnv
+from tests.conftest import default_cfg_2d, tone
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def env():
+    return SndEnv(default_cfg_2d(), SR, dtype=jnp.float64, spectrum_method="fft")
+
+
+def make_batch(env, durations):
+    sigs = [env.pad(tone(500 + 300 * i, d, SR)) for i, d in enumerate(durations)]
+    smax = bucket_length(max(len(s) for s in sigs), env.timing)
+    batch = np.zeros((len(sigs), smax))
+    lengths = np.array([len(s) for s in sigs], dtype=np.int32)
+    for i, s in enumerate(sigs):
+        batch[i, : len(s)] = s
+    return sigs, batch, lengths
+
+
+def test_batch_matches_single(env):
+    sigs, batch, lengths = make_batch(env, [0.25, 0.45, 0.15, 0.35])
+    benv = BatchedSndEnv(env)
+    out, seg_valid = benv.process(batch, lengths)
+    sv = np.asarray(seg_valid)
+
+    for i, sig in enumerate(sigs):
+        single = env.process(sig)
+        n_seg = single.power_segment.shape[0]
+        assert int(sv[i].sum()) == n_seg
+        np.testing.assert_allclose(
+            np.asarray(out.mel_fbank_segment[i][:n_seg]),
+            np.asarray(single.mel_fbank_segment),
+            atol=1e-9, rtol=1e-12, err_msg=f"utt {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.mfcc_deltas[i][:n_seg]),
+            np.asarray(single.mfcc_deltas),
+            atol=1e-9, rtol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.gabor_raw[i][:n_seg]),
+            np.asarray(single.gabor_raw),
+            atol=1e-5, rtol=1e-6,
+        )
+        # invalid segments fully zeroed
+        assert np.all(np.asarray(out.mel_fbank_segment[i][n_seg:]) == 0)
+        assert np.all(np.asarray(out.gabor_raw[i][n_seg:]) == 0)
+
+
+def test_sharded_matches_unsharded(env):
+    assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh()
+    sigs, batch, lengths = make_batch(
+        env, [0.25, 0.45, 0.15, 0.35, 0.2, 0.3, 0.4, 0.25]
+    )
+    plain = BatchedSndEnv(env)
+    sharded = BatchedSndEnv(env, mesh=mesh)
+    o1, v1 = plain.process(batch, lengths)
+    o2, v2 = sharded.process(batch, lengths)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(
+        np.asarray(o1.mel_fbank_segment), np.asarray(o2.mel_fbank_segment),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1.gabor_kwta), np.asarray(o2.gabor_kwta), atol=1e-6
+    )
+    # the result really is sharded over the mesh
+    shard_devs = {s.device for s in o2.mel_fbank_segment.addressable_shards}
+    assert len(shard_devs) == 8
+
+
+def test_bucket_length(env):
+    t = env.timing
+    assert bucket_length(t.segment_samples, t) == t.segment_samples
+    n = t.segment_samples + 1
+    b = bucket_length(n, t)
+    assert b >= n and (b - t.segment_samples) % t.stride_samples == 0
+
+
+def test_corpus_runner(tmp_path):
+    cfg = default_cfg_2d()
+    wavs = []
+    for i, d in enumerate([0.2, 0.3, 0.25]):
+        sig = tone(400 + 200 * i, d, SR)
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, float_to_wave(sig, SR))
+        wavs.append(p)
+    # one corrupt file and one wrong-rate file (failure detection)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"RIFFgarbage")
+    wrong = str(tmp_path / "wrong.wav")
+    write_wav(wrong, float_to_wave(tone(500, 0.1, 8000), 8000))
+
+    out_dir = str(tmp_path / "out")
+    runner = CorpusRunner(cfg, SR, batch_size=2, dtype=jnp.float32)
+    stats = runner.run(wavs + [bad, wrong], out_dir)
+    assert stats.files_done == 3
+    assert stats.files_failed == 2
+    assert stats.audio_seconds > 0
+
+    recs = [json.loads(l) for l in open(os.path.join(out_dir, "manifest.jsonl"))]
+    assert sum(r["status"] == "ok" for r in recs) == 3
+    assert sum(r["status"] == "error" for r in recs) == 2
+
+    data = np.load(os.path.join(out_dir, "u0.npz"))
+    assert "mel_fbank_segment" in data and "gabor_kwta" in data
+    assert data["mel_fbank_segment"].shape[1:] == (32, 14)
+
+    # resume: nothing left to do
+    stats2 = runner.run(wavs + [bad, wrong], out_dir)
+    assert stats2.files_done == 0
+    assert stats2.files_failed == 2  # errors are retried

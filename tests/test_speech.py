@@ -1,0 +1,128 @@
+"""Corpus metadata layer: phone tables, .PHN.MS/.TXT loaders, CV loaders."""
+
+import numpy as np
+import pytest
+
+from auditory_tpu.speech import Sequence, Unit, adjust_sequence_times
+from auditory_tpu.speech import grafestes, synthcvs, timit
+
+PHN_MS = """\
+0 h#
+112.4 sh
+205 ix
+260.06 hv
+320 eh
+395 dcl
+410 d
+520 h#
+"""
+
+
+def test_phone_tables():
+    assert len(timit.PHONE_CATS_61) == 61
+    assert len(timit.PHONE_CATS_41) == 41
+    assert len(timit.PHONES_61) == 61
+    # all 61 phones fold into the 41 table
+    assert set(timit.PHONES_41.keys()) == set(timit.PHONE_CATS_61)
+    # spot-checks against the reference map (timit.go:57-119)
+    assert timit.PHONES_41["ax"] == timit.PHONES_41["ah"] == 5
+    assert timit.PHONES_41["sh"] == timit.PHONES_41["zh"] == 33
+    assert timit.PHONES_41["h#"] == timit.PHONES_41["pcl"] == 39
+    assert timit.PHONES_41["q"] == 40
+    assert timit.PHONES_61["q"] == 60
+    assert timit.PHONES_10 == {
+        "ah": 0, "ao": 1, "dh": 2, "er": 3, "ix": 4,
+        "iy": 5, "l": 6, "n": 7, "r": 8, "s": 9,
+    }
+
+
+def test_idx_snd_roundtrip():
+    for set_id, n in (("Phones10", 10), ("Phones61", 61)):
+        for i in range(n):
+            snd, ok = timit.snd_from_idx(i, set_id)
+            assert ok
+            j, ok = timit.idx_from_snd(snd, set_id)
+            assert ok and j == i
+    assert timit.idx_from_snd("zz", "Phones61") == (-1, False)
+    assert timit.idx_from_snd("ah", "bogus") == (-1, False)
+
+
+def test_load_times_no_fuse(tmp_path):
+    p = tmp_path / "x.PHN.MS"
+    p.write_text(PHN_MS)
+    units = timit.load_times(str(p), fuse=False)
+    names = [u.name for u in units]
+    assert names == ["h#", "sh", "ix", "hv", "eh", "dcl", "d", "h#"]
+    assert units[0].silence and units[-1].silence
+    assert units[0].start == 0 and units[0].end == 112.4
+    assert units[1].end == 205
+    # tail h#: end = start + 1 (timit.go:305-307)
+    assert units[-1].start == 520 and units[-1].end == 521
+
+
+def test_load_times_fuse_closure(tmp_path):
+    p = tmp_path / "x.PHN.MS"
+    p.write_text(PHN_MS)
+    units = timit.load_times(str(p), fuse=True)
+    names = [u.name for u in units]
+    # dcl+d fuse into one 'd' spanning the closure start
+    assert names == ["h#", "sh", "ix", "hv", "eh", "d", "h#"]
+    d = units[5]
+    assert d.start == 395
+    assert d.end == 520
+
+
+def test_load_times_fuse_closure_not_followed_by_consonant(tmp_path):
+    # closure followed by a different phone: the closure unit stays, the
+    # following phone is processed normally
+    p = tmp_path / "y.PHN.MS"
+    p.write_text("0 h#\n100 bcl\n150 ix\n200 h#\n")
+    units = timit.load_times(str(p), fuse=True)
+    assert [u.name for u in units] == ["h#", "b", "ix", "h#"]
+
+
+def test_load_text(tmp_path):
+    p = tmp_path / "x.TXT"
+    p.write_text("0 61748 She had your dark suit in greasy wash water.\n")
+    assert timit.load_text(str(p)) == "She had your dark suit in greasy wash water."
+
+
+def test_synthcvs_loaders(tmp_path):
+    trans = tmp_path / "t.txt"
+    trans.write_text("header junk\nda go pa\n")
+    names = synthcvs.load_transcription(str(trans))
+    assert names == ["da", "go", "pa"]
+
+    times = tmp_path / "t.times"
+    times.write_text("\\freq line skipped\n0.10 0.35\n0.35 0.61\n0.61 0.92\n1.0 2.0\n")
+    units = synthcvs.load_times(str(times), names)
+    assert len(units) == 3  # stops at len(names)
+    assert units[0].start == pytest.approx(100.0)
+    assert units[0].end == pytest.approx(350.0)
+    assert units[2].name == "pa"
+
+    assert synthcvs.idx_from_snd("da", "I") == (0, True)
+    assert synthcvs.idx_from_snd("da", "III") == (-1, False)
+    assert synthcvs.snd_from_idx(11, "VI") == ("la", True)
+    assert synthcvs.idx_from_snd("da", "II") == (-1, False)
+
+
+def test_grafestes_loaders(tmp_path):
+    assert grafestes.idx_from_snd("may") == (4, True)
+    assert grafestes.snd_from_idx(7) == ("ku", True)
+    assert grafestes.snd_from_idx(8) == ("", False)
+    times = tmp_path / "g.times"
+    times.write_text("0.0 0.4\n0.4 0.8\n")
+    units = grafestes.load_times(str(times), ["ti", "do"])
+    assert [u.name for u in units] == ["ti", "do"]
+    assert units[1].end == pytest.approx(800.0)
+
+
+def test_adjust_sequence_times():
+    seq = Sequence(silence=50.0)
+    seq.units = [Unit(name="a", start=100.0, end=200.0), Unit(name="b", start=200.0, end=300.0)]
+    adjust_sequence_times(seq)
+    # offset = first unit start (100); silence 50 added
+    assert seq.units[0].a_start == 50.0
+    assert seq.units[0].a_end == 150.0
+    assert seq.units[1].a_start == 150.0
