@@ -1,0 +1,121 @@
+"""ctypes bindings for the native IO library (csrc/auditory_io.cpp).
+
+Build with ``make -C csrc`` (produces auditory_tpu/io/libauditory_io.so).
+Falls back transparently to the pure-Python decoder in :mod:`.wav` when the
+shared library is absent, so the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["available", "decode_batch", "wav_info", "STATUS_NAMES"]
+
+STATUS_NAMES = {
+    0: "ok",
+    1: "open failed",
+    2: "not a RIFF/WAVE file",
+    3: "bad fmt chunk",
+    4: "unsupported encoding",
+    5: "truncated data",
+    6: "file longer than buffer",
+}
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    so = os.path.join(os.path.dirname(__file__), "libauditory_io.so")
+    if not os.path.exists(so):
+        return None
+    lib = ctypes.CDLL(so)
+    lib.auditory_wav_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.auditory_wav_info.restype = ctypes.c_int32
+    lib.auditory_wav_decode_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    lib.auditory_wav_decode_batch.restype = ctypes.c_int32
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def wav_info(path: str) -> Tuple[int, int, int, int]:
+    """(sample_rate, channels, bit_depth, n_frames); raises on error."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not built (make -C csrc)")
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    bd = ctypes.c_int32()
+    nf = ctypes.c_int64()
+    st = lib.auditory_wav_info(path.encode(), sr, ch, bd, nf)
+    if st != 0:
+        raise IOError(f"{path}: {STATUS_NAMES.get(st, st)}")
+    return sr.value, ch.value, bd.value, nf.value
+
+
+def decode_batch(
+    paths: Sequence[str],
+    max_samples: int,
+    channel: int = -1,
+    n_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[Optional[str]]]:
+    """Decode many WAVs in parallel (native threads).
+
+    channel=-1 reproduces the reference SoundToTensor flattening
+    (sound/sound.go:116-127); channel>=0 de-interleaves that channel.
+
+    Returns (signals [n, max_samples] float32, lengths [n] int64,
+    sample_rates [n] int32, errors [n] -- None when ok).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not built (make -C csrc)")
+    n = len(paths)
+    blob = b"\0".join(p.encode() for p in paths) + b"\0"
+    out = np.zeros((n, max_samples), dtype=np.float32)
+    statuses = np.zeros(n, dtype=np.int32)
+    lengths = np.zeros(n, dtype=np.int64)
+    srs = np.zeros(n, dtype=np.int32)
+    lib.auditory_wav_decode_batch(
+        blob,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples,
+        channel,
+        statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    errors: List[Optional[str]] = [
+        None if s == 0 else STATUS_NAMES.get(int(s), str(s)) for s in statuses
+    ]
+    return out, lengths, srs, errors

@@ -71,36 +71,8 @@ class BatchedSndEnv:
         self._jit_cache: Dict[Tuple[int, int], Any] = {}
 
     def _build(self, n_samples: int, add_ms: int):
-        env = self.env
-        t = env.timing
-        program = env._build(n_samples, add_ms)
-        seg_cnt_static = max(env.seg_cnt(n_samples), 0)
-
-        def batch_program(signals: jnp.ndarray, lengths: jnp.ndarray):
-            out = jax.vmap(program)(signals, lengths)
-            # per-utterance SegCnt (sndenv.go:263-265, truncating division;
-            # lengths <= n_samples so siglen fits int32)
-            siglen = lengths.astype(jnp.int32) - t.segment_samples
-            seg_cnt = (
-                jnp.sign(siglen) * (jnp.abs(siglen) // t.stride_samples) + 1
-            )
-            seg_idx = jnp.arange(seg_cnt_static, dtype=jnp.int32)
-            seg_valid = seg_idx[None, :] < seg_cnt[:, None]  # [B, seg]
-
-            def mask(x):
-                if x is None:
-                    return None
-                m = seg_valid.reshape(seg_valid.shape + (1,) * (x.ndim - 2))
-                return jnp.where(m, x, jnp.zeros((), dtype=x.dtype))
-
-            out = jax.tree_util.tree_map(
-                mask, out, is_leaf=lambda x: x is None
-            )
-            out = dataclasses.replace(
-                out, step_valid=out.step_valid & seg_valid[..., None]
-            )
-            return out, seg_valid
-
+        # the SndEnv program is natively batched: [B, S] + lengths [B]
+        batch_program = self.env._build(n_samples, add_ms)
         if self.mesh is not None:
             in_shardings = (
                 batch_sharding(self.mesh, 2, self.axis_name),
@@ -196,6 +168,49 @@ class CorpusRunner:
         except Exception as e:  # noqa: BLE001 - failure detection, not flow
             return path, None, f"{type(e).__name__}: {e}"
 
+    def _decode_many(self, paths):
+        """Decode a list of paths -> iterable of (path, signal|None, err|None).
+
+        Uses the native threaded batch decoder (csrc/auditory_io.cpp) when
+        built, else the Python thread pool."""
+        from ..io import native
+
+        if not native.available() or not paths:
+            with ThreadPoolExecutor(self.decode_threads) as pool:
+                yield from pool.map(self._decode, paths)
+            return
+
+        # one native pass to size the buffer, one to fill it
+        max_frames = 0
+        metas = {}
+        for p in paths:
+            try:
+                sr, ch, bd, nf = native.wav_info(p)
+                metas[p] = (sr, nf)
+                max_frames = max(max_frames, nf)
+            except IOError as e:
+                metas[p] = e
+        ok_paths = [p for p in paths if not isinstance(metas[p], Exception)]
+        out, lengths, srs, errors = native.decode_batch(
+            ok_paths, max(max_frames, 1), n_threads=self.decode_threads
+        )
+        by_path = {p: i for i, p in enumerate(ok_paths)}
+        for p in paths:
+            meta = metas[p]
+            if isinstance(meta, Exception):
+                yield p, None, str(meta)
+                continue
+            i = by_path[p]
+            if errors[i] is not None:
+                yield p, None, errors[i]
+            elif srs[i] != self.sample_rate:
+                yield p, None, (
+                    f"sample rate {srs[i]} != pipeline rate {self.sample_rate}"
+                )
+            else:
+                sig = out[i, : lengths[i]]
+                yield p, self.env.pad(sig), None
+
     def run(
         self,
         wav_paths: Sequence[str],
@@ -221,24 +236,22 @@ class CorpusRunner:
         t0 = time.perf_counter()
         manifest = open(manifest_path, "a")
         try:
-            with ThreadPoolExecutor(self.decode_threads) as pool:
-                decoded = pool.map(self._decode, todo)
-                buckets: Dict[int, List[Tuple[str, np.ndarray]]] = {}
-                for path, sig, err in decoded:
-                    if err is not None:
-                        stats.files_failed += 1
-                        manifest.write(
-                            json.dumps({"path": path, "status": "error", "error": err})
-                            + "\n"
-                        )
-                        continue
-                    blen = bucket_length(len(sig), self.env.timing)
-                    buckets.setdefault(blen, []).append((path, sig))
-                    if len(buckets[blen]) >= self.batch_size:
-                        self._flush(buckets.pop(blen), blen, out_dir, add_ms,
-                                    manifest, stats)
-                for blen, items in list(buckets.items()):
-                    self._flush(items, blen, out_dir, add_ms, manifest, stats)
+            buckets: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+            for path, sig, err in self._decode_many(todo):
+                if err is not None:
+                    stats.files_failed += 1
+                    manifest.write(
+                        json.dumps({"path": path, "status": "error", "error": err})
+                        + "\n"
+                    )
+                    continue
+                blen = bucket_length(len(sig), self.env.timing)
+                buckets.setdefault(blen, []).append((path, sig))
+                if len(buckets[blen]) >= self.batch_size:
+                    self._flush(buckets.pop(blen), blen, out_dir, add_ms,
+                                manifest, stats)
+            for blen, items in list(buckets.items()):
+                self._flush(items, blen, out_dir, add_ms, manifest, stats)
         finally:
             manifest.close()
         stats.wall_seconds = time.perf_counter() - t0

@@ -1,0 +1,235 @@
+"""Phone/unit-segment analysis pipeline (the ``examples/gaborview`` path).
+
+The reference's gaborview app (examples/gaborview/gbv.go) processes one
+time-aligned slice [SegmentStart, SegmentEnd] of an utterance -- typically one
+TIMIT phone -- through the same DFT/mel/MFCC/gabor pipeline, with its own
+quirks reproduced here:
+
+- optional *resize* of the segment so its duration aligns with the gabor
+  filter size and stride (gbv.go:456-479): widen to one filter width, or up
+  to the next stride boundary, extending half before/half after (all after
+  when the start would go negative).
+- duration "rounded up to the nearest step interval" via
+  ``segmentMs += stepMs * (int(segmentMs) % int(stepMs))`` (gbv.go:489-491)
+  -- the reference's literal arithmetic, which over-extends rather than
+  rounds (quirk).
+- BorderSteps defaults to 0 (gbv.go:330-336 WinDefaults).
+- energy mode 'gaborview' (sum over the first StepsTotal frequency rows,
+  gbv.go:553-560) and delta mode 'gaborview' (d = nume/2*n^2, gbv.go:590-592).
+- gabor output is the 2-D layout with byTime=True (gbv.go:300) and
+  KWTALayer-only sparsification (gbv.go:839-849; NeighInhib is 4-D-only and
+  skipped, gbv.go:823-828).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    DFTParams,
+    GaborSet,
+    KWTAParams,
+    MelParams,
+    SndEnvConfig,
+    msec_to_samples,
+)
+from ..dsp import design
+from ..dsp.dft import dft_power_pipeline
+from ..dsp.frame import extract_windows
+from ..dsp.gabor import convolve, gabor_out_counts, to_layout_2d
+from ..dsp.mel import apply_mel, energy, mfcc_dct, mfcc_deltas
+from ..nn.kwta import kwta_layer
+
+__all__ = ["SegmentWindowParams", "resize_segment", "SegmentPipeline"]
+
+
+@dataclass(frozen=True)
+class SegmentWindowParams:
+    """gaborview WinParams (gbv.go:203-240); defaults per WinDefaults
+    (gbv.go:330-336)."""
+
+    win_ms: float = 25.0
+    step_ms: float = 10.0
+    border_steps: int = 0
+    resize: bool = True
+
+
+def resize_segment(
+    start_ms: float,
+    end_ms: float,
+    step_ms: float,
+    gset: GaborSet,
+) -> Tuple[float, float]:
+    """gbv.go:456-479: widen [start, end] to align with the gabor grid."""
+    duration = end_ms - start_ms
+    size_x_ms = float(gset.size_x) * step_ms
+    stride_x_ms = float(gset.stride_x) * step_ms
+    add = 0.0
+    if duration < size_x_ms:
+        add = size_x_ms - duration
+    else:
+        d = duration - size_x_ms
+        rem = float(int(d) % int(stride_x_ms))
+        if rem > 0:
+            add = stride_x_ms - rem
+    if start_ms - add < 0:
+        end_ms += add
+    else:
+        start_ms -= add / 2
+        end_ms += add / 2
+    return start_ms, end_ms
+
+
+class SegmentPipeline:
+    """Process time slices of an utterance (one phone/CV at a time, or a
+    batch of equal-length slices)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        wparams: SegmentWindowParams = SegmentWindowParams(),
+        dft: DFTParams = DFTParams(),
+        mel: Optional[MelParams] = None,
+        gabor: Optional[GaborSet] = None,
+        kwta: Optional[KWTAParams] = None,
+        by_time: bool = True,
+        dtype=jnp.float32,
+        spectrum_method: Optional[str] = None,
+    ):
+        self.sample_rate = sample_rate
+        self.wparams = wparams
+        self.dft = dft
+        self.mel = mel if mel is not None else MelParams()
+        # gbv.go InitGabors (gbv.go:318-357): 8x8, stride (6,3), gain 1.5
+        self.gabor = gabor if gabor is not None else GaborSet()
+        self.kwta = kwta if kwta is not None else KWTAParams()
+        self.by_time = by_time
+        self.dtype = jnp.dtype(dtype)
+        if spectrum_method is None:
+            spectrum_method = "matmul" if self.dtype == jnp.float32 else "fft"
+        self.spectrum_method = spectrum_method
+
+        self.win_samples = msec_to_samples(wparams.win_ms, sample_rate)
+        self.step_samples = msec_to_samples(wparams.step_ms, sample_rate)
+        self.mel_des = design.mel_design(
+            self.mel.fbank, self.win_samples, sample_rate
+        )
+        self.dct_mat = design.dct1_matrix(self.mel.fbank.n_filters)
+        self.gabor_bank = design.gabor_filters(self.gabor)
+        self.dft_basis = (
+            design.dft_matrices(self.win_samples)
+            if spectrum_method == "matmul"
+            else None
+        )
+        self._jit_cache: Dict[Tuple[int, int], any] = {}
+
+    # gbv.go:489-492 -- the reference's literal "round up" arithmetic
+    def steps_total(self, start_ms: float, end_ms: float) -> int:
+        segment_ms = end_ms - start_ms
+        segment_ms = segment_ms + self.wparams.step_ms * float(
+            int(segment_ms) % int(self.wparams.step_ms)
+        )
+        steps = int(segment_ms / self.wparams.step_ms)
+        return steps + 2 * self.wparams.border_steps
+
+    def setup(
+        self, start_ms: float, end_ms: float
+    ) -> Tuple[float, float, int]:
+        """Apply resize + step rounding; returns (start_ms, end_ms, steps)."""
+        if self.wparams.resize:
+            start_ms, end_ms = resize_segment(
+                start_ms, end_ms, self.wparams.step_ms, self.gabor
+            )
+        return start_ms, end_ms, self.steps_total(start_ms, end_ms)
+
+    def _program(self, n_samples: int, steps: int):
+        mel_w = jnp.asarray(self.mel_des.weights, dtype=self.dtype)
+        dct_m = jnp.asarray(self.dct_mat, dtype=self.dtype)
+        gab = jnp.asarray(self.gabor_bank, dtype=self.dtype)
+        basis = (
+            tuple(jnp.asarray(b, dtype=self.dtype) for b in self.dft_basis)
+            if self.dft_basis is not None
+            else None
+        )
+        n_mel = self.mel.fbank.n_filters
+        offsets = np.asarray(
+            [
+                self.step_samples * (i - self.wparams.border_steps)
+                for i in range(steps)
+            ],
+            dtype=np.int32,
+        )[None, :]  # one "segment"
+
+        def program(signal: jnp.ndarray, start_sample: jnp.ndarray):
+            signal = signal.astype(self.dtype)
+            starts = jnp.asarray(offsets) + start_sample.astype(jnp.int32)
+            windows, valid = extract_windows(
+                signal, starts, self.win_samples, signal.shape[-1]
+            )
+            power, logp = dft_power_pipeline(
+                windows, self.dft, method=self.spectrum_method, basis=basis
+            )
+            vmask = valid[..., None]
+            power = jnp.where(vmask, power, 0)
+            logp = jnp.where(vmask, logp, 0)
+            mel_vals = apply_mel(power, mel_w, self.mel.fbank)
+            mel_vals = jnp.where(valid[..., None], mel_vals, 0)
+            en = energy(logp, "gaborview")
+            mfcc = deltas = ddeltas = None
+            if self.mel.mfcc:
+                mfcc = mfcc_dct(mel_vals, dct_m, self.mel.n_coefs)
+                mfcc = jnp.where(valid[..., None], mfcc, 0)
+                mfcc = mfcc.at[..., 0].set(en)
+                if self.mel.deltas:
+                    deltas = mfcc_deltas(mfcc, npn=2, mode="gaborview")
+                    ddeltas = mfcc_deltas(deltas, npn=2, mode="gaborview")
+
+            mel_fs = jnp.swapaxes(mel_vals, -1, -2)
+            gab4 = convolve(mel_fs, gab, self.gabor, out_pools=None)
+            _, tms = gabor_out_counts((n_mel, steps), self.gabor, None)
+            graw = to_layout_2d(gab4, self.by_time, tms)
+            gk = (
+                jax.vmap(lambda g: kwta_layer(self.kwta, g))(graw)
+                if self.kwta.on
+                else graw
+            )
+            return {
+                "power_segment": jnp.swapaxes(power, -1, -2)[0],
+                "log_power_segment": jnp.swapaxes(logp, -1, -2)[0],
+                "mel_fbank_segment": mel_fs[0],
+                "energy": en[0],
+                "mfcc_segment": (
+                    jnp.swapaxes(mfcc, -1, -2)[0] if mfcc is not None else None
+                ),
+                "mfcc_deltas": (
+                    jnp.swapaxes(deltas, -1, -2)[0] if deltas is not None else None
+                ),
+                "mfcc_delta_deltas": (
+                    jnp.swapaxes(ddeltas, -1, -2)[0]
+                    if ddeltas is not None
+                    else None
+                ),
+                "gabor_raw": graw[0],
+                "gabor_kwta": gk[0],
+                "step_valid": valid[0],
+            }
+
+        return program
+
+    def process(
+        self, signal: np.ndarray, start_ms: float, end_ms: float
+    ) -> Dict[str, jnp.ndarray]:
+        """ProcessSetup + Process for one [start, end] slice (gbv.go:371-625)."""
+        start_ms, end_ms, steps = self.setup(start_ms, end_ms)
+        signal = jnp.asarray(signal)
+        key = (signal.shape[-1], steps)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._program(signal.shape[-1], steps))
+        start_sample = msec_to_samples(start_ms, self.sample_rate)
+        return self._jit_cache[key](signal, jnp.asarray(start_sample))

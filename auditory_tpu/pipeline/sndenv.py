@@ -1,21 +1,23 @@
 """The SndEnv pipeline: WAV signal -> power/log-power -> mel -> MFCC(+deltas)
 -> gabor -> (neighbor inhibition) -> (kwta), for all segments of an utterance
-in one jitted tensor program.
+-- or a whole padded batch of utterances -- in one jitted tensor program.
 
 TPU-native replacement for the reference orchestrator ``sound.SndEnv``
 (sound/sndenv.go:73-497). Where the reference loops one window at a time
 (ProcessSegment -> ProcessStep, sndenv.go:342-452), this builds a single XLA
-graph over [n_segments, segment_steps] windows: one gather, two (or zero) DFT
+graph over [batch, n_segments, segment_steps] windows: one gather (or the
+fused Pallas frame+DFT+mel kernel, see auditory_tpu/ops/framefft.py), two DFT
 matmuls, one mel matmul, one DCT matmul, one grouped conv -- everything fused
 by XLA and executed batched on the MXU.
 
-Output arrays keep the reference's per-segment shapes with a leading segment
-axis, e.g. ``power_segment[seg]`` == the reference's PowerSegment [freq, step]
-after ProcessSegment(seg).
+Output arrays keep the reference's per-segment shapes with leading
+[batch, segment] axes, e.g. ``power_segment[b, seg]`` == the reference's
+PowerSegment [freq, step] after ProcessSegment(seg) on utterance b.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
 from functools import partial
@@ -40,20 +42,21 @@ __all__ = ["SndEnvOutputs", "SndEnv"]
 @jax.tree_util.register_dataclass
 @dataclass
 class SndEnvOutputs:
-    """Per-utterance pipeline outputs (leading axis = segment).
+    """Pipeline outputs; leading axes [batch, segment] (batch squeezed away
+    by :meth:`SndEnv.process`).
 
     Shapes follow the reference tensors (sndenv.go:95-163):
-      power_segment      [seg, n_bins, steps]     <- PowerSegment
-      log_power_segment  [seg, n_bins, steps]     <- LogPowerSegment
-      mel_fbank_segment  [seg, n_mel, steps]      <- MelFBankSegment
-      energy             [seg, steps]             <- Energy
-      mfcc_segment       [seg, n_coefs, steps]    <- MFCCSegment
-      mfcc_deltas        [seg, n_coefs, steps]    <- MFCCDeltas
-      mfcc_delta_deltas  [seg, n_coefs, steps]    <- MFCCDeltaDeltas
-      gabor_raw          [seg, ...]               <- GborOutput (2-D or 4-D layout)
-      gabor_kwta         [seg, ...]               <- GborKwta
-      step_valid         [seg, steps] bool        (True where the reference
-                                                   would have processed the step)
+      power_segment      [.., n_bins, steps]     <- PowerSegment
+      log_power_segment  [.., n_bins, steps]     <- LogPowerSegment
+      mel_fbank_segment  [.., n_mel, steps]      <- MelFBankSegment
+      energy             [.., steps]             <- Energy
+      mfcc_segment       [.., n_coefs, steps]    <- MFCCSegment
+      mfcc_deltas        [.., n_coefs, steps]    <- MFCCDeltas
+      mfcc_delta_deltas  [.., n_coefs, steps]    <- MFCCDeltaDeltas
+      gabor_raw          [.., ...]               <- GborOutput (2-D or 4-D layout)
+      gabor_kwta         [.., ...]               <- GborKwta
+      step_valid         [.., steps] bool        (True where the reference
+                                                  would have processed the step)
     """
 
     power_segment: Any
@@ -68,6 +71,10 @@ class SndEnvOutputs:
     step_valid: Any
 
 
+def _tree_squeeze0(out):
+    return jax.tree_util.tree_map(lambda x: x[0], out)
+
+
 class SndEnv:
     """Configured pipeline for a fixed sample rate.
 
@@ -77,7 +84,12 @@ class SndEnv:
         out = env.process(signal)           # all segments, device arrays
 
     ``process`` jit-compiles per distinct signal length; call
-    :meth:`padded_length` / :func:`dsp.frame.pad_signal` to bucket lengths.
+    :func:`dsp.frame.pad_signal` / :func:`pipeline.batch.bucket_length` to
+    bucket lengths.
+
+    ``use_pallas``: None = auto (on for TPU float32 when the config allows),
+    True/False to force. The Pallas path fuses frame+DFT+power+log+mel into
+    one kernel (ops/framefft.py); it requires prev_smooth == 0.
     """
 
     def __init__(
@@ -86,6 +98,7 @@ class SndEnv:
         sample_rate: int,
         dtype=jnp.float32,
         spectrum_method: Optional[str] = None,
+        use_pallas: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.sample_rate = sample_rate
@@ -94,6 +107,19 @@ class SndEnv:
         if spectrum_method is None:
             spectrum_method = "matmul" if self.dtype == jnp.float32 else "fft"
         self.spectrum_method = spectrum_method
+
+        pallas_ok = (
+            self.dtype == jnp.float32
+            and cfg.dft.prev_smooth == 0.0
+        )
+        if use_pallas is None:
+            use_pallas = pallas_ok and jax.default_backend() == "tpu"
+        elif use_pallas and not pallas_ok:
+            raise ValueError(
+                "use_pallas requires float32 and prev_smooth == 0"
+            )
+        self.use_pallas = bool(use_pallas)
+        self._pallas_interpret = jax.default_backend() != "tpu"
 
         # host-built constants
         self.mel_des = design.mel_design(
@@ -104,15 +130,20 @@ class SndEnv:
         self.analysis_win = design.analysis_window(
             cfg.dft.window_fn, self.timing.win_samples
         )
-        if spectrum_method == "matmul":
-            self.dft_basis = design.dft_matrices(self.timing.win_samples)
+        if spectrum_method == "matmul" or self.use_pallas:
+            cos_m, sin_m = design.dft_matrices(self.timing.win_samples)
+            if self.analysis_win is not None:
+                # fold the analysis window into the DFT basis rows
+                cos_m = cos_m * self.analysis_win[:, None]
+                sin_m = sin_m * self.analysis_win[:, None]
+            self.dft_basis = (cos_m, sin_m)
         else:
             self.dft_basis = None
 
         self._orients = tuple(
             s.with_defaults().orientation for s in cfg.gabor.active_specs()
         )
-        self._jit_cache: Dict[Tuple[int, int], Any] = {}
+        self._jit_cache: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------
     # geometry helpers
@@ -129,12 +160,7 @@ class SndEnv:
         steps = self.timing.segment_steps
         nf = cfg.gabor.n_filters
         if self.is_4d:
-            return (
-                cfg.gbor_out_pools_y,
-                cfg.gbor_out_pools_x,
-                2,
-                nf,
-            )
+            return (cfg.gbor_out_pools_y, cfg.gbor_out_pools_x, 2, nf)
         fc, tc = gabor_out_counts((n_mel, steps), cfg.gabor, None)
         uy = cfg.gbor_out_units_y or fc * 2
         ux = cfg.gbor_out_units_x or tc * nf
@@ -144,14 +170,79 @@ class SndEnv:
         return self.timing.seg_cnt(n_samples)
 
     # ------------------------------------------------------------------
-    # core program
+    # core program (natively batched: signals [B, S], lengths [B])
     # ------------------------------------------------------------------
 
+    def _frontend_xla(self, signals, starts, signal_len, basis, awin):
+        """windows gather + DFT power + log (XLA path).
+        signals [B, S] -> power/logp [B, seg, steps, n_bins], valid [B, seg, steps]."""
+        windows, valid = extract_windows(
+            signals, starts, self.timing.win_samples, signal_len
+        )
+        power, logp = dft_power_pipeline(
+            windows,
+            self.cfg.dft,
+            method=self.spectrum_method,
+            basis=basis,
+            analysis_window=awin if self.spectrum_method == "fft" else None,
+        )
+        return power, logp, valid
+
+    def _frontend_pallas(self, signals, starts_np, signal_len, mel_w):
+        """Fused Pallas frame+DFT+power+log+mel (ops/framefft.py).
+        Returns power, logp [B, seg, steps, n_bins], mel [B, seg, steps, n_mel],
+        valid [B, seg, steps]."""
+        from ..ops.framefft import fused_frame_power_mel, pad_basis
+
+        t = self.timing
+        seg_cnt, steps = starts_np.shape
+        left = max(0, -int(starts_np.min())) if starts_np.size else 0
+        max_end = int(starts_np.max()) + t.win_samples if starts_np.size else 0
+        right = max(0, left + max_end - signals.shape[-1])
+        sig_pad = jnp.pad(signals.astype(jnp.float32), ((0, 0), (left, right)))
+        flat_starts = jnp.asarray(
+            (starts_np + left).reshape(-1), dtype=jnp.int32
+        )
+
+        key = "pallas_basis"
+        if key not in self._jit_cache:
+            cos_p, sin_p, w_p = pad_basis(
+                self.dft_basis[0], self.dft_basis[1], self.mel_des.weights
+            )
+            self._jit_cache[key] = (
+                jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(w_p)
+            )
+        cos_p, sin_p, w_p = self._jit_cache[key]
+
+        power, logp, mel = fused_frame_power_mel(
+            sig_pad,
+            flat_starts,
+            cos_p,
+            sin_p,
+            w_p,
+            win=t.win_samples,
+            n_bins=t.n_bins,
+            n_mel=self.cfg.mel.fbank.n_filters,
+            dft=self.cfg.dft,
+            fbank=self.cfg.mel.fbank,
+            interpret=self._pallas_interpret,
+        )
+        b = signals.shape[0]
+        power = power.reshape(b, seg_cnt, steps, t.n_bins)
+        logp = logp.reshape(b, seg_cnt, steps, t.n_bins)
+        mel = mel.reshape(b, seg_cnt, steps, -1)
+        ends = jnp.asarray(starts_np) + t.win_samples
+        valid = ends[None] <= jnp.asarray(signal_len)[:, None, None]
+        return power, logp, mel, valid
+
     def _build(self, n_samples: int, add_ms: int):
+        """Returns program(signals [B, S], lengths [B]) ->
+        (SndEnvOutputs with [B, seg, ...] axes, seg_valid [B, seg])."""
         cfg = self.cfg
         t = self.timing
-        seg_cnt = max(self.seg_cnt(n_samples), 0)
-        starts = jnp.asarray(window_starts(t, seg_cnt, add_ms))
+        seg_cnt_static = max(self.seg_cnt(n_samples), 0)
+        starts_np = window_starts(t, seg_cnt_static, add_ms)
+        starts = jnp.asarray(starts_np)
         mel_w = jnp.asarray(self.mel_des.weights, dtype=self.dtype)
         dct_m = jnp.asarray(self.dct_mat, dtype=self.dtype)
         gab = jnp.asarray(self.gabor_bank, dtype=self.dtype)
@@ -170,32 +261,48 @@ class SndEnv:
         )
         n_mel = cfg.mel.fbank.n_filters
         steps = t.segment_steps
+        use_pallas = self.use_pallas and seg_cnt_static > 0
 
-        def program(signal: jnp.ndarray, signal_len: jnp.ndarray):
-            signal = signal.astype(self.dtype)
-            windows, valid = extract_windows(
-                signal, starts, t.win_samples, signal_len
-            )  # [seg, steps, W], [seg, steps]
-            power, logp = dft_power_pipeline(
-                windows,
-                cfg.dft,
-                method=self.spectrum_method,
-                basis=basis,
-                analysis_window=awin,
-            )  # [seg, steps, n_bins]
+        def _apply_kwta(fn, raw, ext_gi=None):
+            """kwta over each [seg] layer of [B, seg, ...]."""
+            b, s = raw.shape[0], raw.shape[1]
+            flat = raw.reshape((b * s,) + raw.shape[2:])
+            if ext_gi is not None:
+                eg = ext_gi.reshape((b * s,) + ext_gi.shape[2:])
+                out = jax.vmap(fn)(flat, eg)
+            else:
+                out = jax.vmap(fn)(flat)
+            return out.reshape(raw.shape)
+
+        def program(signals: jnp.ndarray, lengths: jnp.ndarray):
+            signals = signals.astype(self.dtype)
+            lengths = jnp.asarray(lengths)
+            if use_pallas:
+                power, logp, mel_vals, valid = self._frontend_pallas(
+                    signals, starts_np, lengths, mel_w
+                )
+                if cfg.mel.fbank.renorm_effective:
+                    fb = cfg.mel.fbank
+                    mel_vals = jnp.clip(
+                        (mel_vals - fb.renorm_min) * fb.renorm_scale, 0.0, 1.0
+                    )
+            else:
+                power, logp, valid = self._frontend_xla(
+                    signals, starts, lengths, basis, awin
+                )
+                mel_vals = apply_mel(power, mel_w, cfg.mel.fbank)
+
             vmask = valid[..., None]
             power = jnp.where(vmask, power, 0)
             logp = jnp.where(vmask, logp, 0)
+            mel_vals = jnp.where(vmask, mel_vals, 0)
 
-            mel_vals = apply_mel(power, mel_w, cfg.mel.fbank)  # [seg, steps, n_mel]
-            mel_vals = jnp.where(valid[..., None], mel_vals, 0)
-
-            en = energy(logp, cfg.energy_mode)  # [seg, steps]
+            en = energy(logp, cfg.energy_mode)  # [B, seg, steps]
 
             mfcc = deltas = ddeltas = None
             if cfg.mel.mfcc:
                 mfcc = mfcc_dct(mel_vals, dct_m, cfg.mel.n_coefs)
-                mfcc = jnp.where(valid[..., None], mfcc, 0)
+                mfcc = jnp.where(vmask, mfcc, 0)
                 # coef0 <- Energy for ALL steps (sndenv.go:368-372; runs after
                 # the step loop regardless of step validity)
                 mfcc = mfcc.at[..., 0].set(en)
@@ -204,27 +311,26 @@ class SndEnv:
                     ddeltas = mfcc_deltas(deltas, npn=2, mode=cfg.delta_mode)
 
             # gabor over the [n_mel, steps] mel matrix (sndenv.go:481-497)
-            mel_fs = jnp.swapaxes(mel_vals, -1, -2)  # [seg, n_mel, steps]
+            mel_fs = jnp.swapaxes(mel_vals, -1, -2)  # [B, seg, n_mel, steps]
             gab4 = convolve(mel_fs, gab, cfg.gabor, out_pools=pools)
-            # [seg, fc, tc, 2, nf]
+            # [B, seg, fc, tc, 2, nf]
 
             if self.is_4d:
                 py, px = pools
-                fc, tc = gab4.shape[1], gab4.shape[2]
+                fc, tc = gab4.shape[-4], gab4.shape[-3]
                 gabor_raw = jnp.zeros(
-                    (gab4.shape[0], py, px, 2, gab4.shape[-1]), dtype=jnp.float32
+                    gab4.shape[:2] + (py, px, 2, gab4.shape[-1]),
+                    dtype=jnp.float32,
                 )
-                gabor_raw = gabor_raw.at[:, :fc, :tc].set(gab4)
+                gabor_raw = gabor_raw.at[:, :, :fc, :tc].set(gab4)
                 ext_gi = inhib4(cfg.neigh_inhib, gabor_raw, self._orients)
                 if cfg.kwta.on:
-                    if cfg.kwta_pool:
-                        gabor_kwta = jax.vmap(
-                            lambda g, e: kwta_pool(cfg.kwta, g, e)
-                        )(gabor_raw, ext_gi)
-                    else:
-                        gabor_kwta = jax.vmap(
-                            lambda g, e: kwta_layer(cfg.kwta, g, e)
-                        )(gabor_raw, ext_gi)
+                    fn = (
+                        (lambda g, e: kwta_pool(cfg.kwta, g, e))
+                        if cfg.kwta_pool
+                        else (lambda g, e: kwta_layer(cfg.kwta, g, e))
+                    )
+                    gabor_kwta = _apply_kwta(fn, gabor_raw, ext_gi)
                 else:
                     gabor_kwta = gabor_raw
             else:
@@ -233,21 +339,33 @@ class SndEnv:
                 uy, ux = self.gabor_output_shape()
                 if gabor_raw.shape[-2:] != (uy, ux):
                     buf = jnp.zeros(
-                        (gabor_raw.shape[0], uy, ux), dtype=jnp.float32
+                        gabor_raw.shape[:2] + (uy, ux), dtype=jnp.float32
                     )
                     buf = buf.at[
-                        :, : gabor_raw.shape[-2], : gabor_raw.shape[-1]
+                        :, :, : gabor_raw.shape[-2], : gabor_raw.shape[-1]
                     ].set(gabor_raw)
                     gabor_raw = buf
                 # NeighInhib is 4-D only (gbv.go:823-828) => no ext_gi in 2-D
                 if cfg.kwta.on:
-                    gabor_kwta = jax.vmap(lambda g: kwta_layer(cfg.kwta, g))(
-                        gabor_raw
+                    gabor_kwta = _apply_kwta(
+                        lambda g: kwta_layer(cfg.kwta, g), gabor_raw
                     )
                 else:
                     gabor_kwta = gabor_raw
 
-            return SndEnvOutputs(
+            # per-utterance SegCnt mask (sndenv.go:263-265, truncating division)
+            siglen = lengths.astype(jnp.int32) - t.segment_samples
+            seg_cnt = jnp.sign(siglen) * (jnp.abs(siglen) // t.stride_samples) + 1
+            seg_idx = jnp.arange(seg_cnt_static, dtype=jnp.int32)
+            seg_valid = seg_idx[None, :] < seg_cnt[:, None]  # [B, seg]
+
+            def seg_mask(x):
+                if x is None:
+                    return None
+                m = seg_valid.reshape(seg_valid.shape + (1,) * (x.ndim - 2))
+                return jnp.where(m, x, jnp.zeros((), dtype=x.dtype))
+
+            out = SndEnvOutputs(
                 power_segment=jnp.swapaxes(power, -1, -2),
                 log_power_segment=jnp.swapaxes(logp, -1, -2),
                 mel_fbank_segment=mel_fs,
@@ -265,11 +383,16 @@ class SndEnv:
                 gabor_kwta=gabor_kwta,
                 step_valid=valid,
             )
+            out = jax.tree_util.tree_map(seg_mask, out, is_leaf=lambda x: x is None)
+            out = dataclasses.replace(
+                out, step_valid=out.step_valid & seg_valid[..., None]
+            )
+            return out, seg_valid
 
         return program
 
     def process_fn(self, n_samples: int, add_ms: int = 0):
-        """The jitted program for signals of exactly ``n_samples`` samples."""
+        """The jitted batched program for signals of ``n_samples`` samples."""
         key = (n_samples, add_ms)
         if key not in self._jit_cache:
             program = self._build(n_samples, add_ms)
@@ -279,11 +402,15 @@ class SndEnv:
     def process(
         self, signal: np.ndarray, add_ms: int = 0, signal_len: Optional[int] = None
     ) -> SndEnvOutputs:
-        """Process one utterance (all segments)."""
+        """Process one utterance (all segments); batch axis squeezed away."""
         signal = jnp.asarray(signal)
         n = signal.shape[-1]
         fn = self.process_fn(n, add_ms)
-        return fn(signal, jnp.asarray(n if signal_len is None else signal_len))
+        out, _ = fn(
+            signal[None],
+            jnp.asarray([n if signal_len is None else signal_len]),
+        )
+        return _tree_squeeze0(out)
 
     def pad(self, signal: np.ndarray, value: float = 0.0) -> np.ndarray:
         """SndEnv.Pad (sndenv.go:510-519)."""

@@ -1,0 +1,140 @@
+"""gaborview-equivalent segment pipeline: resize arithmetic, steps quirk,
+stage parity against the literal oracle building blocks."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auditory_tpu.config import GaborSet, KWTAParams, MelParams, default_gabor_specs
+from auditory_tpu.config import msec_to_samples
+from auditory_tpu.pipeline.segments import (
+    SegmentPipeline,
+    SegmentWindowParams,
+    resize_segment,
+)
+from auditory_tpu.refemu import goref
+from tests.conftest import tone
+
+SR = 16000
+
+
+def gbv_gabor() -> GaborSet:
+    # gbv.go InitGabors: 8x8, stride (6,3), gain 1.5, 4 orientations, phase 0
+    return GaborSet(
+        size_x=8, size_y=8, stride_x=6, stride_y=3, gain=1.5,
+        specs=default_gabor_specs(phases=(0.0,)),
+    )
+
+
+def test_resize_widen_short_segment():
+    # duration 50ms < sizeX*step = 80ms -> widen by 30ms, split half/half
+    s, e = resize_segment(100.0, 150.0, 10.0, gbv_gabor())
+    assert (s, e) == (85.0, 165.0)
+
+
+def test_resize_stride_alignment():
+    # duration 100ms: d = 20, rem = 20 % 60 = 20 -> add 40, half before/after
+    s, e = resize_segment(100.0, 200.0, 10.0, gbv_gabor())
+    assert (s, e) == (80.0, 220.0)
+    # already aligned: duration 140 -> d=60, rem=0 -> unchanged
+    s, e = resize_segment(100.0, 240.0, 10.0, gbv_gabor())
+    assert (s, e) == (100.0, 240.0)
+
+
+def test_resize_negative_start_extends_end():
+    s, e = resize_segment(10.0, 60.0, 10.0, gbv_gabor())
+    assert s == 10.0 and e == 90.0  # add=30 all appended
+
+
+def test_steps_total_quirk():
+    p = SegmentPipeline(SR, SegmentWindowParams(resize=False), gabor=gbv_gabor())
+    # gbv.go:489-491: segmentMs += stepMs * (int(segmentMs) % int(stepMs))
+    assert p.steps_total(0.0, 105.0) == 15  # 105 + 10*5 = 155 -> 15 steps
+    assert p.steps_total(0.0, 100.0) == 10  # aligned -> unchanged
+
+
+def test_segment_stage_parity_vs_oracle():
+    """mel/power of a slice must match the literal per-step oracle run at the
+    same window starts (gbv.go ProcessStep semantics)."""
+    wp = SegmentWindowParams(resize=True, border_steps=0)
+    mel_params = MelParams()
+    pipe = SegmentPipeline(
+        SR, wp, mel=mel_params, gabor=gbv_gabor(),
+        kwta=KWTAParams(on=False), dtype=jnp.float64, spectrum_method="fft",
+    )
+    sig = tone(1100.0, 0.5, SR)
+    start_ms, end_ms, steps = pipe.setup(120.0, 260.0)
+    out = pipe.process(sig, 120.0, 260.0)
+
+    n_bins = pipe.win_samples // 2 + 1
+    nf = mel_params.fbank.n_filters
+    power = np.zeros(n_bins)
+    logpow = np.zeros(n_bins)
+    power_seg = np.zeros((n_bins, steps))
+    logpow_seg = np.zeros((n_bins, steps))
+    fbank = np.zeros(nf)
+    mel_seg = np.zeros((nf, steps))
+    mfcc_seg = np.zeros((mel_params.n_coefs, steps))
+    bin_pts, _, _ = goref.init_filters(mel_params.fbank, pipe.win_samples, SR)
+    _, _, tri = goref.init_filters(mel_params.fbank, pipe.win_samples, SR)
+
+    start_sample = msec_to_samples(start_ms, SR)
+    for s in range(steps):
+        st = start_sample + pipe.step_samples * (s - wp.border_steps)
+        en = st + pipe.win_samples
+        if en > len(sig):
+            break
+        if st < 0:
+            window = np.concatenate([np.zeros(-st), sig[:en]])
+        else:
+            window = sig[st:en]
+        goref.dft_filter(
+            pipe.dft, s, window, pipe.win_samples, power, logpow,
+            power_seg, logpow_seg,
+        )
+        goref.filter_dft(mel_params, s, power, mel_seg, fbank, tri, bin_pts)
+        goref.cepstrum_dct(mel_params, s, fbank, mfcc_seg)
+
+    np.testing.assert_allclose(
+        np.asarray(out["power_segment"]), power_seg, atol=1e-6, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["mel_fbank_segment"]), mel_seg, atol=1e-5, rtol=0
+    )
+    # energy: gbv quirk = sum over first `steps` freq rows at step s
+    e_ref = logpow_seg[:steps, :].sum(axis=0)
+    np.testing.assert_allclose(np.asarray(out["energy"]), e_ref, atol=1e-6, rtol=1e-9)
+    # coef0 overwritten with energy
+    np.testing.assert_allclose(
+        np.asarray(out["mfcc_segment"])[0], e_ref, atol=1e-6, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["mfcc_segment"])[1:], mfcc_seg[1 : mel_params.n_coefs],
+        atol=1e-5, rtol=1e-9,
+    )
+
+
+def test_segment_gabor_shape_gbv_formula():
+    pipe = SegmentPipeline(
+        SR, SegmentWindowParams(resize=True), gabor=gbv_gabor(),
+        kwta=KWTAParams(on=False), dtype=jnp.float64, spectrum_method="fft",
+    )
+    sig = tone(800.0, 0.6, SR)
+    out = pipe.process(sig, 100.0, 240.0)
+    steps = pipe.steps_total(*pipe.setup(100.0, 240.0)[:2])
+    g = pipe.gabor
+    n_mel = 32
+    sy = ((n_mel - g.size_y) // g.stride_y + 1) * 2
+    sx = ((steps - g.size_x) // g.stride_x + 1) * g.n_filters
+    assert np.asarray(out["gabor_raw"]).shape == (sy, sx)
+    assert np.asarray(out["gabor_kwta"]).shape == (sy, sx)
+
+
+def test_segment_kwta_on():
+    pipe = SegmentPipeline(SR, gabor=gbv_gabor())
+    sig = tone(600.0, 0.5, SR)
+    out = pipe.process(sig, 50.0, 200.0)
+    raw = np.asarray(out["gabor_raw"])
+    kw = np.asarray(out["gabor_kwta"])
+    assert kw.shape == raw.shape
+    assert (kw > 0.1).mean() <= (raw > 0.1).mean() + 1e-9
