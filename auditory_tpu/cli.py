@@ -140,6 +140,54 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_segment(args) -> int:
+    """Headless gaborview: process one phone/time-slice of an utterance."""
+    import jax.numpy as jnp
+
+    from .pipeline.segments import SegmentPipeline, SegmentWindowParams
+    from .speech import timit
+
+    w = load_wav(args.file)
+    sig = w.sound_to_tensor()
+
+    start_ms, end_ms, label = args.start_ms, args.end_ms, "(time slice)"
+    if args.phn:
+        units = timit.load_times(args.phn, fuse=args.fuse)
+        if not 0 <= args.unit < len(units):
+            print(
+                f"unit index {args.unit} out of range (file has {len(units)})",
+                file=sys.stderr,
+            )
+            return 1
+        u = units[args.unit]
+        start_ms, end_ms, label = u.start, u.end, u.name
+    if end_ms is None or start_ms is None:
+        print("need --phn or both --start-ms/--end-ms", file=sys.stderr)
+        return 1
+
+    gset = GaborSet(
+        size_x=8, size_y=8, stride_x=6, stride_y=3, gain=1.5,
+        specs=default_gabor_specs(phases=(0.0,)),
+    )
+    pipe = SegmentPipeline(
+        w.sample_rate,
+        SegmentWindowParams(resize=not args.no_resize),
+        gabor=gset,
+        dtype=jnp.float64 if args.f64 else jnp.float32,
+    )
+    s, e, steps = pipe.setup(start_ms, end_ms)
+    out = pipe.process(sig, start_ms, end_ms)
+    arrays = {k: np.asarray(v) for k, v in out.items() if v is not None}
+    np.savez(args.out, **arrays)
+    print(
+        f"{args.file} [{label}] {start_ms:.0f}-{end_ms:.0f} ms "
+        f"(resized {s:.0f}-{e:.0f}, {steps} steps) -> {args.out}: "
+        f"mel {arrays['mel_fbank_segment'].shape}, "
+        f"gabor {arrays['gabor_kwta'].shape}"
+    )
+    return 0
+
+
 def cmd_info(args) -> int:
     w = load_wav(args.file)
     dur = w.num_frames / w.sample_rate
@@ -188,6 +236,20 @@ def main(argv=None) -> int:
     p.add_argument("--no-resume", action="store_true")
     _add_pipeline_args(p)
     p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser(
+        "segment", help="process one phone/time-slice (headless gaborview)"
+    )
+    p.add_argument("file")
+    p.add_argument("--phn", help=".PHN.MS timing file (TIMIT)")
+    p.add_argument("--unit", type=int, default=0, help="unit index in --phn")
+    p.add_argument("--fuse", action="store_true", help="fuse stop closures")
+    p.add_argument("--start-ms", type=float)
+    p.add_argument("--end-ms", type=float)
+    p.add_argument("--no-resize", action="store_true")
+    p.add_argument("--out", default="segment.npz")
+    p.add_argument("--f64", action="store_true")
+    p.set_defaults(fn=cmd_segment)
 
     p = sub.add_parser("info", help="WAV metadata")
     p.add_argument("file")

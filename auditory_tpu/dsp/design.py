@@ -34,6 +34,7 @@ __all__ = [
     "dct1_matrix",
     "dft_matrices",
     "gabor_filters",
+    "gabor_table",
     "analysis_window",
 ]
 
@@ -183,3 +184,19 @@ def gabor_filters(gset: GaborSet) -> np.ndarray:
             out > 0, out / pos_sum, np.where(out < 0, -out / neg_sum, out)
         )
     return out
+
+
+def gabor_table(gset: GaborSet) -> dict:
+    """Display/validation export of a rendered gabor bank -- the analog of
+    agabor.FilterSet.ToTable (agabor/gabor.go:318-326)."""
+    filters = gabor_filters(gset)
+    specs = [s.with_defaults() for s in gset.active_specs()]
+    return {
+        "n_filters": filters.shape[0],
+        "size_y": gset.size_y,
+        "size_x": gset.size_x,
+        "orientation": np.asarray([s.orientation for s in specs]),
+        "wavelen": np.asarray([s.wavelen for s in specs]),
+        "phase_offset": np.asarray([s.phase_offset for s in specs]),
+        "filters": filters,
+    }

@@ -56,30 +56,74 @@ def bucket_length(n: int, timing, min_samples: Optional[int] = None) -> int:
 
 
 class BatchedSndEnv:
-    """The SndEnv pipeline vmapped over a padded utterance batch and
-    (optionally) sharded over a data-parallel mesh."""
+    """The SndEnv pipeline over a padded utterance batch, optionally sharded
+    over a device mesh.
+
+    shard_axis='batch' (default): data parallelism over utterances -- the
+    signals' leading axis is sharded, no collectives in the hot path.
+
+    shard_axis='segment': CP-style sharding of the *segment* axis for few
+    very long utterances -- the signal is replicated (cheap relative to the
+    per-segment compute) and every [B, seg, ...] intermediate is constrained
+    to shard on axis 1; segments are independent when prev_smooth == 0, so
+    this is also communication-free. SURVEY.md section 5 long-context
+    equivalent.
+    """
 
     def __init__(
         self,
         env: SndEnv,
         mesh: Optional[jax.sharding.Mesh] = None,
         axis_name: str = "data",
+        shard_axis: str = "batch",
     ):
+        if shard_axis not in ("batch", "segment"):
+            raise ValueError("shard_axis must be 'batch' or 'segment'")
+        if shard_axis == "segment" and env.cfg.dft.prev_smooth != 0.0:
+            raise ValueError(
+                "segment sharding requires prev_smooth == 0 (the smoothing "
+                "recurrence couples steps within a segment only, but the "
+                "reference zeroes state per segment -- still, keep it simple)"
+            )
         self.env = env
         self.mesh = mesh
         self.axis_name = axis_name
+        self.shard_axis = shard_axis
         self._jit_cache: Dict[Tuple[int, int], Any] = {}
 
     def _build(self, n_samples: int, add_ms: int):
         # the SndEnv program is natively batched: [B, S] + lengths [B]
         batch_program = self.env._build(n_samples, add_ms)
-        if self.mesh is not None:
+        if self.mesh is None:
+            return jax.jit(batch_program)
+
+        if self.shard_axis == "batch":
             in_shardings = (
                 batch_sharding(self.mesh, 2, self.axis_name),
                 batch_sharding(self.mesh, 1, self.axis_name),
             )
             return jax.jit(batch_program, in_shardings=in_shardings)
-        return jax.jit(batch_program)
+
+        # segment sharding: replicate inputs, constrain outputs on axis 1
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, axis = self.mesh, self.axis_name
+
+        def seg_sharded(x):
+            if x is None or x.ndim < 2:
+                return x
+            spec = P(None, axis, *([None] * (x.ndim - 2)))
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+        def program(signals, lengths):
+            out, seg_valid = batch_program(signals, lengths)
+            out = jax.tree_util.tree_map(
+                seg_sharded, out, is_leaf=lambda v: v is None
+            )
+            return out, seg_sharded(seg_valid)
+
+        repl = replicated(self.mesh)
+        return jax.jit(program, in_shardings=(repl, repl))
 
     def process_fn(self, n_samples: int, add_ms: int = 0):
         key = (n_samples, add_ms)
@@ -97,7 +141,7 @@ class BatchedSndEnv:
         [B, seg] axes, seg_valid [B, seg])."""
         signals = jnp.asarray(signals)
         fn = self.process_fn(signals.shape[-1], add_ms)
-        if self.mesh is not None:
+        if self.mesh is not None and self.shard_axis == "batch":
             signals = jax.device_put(
                 signals, batch_sharding(self.mesh, 2, self.axis_name)
             )
@@ -105,13 +149,20 @@ class BatchedSndEnv:
                 jnp.asarray(lengths, dtype=jnp.int32),
                 batch_sharding(self.mesh, 1, self.axis_name),
             )
+        elif self.mesh is not None:
+            signals = jax.device_put(signals, replicated(self.mesh))
+            lengths = jax.device_put(
+                jnp.asarray(lengths, dtype=jnp.int32), replicated(self.mesh)
+            )
         else:
             lengths = jnp.asarray(lengths, dtype=jnp.int32)
         return fn(signals, lengths)
 
     @property
     def batch_multiple(self) -> int:
-        return 1 if self.mesh is None else self.mesh.devices.size
+        if self.mesh is None or self.shard_axis != "batch":
+            return 1
+        return self.mesh.devices.size
 
 
 @dataclass

@@ -173,11 +173,53 @@ class SndEnv:
     # core program (natively batched: signals [B, S], lengths [B])
     # ------------------------------------------------------------------
 
-    def _frontend_xla(self, signals, starts, signal_len, basis, awin):
+    def _window_grid(self, seg_cnt: int, add_ms: int):
+        """The (segment, step) -> window-start geometry.
+
+        When StrideSamples is a multiple of StepSamples (the default: 100 ms
+        stride / 10 ms step), consecutive segments' windows lie on one global
+        step grid and border windows are *shared*: segment s, step i is
+        global window s*(stride/step) + i. In that case the front end runs
+        once per distinct window (~28% less DFT/mel work at the default
+        geometry) and segments are materialized by a static row-gather of the
+        small spectra instead of the 400-sample windows.
+
+        Returns (flat_starts [n_flat], map_idx [seg, steps] into flat, or
+        None when every (seg, step) is its own window).
+        """
+        t = self.timing
+        starts_np = window_starts(t, seg_cnt, add_ms)
+        if (
+            seg_cnt > 0
+            and t.stride_samples > 0
+            and t.stride_samples % t.step_samples == 0
+            # per-segment smoothing recurrence (dft/dft.go:67-69) breaks the
+            # shared-window equivalence
+            and self.cfg.dft.prev_smooth == 0.0
+        ):
+            sps = t.stride_samples // t.step_samples
+            n_global = (seg_cnt - 1) * sps + t.segment_steps
+            add = starts_np[0, 0] - t.step_samples * (0 - self.cfg.params.border_steps)
+            g_starts = (
+                t.step_samples
+                * (np.arange(n_global, dtype=np.int64) - self.cfg.params.border_steps)
+                + add
+            ).astype(np.int32)
+            map_idx = (
+                np.arange(seg_cnt, dtype=np.int32)[:, None] * sps
+                + np.arange(t.segment_steps, dtype=np.int32)[None, :]
+            )
+            assert (g_starts[map_idx] == starts_np).all()
+            return g_starts, map_idx, starts_np
+        return starts_np.reshape(-1), None, starts_np
+
+    def _frontend_xla(self, signals, starts2d, signal_len, basis, awin):
         """windows gather + DFT power + log (XLA path).
-        signals [B, S] -> power/logp [B, seg, steps, n_bins], valid [B, seg, steps]."""
-        windows, valid = extract_windows(
-            signals, starts, self.timing.win_samples, signal_len
+        signals [B, S], starts2d [G0, G1] -> power/logp [B, G0, G1, n_bins].
+        (For the deduped global grid G0=1; for the per-segment grid
+        G0=seg, G1=steps so the prev-smooth scan runs over the step axis.)"""
+        windows, _ = extract_windows(
+            signals, starts2d, self.timing.win_samples, signal_len
         )
         power, logp = dft_power_pipeline(
             windows,
@@ -186,23 +228,21 @@ class SndEnv:
             basis=basis,
             analysis_window=awin if self.spectrum_method == "fft" else None,
         )
-        return power, logp, valid
+        return power, logp
 
-    def _frontend_pallas(self, signals, starts_np, signal_len, mel_w):
+    def _frontend_pallas(self, signals, flat_starts_np, mel_w):
         """Fused Pallas frame+DFT+power+log+mel (ops/framefft.py).
-        Returns power, logp [B, seg, steps, n_bins], mel [B, seg, steps, n_mel],
-        valid [B, seg, steps]."""
+        Returns power, logp [B, n_flat, n_bins], mel [B, n_flat, n_mel]."""
         from ..ops.framefft import fused_frame_power_mel, pad_basis
 
         t = self.timing
-        seg_cnt, steps = starts_np.shape
-        left = max(0, -int(starts_np.min())) if starts_np.size else 0
-        max_end = int(starts_np.max()) + t.win_samples if starts_np.size else 0
+        left = max(0, -int(flat_starts_np.min())) if flat_starts_np.size else 0
+        max_end = (
+            int(flat_starts_np.max()) + t.win_samples if flat_starts_np.size else 0
+        )
         right = max(0, left + max_end - signals.shape[-1])
         sig_pad = jnp.pad(signals.astype(jnp.float32), ((0, 0), (left, right)))
-        flat_starts = jnp.asarray(
-            (starts_np + left).reshape(-1), dtype=jnp.int32
-        )
+        flat_starts = jnp.asarray(flat_starts_np + left, dtype=jnp.int32)
 
         key = "pallas_basis"
         if key not in self._jit_cache:
@@ -214,7 +254,7 @@ class SndEnv:
             )
         cos_p, sin_p, w_p = self._jit_cache[key]
 
-        power, logp, mel = fused_frame_power_mel(
+        return fused_frame_power_mel(
             sig_pad,
             flat_starts,
             cos_p,
@@ -227,13 +267,6 @@ class SndEnv:
             fbank=self.cfg.mel.fbank,
             interpret=self._pallas_interpret,
         )
-        b = signals.shape[0]
-        power = power.reshape(b, seg_cnt, steps, t.n_bins)
-        logp = logp.reshape(b, seg_cnt, steps, t.n_bins)
-        mel = mel.reshape(b, seg_cnt, steps, -1)
-        ends = jnp.asarray(starts_np) + t.win_samples
-        valid = ends[None] <= jnp.asarray(signal_len)[:, None, None]
-        return power, logp, mel, valid
 
     def _build(self, n_samples: int, add_ms: int):
         """Returns program(signals [B, S], lengths [B]) ->
@@ -241,8 +274,10 @@ class SndEnv:
         cfg = self.cfg
         t = self.timing
         seg_cnt_static = max(self.seg_cnt(n_samples), 0)
-        starts_np = window_starts(t, seg_cnt_static, add_ms)
-        starts = jnp.asarray(starts_np)
+        flat_starts_np, map_idx_np, starts_np = self._window_grid(
+            seg_cnt_static, add_ms
+        )
+        map_idx = jnp.asarray(map_idx_np) if map_idx_np is not None else None
         mel_w = jnp.asarray(self.mel_des.weights, dtype=self.dtype)
         dct_m = jnp.asarray(self.dct_mat, dtype=self.dtype)
         gab = jnp.asarray(self.gabor_bank, dtype=self.dtype)
@@ -278,8 +313,9 @@ class SndEnv:
             signals = signals.astype(self.dtype)
             lengths = jnp.asarray(lengths)
             if use_pallas:
-                power, logp, mel_vals, valid = self._frontend_pallas(
-                    signals, starts_np, lengths, mel_w
+                # fused kernel on the flat window grid
+                power, logp, mel_vals = self._frontend_pallas(
+                    signals, flat_starts_np, mel_w
                 )
                 if cfg.mel.fbank.renorm_effective:
                     fb = cfg.mel.fbank
@@ -287,10 +323,37 @@ class SndEnv:
                         (mel_vals - fb.renorm_min) * fb.renorm_scale, 0.0, 1.0
                     )
             else:
-                power, logp, valid = self._frontend_xla(
-                    signals, starts, lengths, basis, awin
+                starts2d = (
+                    flat_starts_np[None, :] if map_idx is not None else starts_np
+                )
+                power, logp = self._frontend_xla(
+                    signals, jnp.asarray(starts2d), lengths, basis, awin
                 )
                 mel_vals = apply_mel(power, mel_w, cfg.mel.fbank)
+                if map_idx is not None:  # [B, 1, n_flat, k] -> [B, n_flat, k]
+                    power, logp, mel_vals = (
+                        power[:, 0], logp[:, 0], mel_vals[:, 0]
+                    )
+
+            if map_idx is not None:
+                # materialize segments from the shared global windows: a
+                # static row-gather over the *small* spectra
+                power = power[:, map_idx]
+                logp = logp[:, map_idx]
+                mel_vals = mel_vals[:, map_idx]
+            elif use_pallas:
+                power = power.reshape(
+                    power.shape[0], seg_cnt_static, steps, -1
+                )
+                logp = logp.reshape(logp.shape[0], seg_cnt_static, steps, -1)
+                mel_vals = mel_vals.reshape(
+                    mel_vals.shape[0], seg_cnt_static, steps, -1
+                )
+
+            # step validity from the per-(seg, step) starts (sndenv.go:353-359
+            # break semantics; see dsp/frame.py)
+            ends = jnp.asarray(starts_np) + t.win_samples  # [seg, steps]
+            valid = ends[None] <= lengths[:, None, None]
 
             vmask = valid[..., None]
             power = jnp.where(vmask, power, 0)

@@ -20,7 +20,21 @@ from typing import Dict, Iterator, List, Optional
 
 import jax
 
-__all__ = ["trace", "capture_trace", "debug_nans", "StepTimer"]
+__all__ = ["trace", "capture_trace", "debug_nans", "StepTimer", "memory_stats"]
+
+
+def memory_stats() -> Dict[str, Dict[str, float]]:
+    """Per-device memory usage in MiB (analog of sound.PrintMemUsage,
+    sndenv.go:535-545, but for device HBM)."""
+    out: Dict[str, Dict[str, float]] = {}
+    for d in jax.devices():
+        stats = d.memory_stats() or {}
+        out[str(d)] = {
+            k: round(v / (1024 * 1024), 2)
+            for k, v in stats.items()
+            if isinstance(v, (int, float)) and "bytes" in k
+        }
+    return out
 
 
 @contextlib.contextmanager
