@@ -260,6 +260,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_play)
 
     args = ap.parse_args(argv)
+    if args.cmd in ("process", "corpus", "segment"):
+        from .utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
     return args.fn(args)
 
 

@@ -40,6 +40,9 @@ def main() -> None:
     from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
     from auditory_tpu.pipeline.batch import BatchedSndEnv, bucket_length
     from auditory_tpu.pipeline.sndenv import SndEnv
+    from auditory_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     sr = 16000
     cfg = SndEnvConfig(

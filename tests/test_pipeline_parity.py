@@ -161,6 +161,20 @@ def test_by_time_layout():
     assert_segments_match(cfg, sig, SR)
 
 
+def test_nondivisible_stride():
+    """stride %% step != 0 disables the shared-window dedup -> the per-
+    (segment, step) grid path must also match the oracle."""
+    import dataclasses as dc
+
+    base = default_cfg_2d()
+    cfg = dc.replace(base, params=dc.replace(base.params, stride_ms=95.0))
+    sig = tone(1100.0, 0.4, SR)
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    assert env._window_grid(2, 0)[1] is None  # dedup off
+    sig = env.pad(sig)
+    assert_segments_match(cfg, sig, SR)
+
+
 def test_add_offset():
     cfg = default_cfg_2d()
     sig = tone(1500.0, 0.3, SR)
