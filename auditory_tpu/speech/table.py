@@ -1,0 +1,101 @@
+"""Sounds-table workflow: load WAV + transcription/timing pairs into a
+filterable table of units, as the gaborview app does
+(examples/gaborview/gbv.go:627-718 LoadTranscription + ConfigSoundsTable).
+
+For TIMIT the timing file for ``X.WAV``/``X.wav`` is ``X.PHN.MS`` (with the
+reference's ``ExpWavs`` path substitution, gbv.go:652-655) and the text is
+``X.TXT``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence as Seq
+
+from . import Sequence, Unit, adjust_sequence_times
+from . import grafestes, synthcvs, timit
+
+__all__ = ["SoundRow", "SoundsTable", "load_timit_sequence", "idx_from_snd"]
+
+
+@dataclass
+class SoundRow:
+    """One row of the sounds table (gbv.go:704-712)."""
+
+    sound: str
+    start: float
+    end: float
+    duration: float
+    file: str
+    dir: str
+    wav_path: str
+
+
+@dataclass
+class SoundsTable:
+    rows: List[SoundRow] = field(default_factory=list)
+    sequences: List[Sequence] = field(default_factory=list)
+
+    def add_sequence(self, seq: Sequence) -> None:
+        self.sequences.append(seq)
+        fpth, nm = os.path.split(seq.file)
+        nm = os.path.splitext(nm)[0]
+        splits = [s for s in fpth.split(os.sep) if s]
+        short_dir = os.sep.join(splits[-2:]) if splits else fpth
+        for u in seq.units:
+            self.rows.append(
+                SoundRow(
+                    sound=u.name,
+                    start=u.a_start,
+                    end=u.a_end,
+                    duration=u.a_end - u.a_start,
+                    file=nm,
+                    dir=short_dir,
+                    wav_path=seq.file,
+                )
+            )
+
+    def filter_sound(self, sound: str) -> List[SoundRow]:
+        """Filter rows by unit name (gbv.go FilterSounds)."""
+        return [r for r in self.rows if r.sound == sound]
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+
+def load_timit_sequence(
+    wav_path: str, fuse: bool = False, silence: float = 0.0
+) -> Sequence:
+    """Build a Sequence for one TIMIT wav (gbv.go:627-677 LoadTranscription):
+    locate the .PHN.MS timing file, parse units, load the .TXT text, and
+    adjust times for silence/offset. Missing timing data yields a single
+    'unknown' unit like the reference (gbv.go:658-663)."""
+    seq = Sequence(file=wav_path, id="Phones41", silence=silence)
+    base = wav_path
+    for suffix in (".wav", ".WAV"):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+    base = base.replace("ExpWavs", "")  # gbv.go:652
+    phn = base + ".PHN.MS"
+    txt = base + ".TXT"
+    try:
+        seq.units = timit.load_times(phn, fuse=fuse)
+    except OSError:
+        seq.units = [Unit(name="unknown")]
+        return seq
+    if os.path.exists(txt):
+        seq.text = timit.load_text(txt)
+    adjust_sequence_times(seq)
+    return seq
+
+
+def idx_from_snd(corpus: str, snd: str, set_id: str = "") -> tuple:
+    """Corpus-dispatching phone/CV lookup (gbv.go:751-764)."""
+    if corpus == "TIMIT":
+        return timit.idx_from_snd(snd, set_id or "Phones41")
+    if corpus == "SYNTHCVS":
+        return synthcvs.idx_from_snd(snd, set_id)
+    if corpus == "GRAFESTES":
+        return grafestes.idx_from_snd(snd, set_id)
+    return -1, False

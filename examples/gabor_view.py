@@ -1,0 +1,57 @@
+"""Headless equivalent of the reference examples/gaborview app: build a
+sounds table from WAV + .PHN.MS pairs, pick a phone row, process its time
+slice through the gaborview pipeline (resize + byTime + KWTALayer), print
+the results (the reference renders A/B tensor grids in a GUI).
+
+Usage: python examples/gabor_view.py <dir-with-wav-and-PHN.MS> [phone]
+"""
+
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from auditory_tpu.config import GaborSet, default_gabor_specs
+from auditory_tpu.io.wav import load_wav
+from auditory_tpu.pipeline.segments import SegmentPipeline, SegmentWindowParams
+from auditory_tpu.speech.table import SoundsTable, load_timit_sequence
+
+
+def main() -> None:
+    root = sys.argv[1] if len(sys.argv) > 1 else "."
+    want = sys.argv[2] if len(sys.argv) > 2 else None
+
+    table = SoundsTable()
+    for wav in sorted(glob.glob(os.path.join(root, "**/*.wav"), recursive=True)):
+        table.add_sequence(load_timit_sequence(wav))
+    if not table.rows:
+        print(f"no wav/.PHN.MS pairs under {root}")
+        return
+    rows = table.filter_sound(want) if want else table.rows
+    print(f"{len(table)} units loaded; processing {len(rows)} rows")
+
+    # gbv.go:318-357 InitGabors: 8x8, stride (6,3), gain 1.5, phase 0
+    gset = GaborSet(
+        size_x=8, size_y=8, stride_x=6, stride_y=3, gain=1.5,
+        specs=default_gabor_specs(phases=(0.0,)),
+    )
+    pipes = {}
+    for r in rows[:8]:
+        w = load_wav(r.wav_path)
+        pipe = pipes.setdefault(
+            w.sample_rate,
+            SegmentPipeline(w.sample_rate, SegmentWindowParams(), gabor=gset),
+        )
+        out = pipe.process(w.sound_to_tensor(), r.start, r.end)
+        kw = np.asarray(out["gabor_kwta"])
+        print(
+            f"{r.file} [{r.sound}] {r.start:.0f}-{r.end:.0f} ms -> "
+            f"gabor {kw.shape}, active {(kw > 0.1).mean():.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
