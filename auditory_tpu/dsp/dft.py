@@ -28,7 +28,71 @@ import numpy as np
 from ..config import DFTParams
 from .design import dft_matrices
 
-__all__ = ["power_spectrum", "smooth_power", "log_power", "dft_power_pipeline"]
+__all__ = [
+    "power_spectrum",
+    "power_spectrum_conv",
+    "smooth_power",
+    "log_power",
+    "dft_power_pipeline",
+]
+
+
+def power_spectrum_conv(
+    signals: jnp.ndarray,
+    basis: Tuple[jnp.ndarray, jnp.ndarray],
+    step_samples: int,
+    offset0: int,
+    n_windows: int,
+) -> jnp.ndarray:
+    """DFT power of uniformly-strided windows as ONE strided convolution.
+
+    The window gather (sndenv.go SndToWindow) + DFT matmul is algebraically a
+    1-D cross-correlation of the signal with the DFT basis rows at stride
+    ``step_samples``: re[b, k, i] = sum_n sig[b, i*step + offset0 + n] *
+    cos(2 pi n k / W). XLA lowers this conv to an implicit GEMM on the MXU
+    with no materialized [B, n_windows, W] tensor and no gather -- on TPU
+    this is ~10x faster than gather+matmul for the default geometry.
+
+    Negative window positions read zeros via explicit conv padding, exactly
+    reproducing the reference's left zero-fill (sndenv.go:455-478).
+
+    Args:
+      signals: [B, S].
+      basis: (cos [W, K], sin [W, K]) from design.dft_matrices (analysis
+        window already folded in, if any).
+      step_samples: grid stride; window i starts at i*step + offset0.
+      offset0: start of window 0 (may be negative).
+      n_windows: number of grid windows.
+
+    Returns power [B, n_windows, K].
+    """
+    cos_m, sin_m = basis
+    w, k = cos_m.shape
+    b, s = signals.shape
+
+    if offset0 > 0:
+        signals = signals[:, offset0:]
+        s -= offset0
+        offset0 = 0
+    pad_l = -offset0
+    last_end = (n_windows - 1) * step_samples + offset0 + w
+    pad_r = max(0, last_end - s)
+
+    kernel = jnp.concatenate([cos_m, sin_m], axis=1)  # [W, 2K]
+    kernel = jnp.transpose(kernel)[:, None, :]  # [2K, 1, W]
+    out = jax.lax.conv_general_dilated(
+        signals[:, None, :],  # [B, 1, S]
+        kernel,
+        window_strides=(step_samples,),
+        padding=[(pad_l, pad_r)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=signals.dtype,
+    )  # [B, 2K, n_out]
+    out = out[:, :, :n_windows]
+    re = out[:, :k, :]
+    im = out[:, k:, :]
+    power = re * re + im * im
+    return jnp.moveaxis(power, 1, 2)  # [B, n_windows, K]
 
 
 def power_spectrum(

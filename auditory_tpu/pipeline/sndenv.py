@@ -113,7 +113,11 @@ class SndEnv:
             and cfg.dft.prev_smooth == 0.0
         )
         if use_pallas is None:
-            use_pallas = pallas_ok and jax.default_backend() == "tpu"
+            # default OFF: the strided-conv frontend (power_spectrum_conv) is
+            # the fast path; the fused kernel currently trips a Mosaic
+            # limitation on unaligned dynamic lane slices on real TPUs
+            # (interpret mode works; see tests/test_pallas.py)
+            use_pallas = False
         elif use_pallas and not pallas_ok:
             raise ValueError(
                 "use_pallas requires float32 and prev_smooth == 0"
@@ -130,7 +134,7 @@ class SndEnv:
         self.analysis_win = design.analysis_window(
             cfg.dft.window_fn, self.timing.win_samples
         )
-        if spectrum_method == "matmul" or self.use_pallas:
+        if spectrum_method in ("matmul", "conv") or self.use_pallas:
             cos_m, sin_m = design.dft_matrices(self.timing.win_samples)
             if self.analysis_win is not None:
                 # fold the analysis window into the DFT basis rows
@@ -322,6 +326,24 @@ class SndEnv:
                     mel_vals = jnp.clip(
                         (mel_vals - fb.renorm_min) * fb.renorm_scale, 0.0, 1.0
                     )
+            elif map_idx is not None and self.spectrum_method in ("matmul", "conv"):
+                # uniform window grid: frame+DFT as ONE strided conv (no
+                # gather, no materialized windows; see power_spectrum_conv)
+                from ..dsp.dft import log_power, power_spectrum_conv
+
+                power = power_spectrum_conv(
+                    signals,
+                    basis,
+                    t.step_samples,
+                    int(flat_starts_np[0]),
+                    int(flat_starts_np.shape[0]),
+                )
+                logp = (
+                    log_power(power, cfg.dft)
+                    if cfg.dft.comp_log_pow
+                    else jnp.zeros_like(power)
+                )
+                mel_vals = apply_mel(power, mel_w, cfg.mel.fbank)
             else:
                 starts2d = (
                     flat_starts_np[None, :] if map_idx is not None else starts_np

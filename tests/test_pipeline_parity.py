@@ -209,3 +209,29 @@ def test_float32_device_path_close():
     g64 = np.asarray(o64.gabor_raw)
     g32 = np.asarray(o32.gabor_raw)
     assert np.max(np.abs(g64 - g32)) < 2e-2
+
+
+def test_conv_spectrum_parity_f64():
+    """The strided-conv frontend (spectrum_method='conv') must match the
+    fft+gather path exactly on the uniform grid, including left zero-padding
+    and masked overrun steps."""
+    cfg = default_cfg_2d()
+    sig = tone(1300.0, 0.33, SR)
+    env_fft = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    env_conv = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="conv")
+    for s in (env_fft.pad(sig), sig):  # padded and overrunning
+        o1 = env_fft.process(s)
+        o2 = env_conv.process(s)
+        np.testing.assert_allclose(
+            np.asarray(o1.power_segment), np.asarray(o2.power_segment),
+            rtol=1e-9, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1.mel_fbank_segment), np.asarray(o2.mel_fbank_segment),
+            atol=1e-7,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o1.step_valid), np.asarray(o2.step_valid)
+        )
+    # oracle parity through the conv frontend too
+    assert_segments_match(cfg, env_conv.pad(sig), SR)
