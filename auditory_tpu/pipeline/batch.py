@@ -198,7 +198,11 @@ class CorpusRunner:
         save_keys: Sequence[str] = ("mel_fbank_segment", "gabor_kwta"),
         decode_threads: int = 8,
     ):
-        self.env = SndEnv(cfg, sample_rate, dtype=dtype)
+        # only materialize what gets saved (XLA DCEs the rest)
+        self.env = SndEnv(
+            cfg, sample_rate, dtype=dtype,
+            outputs=tuple(save_keys) + ("step_valid",),
+        )
         self.batched = BatchedSndEnv(self.env, mesh=mesh)
         self.batch_size = batch_size
         self.save_keys = tuple(save_keys)

@@ -92,6 +92,20 @@ class SndEnv:
     one kernel (ops/framefft.py); it requires prev_smooth == 0.
     """
 
+    # all selectable output fields
+    ALL_OUTPUTS = (
+        "power_segment",
+        "log_power_segment",
+        "mel_fbank_segment",
+        "energy",
+        "mfcc_segment",
+        "mfcc_deltas",
+        "mfcc_delta_deltas",
+        "gabor_raw",
+        "gabor_kwta",
+        "step_valid",
+    )
+
     def __init__(
         self,
         cfg: SndEnvConfig,
@@ -99,9 +113,20 @@ class SndEnv:
         dtype=jnp.float32,
         spectrum_method: Optional[str] = None,
         use_pallas: Optional[bool] = None,
+        outputs: Optional[Tuple[str, ...]] = None,
     ):
+        """``outputs``: which SndEnvOutputs fields to return (None = all).
+        Dropping fields lets XLA dead-code-eliminate their materialization --
+        e.g. the reference's PowerSegment/LogPowerSegment are visualization
+        tensors ("more useful for visualization", dft/dft.go:17) that corpus
+        extraction rarely needs."""
         self.cfg = cfg
         self.sample_rate = sample_rate
+        if outputs is not None:
+            unknown = set(outputs) - set(self.ALL_OUTPUTS)
+            if unknown:
+                raise ValueError(f"unknown outputs: {sorted(unknown)}")
+        self.outputs = tuple(outputs) if outputs is not None else None
         self.dtype = jnp.dtype(dtype)
         self.timing = cfg.params.derive(sample_rate)
         if spectrum_method is None:
@@ -472,6 +497,15 @@ class SndEnv:
             out = dataclasses.replace(
                 out, step_valid=out.step_valid & seg_valid[..., None]
             )
+            if self.outputs is not None:
+                out = dataclasses.replace(
+                    out,
+                    **{
+                        f: None
+                        for f in self.ALL_OUTPUTS
+                        if f not in self.outputs
+                    },
+                )
             return out, seg_valid
 
         return program
