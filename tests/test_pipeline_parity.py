@@ -235,3 +235,24 @@ def test_conv_spectrum_parity_f64():
         )
     # oracle parity through the conv frontend too
     assert_segments_match(cfg, env_conv.pad(sig), SR)
+
+
+def test_hamming_window_extension():
+    """window_fn is an opt-in extension (the reference applies none); with it
+    folded into the DFT basis, matmul/conv and fft paths must agree."""
+    import dataclasses as dc
+
+    base = default_cfg_2d()
+    cfg = dc.replace(base, dft=dc.replace(base.dft, window_fn="hamming"))
+    sig = tone(1000.0, 0.3, SR)
+    env_fft = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    env_conv = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="conv")
+    sig = env_fft.pad(sig)
+    o1, o2 = env_fft.process(sig), env_conv.process(sig)
+    np.testing.assert_allclose(
+        np.asarray(o1.power_segment), np.asarray(o2.power_segment),
+        rtol=1e-9, atol=1e-12,
+    )
+    # windowing must actually change the spectrum vs rectangular
+    o3 = SndEnv(base, SR, dtype=jnp.float64, spectrum_method="fft").process(sig)
+    assert np.abs(np.asarray(o1.power_segment) - np.asarray(o3.power_segment)).max() > 1.0
