@@ -26,7 +26,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..config import FilterBank, GaborSet, GaborSpec
+from ..config import FilterBank, GaborSet
 
 __all__ = [
     "MelDesign",

@@ -22,11 +22,9 @@ TPU-native form of the reference mel package + SndEnv post-processing:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
-from ..config import FilterBank, MelParams
+from ..config import FilterBank
 
 __all__ = ["apply_mel", "mfcc_dct", "energy", "mfcc_deltas"]
 

@@ -20,7 +20,6 @@ Parity notes vs the reference:
 
 from __future__ import annotations
 
-import struct
 import wave as _wave
 from dataclasses import dataclass
 

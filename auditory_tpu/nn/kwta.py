@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import KWTAParams
-from .fffb import FFFBState, fffb_init, fffb_step
+from .fffb import fffb_init, fffb_step
 
 __all__ = ["xx1", "kwta_layer", "kwta_pool"]
 

@@ -16,12 +16,12 @@ derived from the spec's orientation.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import GaborSpec, NeighInhibParams
+from ..config import NeighInhibParams
 
 __all__ = ["orthogonal_offsets", "inhib4"]
 

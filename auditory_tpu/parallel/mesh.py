@@ -14,7 +14,7 @@ For single extremely long utterances, :func:`segment_sharding` shards the
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

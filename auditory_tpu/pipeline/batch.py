@@ -27,7 +27,7 @@ import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
-from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ import numpy as np
 
 from ..config import SndEnvConfig
 from ..io.wav import load_wav
-from ..parallel.mesh import batch_sharding, make_mesh, pad_to_multiple, replicated
+from ..parallel.mesh import batch_sharding, pad_to_multiple, replicated
 from .sndenv import SndEnv, SndEnvOutputs
 
 __all__ = ["BatchedSndEnv", "CorpusRunner", "bucket_length"]

@@ -18,9 +18,7 @@ PowerSegment [freq, step] after ProcessSegment(seg) on utterance b.
 from __future__ import annotations
 
 import dataclasses
-import math
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

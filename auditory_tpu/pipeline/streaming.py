@@ -21,7 +21,6 @@ building blocks; only the window geometry and the cursor differ.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -32,7 +32,7 @@ an independent, literal transcription.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

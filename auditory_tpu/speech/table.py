@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Sequence as Seq
+from typing import List
 
 from . import Sequence, Unit, adjust_sequence_times
 from . import grafestes, synthcvs, timit

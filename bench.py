@@ -26,11 +26,18 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128, help="utterances per step")
+    ap.add_argument("--batch", type=int, default=512, help="utterances per step")
     ap.add_argument("--seconds", type=float, default=3.0, help="utterance length")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--kwta", action="store_true", help="include kWTA settle")
+    ap.add_argument(
+        "--outputs", choices=("full", "features", "melgabor"),
+        default="features",
+        help="full = every reference tensor incl. the power/log-power "
+        "visualization matrices; features = mel+MFCC(+deltas)+energy+gabor "
+        "(what training consumers read); melgabor = mel+gabor only",
+    )
     ap.add_argument("--f64", action="store_true")
     args = ap.parse_args()
 
@@ -56,7 +63,19 @@ def main() -> None:
             cfg, kwta=dataclasses.replace(cfg.kwta, on=False)
         )
 
-    env = SndEnv(cfg, sr, dtype=jnp.float64 if args.f64 else jnp.float32)
+    outputs = {
+        "full": None,
+        "features": (
+            "mel_fbank_segment", "mfcc_segment", "mfcc_deltas",
+            "mfcc_delta_deltas", "energy", "gabor_raw", "gabor_kwta",
+            "step_valid",
+        ),
+        "melgabor": ("mel_fbank_segment", "gabor_raw", "gabor_kwta", "step_valid"),
+    }[args.outputs]
+    env = SndEnv(
+        cfg, sr, dtype=jnp.float64 if args.f64 else jnp.float32,
+        outputs=outputs,
+    )
     benv = BatchedSndEnv(env)
 
     rng = np.random.default_rng(0)
@@ -90,7 +109,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "timit16k_mel_gabor_rtf"
-                + ("_kwta" if args.kwta else ""),
+                + ("_kwta" if args.kwta else "")
+                + ("" if args.outputs == "features" else f"_{args.outputs}"),
                 "value": round(rtf, 1),
                 "unit": "audio_sec_per_sec_per_chip",
                 "vs_baseline": round(rtf / baseline, 3),
