@@ -1,29 +1,38 @@
 """Pallas TPU kernel: fused frame-extract + DFT power + log + mel filterbank.
 
 The hot path of the pipeline (SURVEY.md call stack 3.1, hot loop #1) is
-window -> DFT -> power -> log -> mel, executed for every (segment, step) of
-every utterance. The XLA version materializes the gathered windows
-[B, n_windows, W] and the re/im spectra in HBM between fusions; this kernel
-keeps everything in VMEM: the signal row is loaded once per utterance, each
-window is dynamically sliced in-register, the DFT runs as two MXU matmuls
-against the cos/sin basis (for the 400-1102 point windows used here a dense
-DFT matmul beats an FFT on the MXU and is exact), and power/log/mel never
-leave the chip until the final [B, n_windows, n_mel] result.
+window -> DFT -> power -> log -> mel for every window of every utterance.
+The XLA production path (``dsp.dft.power_spectrum_conv``) already turns this
+into a strided conv + matmul; this kernel additionally keeps the power
+spectrum entirely in VMEM (one HBM round trip fewer) and demonstrates the
+full fusion: per grid step it loads 128-lane-aligned signal chunks, extracts
+the windows with static in-register slices, runs the DFT as two MXU matmuls
+against the cos/sin basis, and applies power/log/mel without leaving the
+chip.
+
+Mosaic on this TPU only supports *dynamic* lane-dim loads at 128-aligned
+offsets (verified empirically; unaligned dynamic slices and dynamic rolls
+crash the compiler). The kernel therefore requires the uniform window grid
+``start_i = step*i + c`` and exploits that the start residues mod 128 repeat
+with period p = 128/gcd(step, 128): with a block of BLOCK windows (BLOCK a
+multiple of p), the residue of each block slot is a compile-time constant,
+so every load is an aligned dynamic base + static slot offset, and the
+unaligned remainder becomes a static value-slice.
 
 Semantics preserved (dft/dft.go:62-85, mel/mel.go:120-153):
 - power[k] = re^2 + im^2 of the unnormalized DFT, bins 0..N/2
-- log = ln(power + LogOffSet) with the ==0 -> LogMin floor
-- mel = ln(sum_bins W[f, k] power[k] + LogOff), ==0 -> LogMin floor
+- log = ln(power + LogOffSet) with the exact ==0 -> LogMin floor
+- mel = ln(sum_k W[f,k] power[k] + LogOff), ==0 -> LogMin floor
 
-Caller contract (see pipeline integration): the signal must be pre-padded so
-every window start is >= 0 and start+W <= len(signal_padded); invalid steps
-are masked by the caller (they read zero padding here). prev_smooth > 0 is
-not supported (falls back to the XLA path).
+Caller contract: signal pre-padded so every window start is >= 0 and
+start + chunk <= len(signal_padded); invalid steps are masked by the caller
+(they read zero padding here). prev_smooth > 0 uses the XLA path.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -34,79 +43,81 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DFTParams, FilterBank
 
-__all__ = ["fused_frame_power_mel", "WINDOW_BLOCK"]
-
-WINDOW_BLOCK = 16  # windows processed per grid step (f32 sublane multiple)
+__all__ = ["fused_frame_power_mel", "pad_basis", "supported_geometry"]
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(
-    # scalar prefetch
-    starts_ref,              # [n_win_pad] int32 window starts (SMEM)
-    # inputs
-    signal_ref,              # [1, 1, s_pad] f32 (VMEM) one utterance row
-    cos_ref,                 # [w, k_pad] f32
-    sin_ref,                 # [w, k_pad] f32
-    melw_ref,                # [k_pad, m_pad] f32
-    # outputs
-    power_ref,               # [1, BLK, k_pad] f32
-    logp_ref,                # [1, BLK, k_pad] f32
-    mel_ref,                 # [1, BLK, m_pad] f32
+def supported_geometry(step_samples: int, max_block: int = 64) -> bool:
+    """True when the residue period p = 128/gcd(step,128) fits in one block."""
+    p = 128 // math.gcd(step_samples, 128)
+    return p <= max_block
+
+
+def _make_kernel(
     *,
     win: int,
+    chunk: int,
+    block: int,
+    step: int,
+    c0: int,
+    rems: Tuple[int, ...],
+    stat_aligned: Tuple[int, ...],
     log_offset: float,
     log_min: float,
     mel_log_off: float,
     mel_log_min: float,
     comp_log: bool,
 ):
-    wblk = pl.program_id(1)
-    base = wblk * WINDOW_BLOCK
+    def kernel(signal_ref, cos_ref, sin_ref, melw_ref, power_ref, logp_ref, mel_ref):
+        wblk = pl.program_id(1)
+        # dynamic block base on the signal axis; multiple of 128 because
+        # block*step is (block is padded to the residue period)
+        dyn = wblk * (block * step)
 
-    # gather this block's windows into VMEM: [BLK, win]
-    def load_window(i):
-        start = starts_ref[base + i]
-        return signal_ref[0, 0, pl.ds(start, win)]
+        rows = []
+        for u in range(block):
+            aligned = pl.multiple_of(dyn + stat_aligned[u], 128)
+            ch = signal_ref[0, 0, pl.ds(aligned, chunk)]
+            rows.append(ch[rems[u] : rems[u] + win])
+        windows = jnp.stack(rows)  # [block, win]
 
-    windows = jnp.stack([load_window(i) for i in range(WINDOW_BLOCK)])
+        re = jnp.dot(windows, cos_ref[:, :], preferred_element_type=jnp.float32)
+        im = jnp.dot(windows, sin_ref[:, :], preferred_element_type=jnp.float32)
+        power = re * re + im * im
+        power_ref[0] = power
 
-    re = jnp.dot(windows, cos_ref[:, :], preferred_element_type=jnp.float32)
-    im = jnp.dot(windows, sin_ref[:, :], preferred_element_type=jnp.float32)
-    power = re * re + im * im
-    power_ref[0] = power
+        if comp_log:
+            sh = power + log_offset
+            logp_ref[0] = jnp.where(
+                sh == 0.0, log_min, jnp.log(jnp.where(sh == 0.0, 1.0, sh))
+            )
+        else:
+            logp_ref[0] = jnp.zeros_like(power)
 
-    if comp_log:
-        shifted = power + log_offset
-        logp_ref[0] = jnp.where(
-            shifted == 0.0, log_min, jnp.log(jnp.where(shifted == 0.0, 1.0, shifted))
+        mel_sum = (
+            jnp.dot(power, melw_ref[:, :], preferred_element_type=jnp.float32)
+            + mel_log_off
         )
-    else:
-        logp_ref[0] = jnp.zeros_like(power)
+        mel_ref[0] = jnp.where(
+            mel_sum == 0.0,
+            mel_log_min,
+            jnp.log(jnp.where(mel_sum == 0.0, 1.0, mel_sum)),
+        )
 
-    mel_sum = (
-        jnp.dot(power, melw_ref[:, :], preferred_element_type=jnp.float32)
-        + mel_log_off
-    )
-    mel_ref[0] = jnp.where(
-        mel_sum == 0.0, mel_log_min, jnp.log(jnp.where(mel_sum == 0.0, 1.0, mel_sum))
-    )
+    return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "win", "n_bins", "n_mel", "dft", "fbank", "interpret",
-    ),
-)
 def fused_frame_power_mel(
-    signal_padded: jnp.ndarray,   # [B, s_pad] f32, all starts in-range
-    starts: jnp.ndarray,          # [n_win] int32
-    cos_basis: jnp.ndarray,       # [win, k_pad]
-    sin_basis: jnp.ndarray,       # [win, k_pad]
-    mel_weights: jnp.ndarray,     # [k_pad, m_pad] (zero rows beyond n_bins)
+    signals: jnp.ndarray,     # [B, S] f32 (not yet padded)
+    step_samples: int,
+    offset0: int,             # start of window 0 (may be negative)
+    n_windows: int,
+    cos_basis: jnp.ndarray,   # [win, k_pad] f32
+    sin_basis: jnp.ndarray,   # [win, k_pad]
+    mel_weights: jnp.ndarray, # [k_pad, m_pad]
     *,
     win: int,
     n_bins: int,
@@ -115,29 +126,51 @@ def fused_frame_power_mel(
     fbank: FilterBank,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (power, log_power, log_mel): [B, n_win, n_bins] x2 and
-    [B, n_win, n_mel]."""
+    """Fused frontend on the uniform grid start_i = step*i + offset0.
+
+    Returns (power, log_power, log_mel): [B, n_win, n_bins] x2,
+    [B, n_win, n_mel].
+    """
     assert dft.prev_smooth == 0.0, "prev_smooth>0 uses the XLA path"
-    b, s_pad = signal_padded.shape
-    # lane-align the signal row and give it a unit sublane dim so the block
-    # shape (1, 1, s_pad) satisfies the TPU tiling constraints
-    s_aligned = _round_up(max(s_pad, 128), 128)
-    if s_aligned != s_pad:
-        signal_padded = jnp.pad(signal_padded, ((0, 0), (0, s_aligned - s_pad)))
-        s_pad = s_aligned
-    signal_padded = signal_padded[:, None, :]
-    (n_win,) = starts.shape
+    b, s = signals.shape
     k_pad = cos_basis.shape[1]
     m_pad = mel_weights.shape[1]
-    n_win_pad = _round_up(max(n_win, 1), WINDOW_BLOCK)
-    if n_win_pad != n_win:
-        starts = jnp.concatenate(
-            [starts, jnp.zeros(n_win_pad - n_win, dtype=starts.dtype)]
+    chunk = _round_up(win, 128) + 128  # window + up-to-127 residue slack
+
+    p = 128 // math.gcd(step_samples, 128)
+    block = _round_up(max(p, 16), p)
+    if not supported_geometry(step_samples, max_block=64):
+        raise ValueError(
+            f"step={step_samples}: residue period {p} too large for the "
+            "aligned-load kernel; use the XLA path"
         )
 
-    kernel = functools.partial(
-        _kernel,
+    # left-pad so window 0 starts at a nonnegative position, then choose the
+    # pad so position 0 keeps the residues' static pattern
+    left = max(0, -offset0)
+    c0 = offset0 + left  # first start within the padded signal, >= 0
+    n_pad = _round_up(max(n_windows, 1), block)
+    last = (n_pad - 1) * step_samples + c0 + chunk
+    right = max(0, last - (s + left))
+    sig = jnp.pad(signals.astype(jnp.float32), ((0, 0), (left, right)))
+    s_pad = _round_up(sig.shape[1], 128)
+    if s_pad != sig.shape[1]:
+        sig = jnp.pad(sig, ((0, 0), (0, s_pad - sig.shape[1])))
+    sig = sig[:, None, :]  # [B, 1, s_pad]
+
+    # static per-slot geometry within a block
+    starts_u = [step_samples * u + c0 for u in range(block)]
+    stat_aligned = tuple((st // 128) * 128 for st in starts_u)
+    rems = tuple(st - al for st, al in zip(starts_u, stat_aligned))
+
+    kernel = _make_kernel(
         win=win,
+        chunk=chunk,
+        block=block,
+        step=step_samples,
+        c0=c0,
+        rems=rems,
+        stat_aligned=stat_aligned,
         log_offset=float(dft.log_offset),
         log_min=float(dft.log_min),
         mel_log_off=float(fbank.log_off),
@@ -145,50 +178,40 @@ def fused_frame_power_mel(
         comp_log=bool(dft.comp_log_pow),
     )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, n_win_pad // WINDOW_BLOCK),
-        in_specs=[
-            pl.BlockSpec((1, 1, s_pad), lambda bi, wi, starts: (bi, 0, 0)),
-            pl.BlockSpec((win, k_pad), lambda bi, wi, starts: (0, 0)),
-            pl.BlockSpec((win, k_pad), lambda bi, wi, starts: (0, 0)),
-            pl.BlockSpec((k_pad, m_pad), lambda bi, wi, starts: (0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, WINDOW_BLOCK, k_pad), lambda bi, wi, starts: (bi, wi, 0)
-            ),
-            pl.BlockSpec(
-                (1, WINDOW_BLOCK, k_pad), lambda bi, wi, starts: (bi, wi, 0)
-            ),
-            pl.BlockSpec(
-                (1, WINDOW_BLOCK, m_pad), lambda bi, wi, starts: (bi, wi, 0)
-            ),
-        ],
-    )
-
+    grid = (b, n_pad // block)
     out_shape = [
-        jax.ShapeDtypeStruct((b, n_win_pad, k_pad), jnp.float32),
-        jax.ShapeDtypeStruct((b, n_win_pad, k_pad), jnp.float32),
-        jax.ShapeDtypeStruct((b, n_win_pad, m_pad), jnp.float32),
+        jax.ShapeDtypeStruct((b, n_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((b, n_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((b, n_pad, m_pad), jnp.float32),
     ]
-    flops = 2 * b * n_win_pad * win * k_pad * 2 + 2 * b * n_win_pad * k_pad * m_pad
+    flops = 2 * b * n_pad * win * k_pad * 2 + 2 * b * n_pad * k_pad * m_pad
     power, logp, mel = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, s_pad), lambda bi, wi: (bi, 0, 0)),
+            pl.BlockSpec((win, k_pad), lambda bi, wi: (0, 0)),
+            pl.BlockSpec((win, k_pad), lambda bi, wi: (0, 0)),
+            pl.BlockSpec((k_pad, m_pad), lambda bi, wi: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, k_pad), lambda bi, wi: (bi, wi, 0)),
+            pl.BlockSpec((1, block, k_pad), lambda bi, wi: (bi, wi, 0)),
+            pl.BlockSpec((1, block, m_pad), lambda bi, wi: (bi, wi, 0)),
+        ],
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=4 * (b * s_pad + b * n_win_pad * (2 * k_pad + m_pad)),
-            transcendentals=b * n_win_pad * (k_pad + m_pad),
+            bytes_accessed=4 * (b * s_pad + b * n_pad * (2 * k_pad + m_pad)),
+            transcendentals=b * n_pad * (k_pad + m_pad),
         ),
-    )(starts, signal_padded, cos_basis, sin_basis, mel_weights)
+    )(sig, cos_basis, sin_basis, mel_weights)
 
     return (
-        power[:, :n_win, :n_bins],
-        logp[:, :n_win, :n_bins],
-        mel[:, :n_win, :n_mel],
+        power[:, :n_windows, :n_bins],
+        logp[:, :n_windows, :n_bins],
+        mel[:, :n_windows, :n_mel],
     )
 
 

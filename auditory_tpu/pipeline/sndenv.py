@@ -258,19 +258,12 @@ class SndEnv:
         return power, logp
 
     def _frontend_pallas(self, signals, flat_starts_np, mel_w):
-        """Fused Pallas frame+DFT+power+log+mel (ops/framefft.py).
-        Returns power, logp [B, n_flat, n_bins], mel [B, n_flat, n_mel]."""
+        """Fused Pallas frame+DFT+power+log+mel (ops/framefft.py) on the
+        uniform window grid. Returns power, logp [B, n_flat, n_bins],
+        mel [B, n_flat, n_mel]."""
         from ..ops.framefft import fused_frame_power_mel, pad_basis
 
         t = self.timing
-        left = max(0, -int(flat_starts_np.min())) if flat_starts_np.size else 0
-        max_end = (
-            int(flat_starts_np.max()) + t.win_samples if flat_starts_np.size else 0
-        )
-        right = max(0, left + max_end - signals.shape[-1])
-        sig_pad = jnp.pad(signals.astype(jnp.float32), ((0, 0), (left, right)))
-        flat_starts = jnp.asarray(flat_starts_np + left, dtype=jnp.int32)
-
         key = "pallas_basis"
         if key not in self._jit_cache:
             cos_p, sin_p, w_p = pad_basis(
@@ -282,8 +275,10 @@ class SndEnv:
         cos_p, sin_p, w_p = self._jit_cache[key]
 
         return fused_frame_power_mel(
-            sig_pad,
-            flat_starts,
+            signals.astype(jnp.float32),
+            t.step_samples,
+            int(flat_starts_np[0]),
+            int(flat_starts_np.shape[0]),
             cos_p,
             sin_p,
             w_p,
@@ -323,7 +318,14 @@ class SndEnv:
         )
         n_mel = cfg.mel.fbank.n_filters
         steps = t.segment_steps
-        use_pallas = self.use_pallas and seg_cnt_static > 0
+        from ..ops.framefft import supported_geometry
+
+        use_pallas = (
+            self.use_pallas
+            and seg_cnt_static > 0
+            and map_idx_np is not None  # uniform window grid only
+            and supported_geometry(t.step_samples)
+        )
 
         def _apply_kwta(fn, raw, ext_gi=None):
             """kwta over each [seg] layer of [B, seg, ...]."""

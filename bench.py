@@ -96,10 +96,13 @@ def main() -> None:
         out, _ = fn(signals_d, lengths_d)
         jax.block_until_ready(out)
 
+    # pipelined throughput: enqueue all steps, block once at the end (the
+    # tunnel's per-block round trip otherwise dominates; device work is
+    # serialized regardless)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out, _ = fn(signals_d, lengths_d)
-        jax.block_until_ready(out)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     audio_seconds = float(lengths.sum()) / sr * args.iters
