@@ -264,7 +264,14 @@ def main(argv=None) -> int:
         from .utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, IsADirectoryError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

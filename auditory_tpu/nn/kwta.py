@@ -64,8 +64,11 @@ def _settle(
     ge: jnp.ndarray,
     ext_gi: jnp.ndarray,
     pool_axes: Optional[Tuple[int, ...]],
-) -> jnp.ndarray:
-    """Run the fixed-iteration FFFB settle; returns final activations."""
+    return_inhibs: bool = False,
+):
+    """Run the fixed-iteration FFFB settle; returns final activations (and,
+    with return_inhibs, the final layer/pool inhibition states -- the analog
+    of the reference's ``Inhibs fffb.Inhibs`` record, sndenv.go:165-166)."""
     dtype = ge.dtype
     lay_state = fffb_init((), dtype)
     act0 = jnp.zeros_like(ge)
@@ -103,21 +106,26 @@ def _settle(
         act = act + params.act_dt * (target - act)
         return (act, lay_st, pool_st), None
 
-    (act, _, _), _ = jax.lax.scan(
+    (act, lay_f, pool_f), _ = jax.lax.scan(
         body, (act0, lay_state, pool_state), None, length=params.iters
     )
+    if return_inhibs:
+        return act, {"layer": lay_f._asdict(), "pool": pool_f._asdict()}
     return act
 
 
 def kwta_layer(
-    params: KWTAParams, raw: jnp.ndarray, ext_gi: Optional[jnp.ndarray] = None
-) -> jnp.ndarray:
+    params: KWTAParams,
+    raw: jnp.ndarray,
+    ext_gi: Optional[jnp.ndarray] = None,
+    return_inhibs: bool = False,
+):
     """Layer-level kwta: one FFFB inhibition group over the whole tensor."""
     if not params.on:
-        return raw
+        return (raw, {}) if return_inhibs else raw
     ge = raw.astype(jnp.float32)
     eg = jnp.zeros_like(ge) if ext_gi is None else ext_gi.astype(ge.dtype)
-    return _settle(params, ge, eg, pool_axes=None)
+    return _settle(params, ge, eg, pool_axes=None, return_inhibs=return_inhibs)
 
 
 def kwta_pool(
@@ -125,12 +133,16 @@ def kwta_pool(
     raw: jnp.ndarray,
     ext_gi: Optional[jnp.ndarray] = None,
     pool_axes: Tuple[int, ...] = (-2, -1),
-) -> jnp.ndarray:
+    return_inhibs: bool = False,
+):
     """Pool-level kwta: FFFB per pool (the inner ``pool_axes`` dims, i.e. the
     [2, n_filters] units of one (fIdx, tIdx) pool in the 4-D layout) combined
     with a layer-level group via max."""
     if not params.on:
-        return raw
+        return (raw, {}) if return_inhibs else raw
     ge = raw.astype(jnp.float32)
     eg = jnp.zeros_like(ge) if ext_gi is None else ext_gi.astype(ge.dtype)
-    return _settle(params, ge, eg, pool_axes=tuple(a % ge.ndim for a in pool_axes))
+    return _settle(
+        params, ge, eg, pool_axes=tuple(a % ge.ndim for a in pool_axes),
+        return_inhibs=return_inhibs,
+    )

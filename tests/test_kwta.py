@@ -121,3 +121,12 @@ def test_inhib4_border_zero_fill():
     assert eg[0, 1, 1, 2] == 1.0
     # the roll wrap-around must be zero-filled, not wrapped
     assert eg[0, 2, 1, 2] == 0.0
+
+
+def test_kwta_return_inhibs():
+    p = KWTAParams()
+    raw = rand_acts((4, 1, 2, 4), seed=6)
+    act, inhibs = kwta_pool(p, raw, return_inhibs=True)
+    assert act.shape == raw.shape
+    assert float(inhibs["layer"]["gi"]) > 0
+    assert inhibs["pool"]["gi"].shape == (4, 1, 1, 1)
