@@ -17,7 +17,8 @@ crash the compiler). The kernel therefore requires the uniform window grid
 with period p = 128/gcd(step, 128): with a block of BLOCK windows (BLOCK a
 multiple of p), the residue of each block slot is a compile-time constant,
 so every load is an aligned dynamic base + static slot offset, and the
-unaligned remainder becomes a static value-slice.
+unaligned remainder moves into residue-shifted copies of the DFT basis
+(Mosaic also rejects unaligned static value-slices).
 
 Semantics preserved (dft/dft.go:62-85, mel/mel.go:120-153):
 - power[k] = re^2 + im^2 of the unnormalized DFT, bins 0..N/2
@@ -65,12 +66,28 @@ def _make_kernel(
     c0: int,
     rems: Tuple[int, ...],
     stat_aligned: Tuple[int, ...],
+    n_residues: int,
     log_offset: float,
     log_min: float,
     mel_log_off: float,
     mel_log_min: float,
     comp_log: bool,
 ):
+    # Mosaic on this TPU supports neither unaligned dynamic loads nor
+    # unaligned static value-slices, so the residue shift moves into the
+    # BASIS: cos/sin arrive as [n_residues, chunk, k_pad] where variant r is
+    # the basis zero-padded so rows rem_r..rem_r+win hold the true rows
+    # 0..win. Each slot's [1, chunk] aligned chunk then multiplies its
+    # residue's variant; slots are grouped per residue into one MXU matmul
+    # and the results recombined with static row masks.
+    rem_values = sorted(set(rems))
+    rem_index = {r: i for i, r in enumerate(rem_values)}
+    slot_variant = tuple(rem_index[r] for r in rems)
+    period = len(rem_values)
+    # slot residues cycle with the residue period; variant(u) = g(u % period)
+    # with g a bijection, so each variant selects one slot class
+    variant_slot = {slot_variant[u]: u for u in range(period)}
+
     def kernel(signal_ref, cos_ref, sin_ref, melw_ref, power_ref, logp_ref, mel_ref):
         wblk = pl.program_id(1)
         # dynamic block base on the signal axis; multiple of 128 because
@@ -80,12 +97,25 @@ def _make_kernel(
         rows = []
         for u in range(block):
             aligned = pl.multiple_of(dyn + stat_aligned[u], 128)
-            ch = signal_ref[0, 0, pl.ds(aligned, chunk)]
-            rows.append(ch[rems[u] : rems[u] + win])
-        windows = jnp.stack(rows)  # [block, win]
+            rows.append(signal_ref[0, 0, pl.ds(aligned, chunk)])
+        chunks = jnp.stack(rows)  # [block, chunk]
 
-        re = jnp.dot(windows, cos_ref[:, :], preferred_element_type=jnp.float32)
-        im = jnp.dot(windows, sin_ref[:, :], preferred_element_type=jnp.float32)
+        # per-variant row masks derived in-kernel (no captured constants)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        slot_mod = jax.lax.rem(slot_ids, jnp.int32(period))
+
+        re = jnp.zeros((block, cos_ref.shape[2]), dtype=jnp.float32)
+        im = jnp.zeros_like(re)
+        for v in range(n_residues):
+            mask = (slot_mod == variant_slot[v]).astype(jnp.float32)
+            re_v = jnp.dot(
+                chunks, cos_ref[v], preferred_element_type=jnp.float32
+            )
+            im_v = jnp.dot(
+                chunks, sin_ref[v], preferred_element_type=jnp.float32
+            )
+            re = re + mask * re_v
+            im = im + mask * im_v
         power = re * re + im * im
         power_ref[0] = power
 
@@ -163,6 +193,16 @@ def fused_frame_power_mel(
     stat_aligned = tuple((st // 128) * 128 for st in starts_u)
     rems = tuple(st - al for st, al in zip(starts_u, stat_aligned))
 
+    # residue-shifted basis variants: variant r holds the basis at rows
+    # rem_r..rem_r+win of a [chunk, k_pad] zero matrix
+    rem_values = sorted(set(rems))
+    n_res = len(rem_values)
+    cos_v = jnp.zeros((n_res, chunk, k_pad), dtype=jnp.float32)
+    sin_v = jnp.zeros((n_res, chunk, k_pad), dtype=jnp.float32)
+    for i, r in enumerate(rem_values):
+        cos_v = cos_v.at[i, r : r + win].set(cos_basis)
+        sin_v = sin_v.at[i, r : r + win].set(sin_basis)
+
     kernel = _make_kernel(
         win=win,
         chunk=chunk,
@@ -171,6 +211,7 @@ def fused_frame_power_mel(
         c0=c0,
         rems=rems,
         stat_aligned=stat_aligned,
+        n_residues=n_res,
         log_offset=float(dft.log_offset),
         log_min=float(dft.log_min),
         mel_log_off=float(fbank.log_off),
@@ -190,8 +231,8 @@ def fused_frame_power_mel(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, s_pad), lambda bi, wi: (bi, 0, 0)),
-            pl.BlockSpec((win, k_pad), lambda bi, wi: (0, 0)),
-            pl.BlockSpec((win, k_pad), lambda bi, wi: (0, 0)),
+            pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
+            pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
             pl.BlockSpec((k_pad, m_pad), lambda bi, wi: (0, 0)),
         ],
         out_specs=[
@@ -206,7 +247,7 @@ def fused_frame_power_mel(
             bytes_accessed=4 * (b * s_pad + b * n_pad * (2 * k_pad + m_pad)),
             transcendentals=b * n_pad * (k_pad + m_pad),
         ),
-    )(sig, cos_basis, sin_basis, mel_weights)
+    )(sig, cos_v, sin_v, mel_weights)
 
     return (
         power[:, :n_windows, :n_bins],

@@ -41,15 +41,26 @@ from .sndenv import SndEnv, SndEnvOutputs
 __all__ = ["BatchedSndEnv", "CorpusRunner", "bucket_length"]
 
 
-def bucket_length(n: int, timing, min_samples: Optional[int] = None) -> int:
+def bucket_length(
+    n: int,
+    timing,
+    min_samples: Optional[int] = None,
+    quantum: int = 0,
+) -> int:
     """Round a padded signal length up to the next stride boundary so jit
-    recompiles only per bucket, not per file."""
+    recompiles only per bucket, not per file. ``quantum`` (samples) coarsens
+    the buckets further -- each distinct bucket is one XLA compile, and
+    compiles are expensive; masking makes the extra padding free."""
     stride = timing.stride_samples
     base = timing.segment_samples
+    step = max(stride, quantum)
     if n <= base:
-        return base if min_samples is None else max(base, min_samples)
-    k = -(-(n - base) // stride)
-    out = base + k * stride
+        out = base
+    else:
+        k = -(-(n - base) // step)
+        out = base + k * step
+        # keep the stride alignment the masking math expects
+        out = base + (-(-(out - base) // stride)) * stride
     if min_samples is not None:
         out = max(out, min_samples)
     return out
@@ -197,6 +208,7 @@ class CorpusRunner:
         mesh: Optional[jax.sharding.Mesh] = None,
         save_keys: Sequence[str] = ("mel_fbank_segment", "gabor_kwta"),
         decode_threads: int = 8,
+        bucket_quantum_s: float = 1.0,
     ):
         # only materialize what gets saved (XLA DCEs the rest)
         self.env = SndEnv(
@@ -207,6 +219,7 @@ class CorpusRunner:
         self.batch_size = batch_size
         self.save_keys = tuple(save_keys)
         self.decode_threads = decode_threads
+        self._bucket_quantum = int(bucket_quantum_s * sample_rate)
         self.sample_rate = sample_rate
 
     def _decode(self, path: str) -> Tuple[str, Optional[np.ndarray], Optional[str]]:
@@ -300,7 +313,9 @@ class CorpusRunner:
                         + "\n"
                     )
                     continue
-                blen = bucket_length(len(sig), self.env.timing)
+                blen = bucket_length(
+                    len(sig), self.env.timing, quantum=self._bucket_quantum
+                )
                 buckets.setdefault(blen, []).append((path, sig))
                 if len(buckets[blen]) >= self.batch_size:
                     self._flush(buckets.pop(blen), blen, out_dir, add_ms,
