@@ -338,13 +338,18 @@ class CorpusRunner:
         out, seg_valid = self.batched.process(signals, lengths, add_ms)
         out = jax.block_until_ready(out)
         sv = np.asarray(seg_valid)
+        # one device->host transfer per key per batch (per-item transfers
+        # would pay a host round trip each)
+        host = {
+            k: np.asarray(getattr(out, k))
+            for k in self.save_keys
+            if getattr(out, k) is not None
+        }
         for i, (path, sig) in enumerate(items):
             rec: Dict[str, Any] = {}
             n_seg = int(sv[i].sum())
-            for k in self.save_keys:
-                v = getattr(out, k)
-                if v is not None:
-                    rec[k] = np.asarray(v[i][:n_seg])
+            for k, v in host.items():
+                rec[k] = v[i][:n_seg]
             stem = os.path.splitext(os.path.basename(path))[0]
             np.savez(os.path.join(out_dir, stem + ".npz"), **rec)
             manifest.write(json.dumps({"path": path, "status": "ok"}) + "\n")
