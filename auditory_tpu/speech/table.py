@@ -16,7 +16,7 @@ from typing import List
 from . import Sequence, Unit, adjust_sequence_times
 from . import grafestes, synthcvs, timit
 
-__all__ = ["SoundRow", "SoundsTable", "load_timit_sequence", "idx_from_snd"]
+__all__ = ["SoundRow", "SoundsTable", "load_timit_sequence", "load_cv_sequence", "idx_from_snd"]
 
 
 @dataclass
@@ -86,6 +86,30 @@ def load_timit_sequence(
         return seq
     if os.path.exists(txt):
         seq.text = timit.load_text(txt)
+    adjust_sequence_times(seq)
+    return seq
+
+
+def load_cv_sequence(
+    wav_path: str,
+    corpus: str = "SYNTHCVS",
+    set_id: str = "I",
+    silence: float = 0.0,
+    times_suffix: str = ".times",
+    trans_suffix: str = ".txt",
+) -> Sequence:
+    """Build a Sequence for a synthcvs/grafestes CV recording: the
+    transcription file lists CV names, the times file start/end seconds."""
+    mod = {"SYNTHCVS": synthcvs, "GRAFESTES": grafestes}[corpus]
+    seq = Sequence(file=wav_path, id=set_id, silence=silence)
+    base = os.path.splitext(wav_path)[0]
+    try:
+        names = mod.load_transcription(base + trans_suffix)
+        seq.sequence = " ".join(names)
+        seq.units = mod.load_times(base + times_suffix, names)
+    except OSError:
+        seq.units = [Unit(name="unknown")]
+        return seq
     adjust_sequence_times(seq)
     return seq
 

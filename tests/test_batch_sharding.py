@@ -129,3 +129,21 @@ def test_corpus_runner(tmp_path):
     stats2 = runner.run(wavs + [bad, wrong], out_dir)
     assert stats2.files_done == 0
     assert stats2.files_failed == 2  # errors are retried
+
+
+def test_cli_corpus_mesh(tmp_path):
+    """CLI corpus over the 8-device mesh end to end."""
+    from auditory_tpu.cli import main
+
+    for i in range(4):
+        write_wav(
+            str(tmp_path / f"m{i}.wav"),
+            float_to_wave(tone(300 + 200 * i, 0.25, SR), SR),
+        )
+    out = str(tmp_path / "out")
+    rc = main([
+        "corpus", "--glob", str(tmp_path / "m*.wav"), "--out", out,
+        "--rate", str(SR), "--mesh", "--no-kwta", "--batch-size", "4",
+    ])
+    assert rc == 0
+    assert len(list(os.listdir(out))) == 5  # 4 npz + manifest

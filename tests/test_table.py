@@ -48,3 +48,20 @@ def test_idx_from_snd_dispatch():
     assert idx_from_snd("SYNTHCVS", "da", "I") == (0, True)
     assert idx_from_snd("GRAFESTES", "ku") == (7, True)
     assert idx_from_snd("NOPE", "x") == (-1, False)
+
+
+def test_load_cv_sequence(tmp_path):
+    from auditory_tpu.speech.table import load_cv_sequence
+
+    wav = str(tmp_path / "cv.wav")
+    write_wav(wav, float_to_wave(tone(600, 0.5, 16000), 16000))
+    (tmp_path / "cv.txt").write_text("header\nda go pa\n")
+    (tmp_path / "cv.times").write_text("0.0 0.15\n0.15 0.31\n0.31 0.5\n")
+    seq = load_cv_sequence(wav, "SYNTHCVS", "I")
+    assert [u.name for u in seq.units] == ["da", "go", "pa"]
+    assert seq.units[1].a_start == 150.0
+    # missing timing -> unknown fallback
+    wav2 = str(tmp_path / "cv2.wav")
+    write_wav(wav2, float_to_wave(tone(600, 0.1, 16000), 16000))
+    seq2 = load_cv_sequence(wav2, "GRAFESTES")
+    assert seq2.units[0].name == "unknown"
