@@ -32,7 +32,6 @@ start + chunk <= len(signal_padded); invalid steps are masked by the caller
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Tuple
 
@@ -40,7 +39,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DFTParams, FilterBank
 
