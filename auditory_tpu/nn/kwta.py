@@ -9,9 +9,10 @@ approximately k-sparse code.
 Deviations from upstream (documented, since the dependency is not vendored in
 the reference repo and no oracle exists):
 
-- the activation function is the clean XX1 rate code ``x/(x+1)`` with a
-  linear-below-threshold ramp instead of upstream's precomputed
-  gaussian-convolved noisy-XX1 lookup table;
+- the activation function is a gaussian-convolved noisy-XX1 lookup table
+  built on the host (same construction as upstream's nxx1 package), linearly
+  interpolated on device; table resolution and exact interpolation details
+  differ from upstream's;
 - the settle loop runs a fixed ``iters`` count under ``jit`` (upstream
   early-stops when max |delta act| < del_act_thr; with the default 20 iters
   the dynamics are settled well past that threshold).
@@ -37,17 +38,45 @@ from .fffb import fffb_init, fffb_step
 __all__ = ["xx1", "kwta_layer", "kwta_pool"]
 
 
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def _noisy_xx1_table(gain: float, nvar: float, n: int = 512):
+    """Host-built lookup of the noisy XX1 rate code: XX1(gain*x) = gx/(gx+1)
+    for x>0 convolved with a unit gaussian of width nvar (the same
+    construction leabra's nxx1 package uses for its table)."""
+    lo, hi = -4.0 * nvar, max(16.0 / max(gain, 1e-6), 8.0 * nvar)
+    xs = np.linspace(lo, hi, n)
+    # fine grid for the convolution integrand
+    z = np.linspace(-4.0 * nvar, 4.0 * nvar, 257)
+    gz = np.exp(-0.5 * (z / nvar) ** 2)
+    gz /= gz.sum()
+    xz = xs[:, None] - z[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        clean = np.where(xz > 0, gain * xz / (gain * xz + 1.0), 0.0)
+    ys = clean @ gz
+    return float(xs[0]), float(xs[-1]), ys.astype(np.float32)
+
+
 def xx1(params: KWTAParams, drive: jnp.ndarray) -> jnp.ndarray:
-    """Rate-code activation: gain-scaled x/(x+1) with a linear ramp below
-    threshold (the nvar->0 limit of leabra's noisy-XX1)."""
-    x = params.xx1_gain * drive
-    pos = x / (x + 1.0)
-    # small linear ramp for slightly-subthreshold drive, width ~ nvar
-    ramp_w = params.xx1_gain * params.xx1_nvar
-    ramp = jnp.clip((x + ramp_w) / (2.0 * ramp_w), 0.0, 1.0) * (
-        ramp_w / (ramp_w + 1.0)
-    )
-    return jnp.where(x > ramp_w, pos, ramp)
+    """Noisy-XX1 rate code: x/(x+1) of the gain-scaled drive, convolved with
+    a gaussian of width nvar (leabra nxx1 semantics; table built on host,
+    linearly interpolated on device). Above the table range the clean XX1 is
+    exact; below it the activation is 0."""
+    x0, x1, ys = _noisy_xx1_table(float(params.xx1_gain), float(params.xx1_nvar))
+    table = jnp.asarray(ys, dtype=drive.dtype)
+    n = table.shape[0]
+    t = (drive - x0) / (x1 - x0) * (n - 1)
+    i = jnp.clip(t.astype(jnp.int32), 0, n - 2)
+    frac = jnp.clip(t - i, 0.0, 1.0)
+    interp = table[i] * (1.0 - frac) + table[i + 1] * frac
+    g = params.xx1_gain * drive
+    clean_hi = g / (g + 1.0)
+    out = jnp.where(drive >= x1, clean_hi, interp)
+    return jnp.where(drive <= x0, 0.0, out)
 
 
 def _ge_thr(params: KWTAParams, gi: jnp.ndarray) -> jnp.ndarray:
