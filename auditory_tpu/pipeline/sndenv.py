@@ -137,9 +137,11 @@ class SndEnv:
         )
         if use_pallas is None:
             # default OFF: the strided-conv frontend (power_spectrum_conv) is
-            # the fast path; the fused kernel currently trips a Mosaic
-            # limitation on unaligned dynamic lane slices on real TPUs
-            # (interpret mode works; see tests/test_pallas.py)
+            # the fast path. The fused kernel compiles and matches on real
+            # TPUs (power <=2.4e-5 rel) but the Mosaic aligned-load
+            # constraints force a masked multi-basis formulation that runs
+            # ~2x slower than the conv lowering (11.8ms vs 6.2ms at
+            # B=512 x 3s); keep it as an explicit opt-in.
             use_pallas = False
         elif use_pallas and not pallas_ok:
             raise ValueError(
