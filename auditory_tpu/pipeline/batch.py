@@ -345,14 +345,19 @@ class CorpusRunner:
             for k in self.save_keys
             if getattr(out, k) is not None
         }
-        for i, (path, sig) in enumerate(items):
-            rec: Dict[str, Any] = {}
+
+        def write_one(i_path_sig):
+            i, path, n_audio = i_path_sig
             n_seg = int(sv[i].sum())
-            for k, v in host.items():
-                rec[k] = v[i][:n_seg]
+            rec = {k: v[i][:n_seg] for k, v in host.items()}
             stem = os.path.splitext(os.path.basename(path))[0]
             np.savez(os.path.join(out_dir, stem + ".npz"), **rec)
-            manifest.write(json.dumps({"path": path, "status": "ok"}) + "\n")
-            stats.files_done += 1
-            stats.audio_seconds += len(sig) / self.sample_rate
+            return path, n_audio
+
+        jobs = [(i, path, len(sig)) for i, (path, sig) in enumerate(items)]
+        with ThreadPoolExecutor(self.decode_threads) as pool:
+            for path, n_audio in pool.map(write_one, jobs):
+                manifest.write(json.dumps({"path": path, "status": "ok"}) + "\n")
+                stats.files_done += 1
+                stats.audio_seconds += n_audio / self.sample_rate
         manifest.flush()
