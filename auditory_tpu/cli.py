@@ -86,7 +86,11 @@ def cmd_process(args) -> int:
     import jax.numpy as jnp
 
     w = load_wav(args.file)
-    sig = w.sound_to_tensor()
+    if args.channel >= 0 and w.channels > 1:
+        sig = w.channel_signal(args.channel)
+    else:
+        # reference SoundToTensor semantics (sound/sound.go:116-127)
+        sig = w.sound_to_tensor()
     cfg = _build_cfg(args)
     env = SndEnv(cfg, w.sample_rate, dtype=jnp.float64 if args.f64 else jnp.float32)
     if args.pad:
@@ -224,6 +228,11 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="out.npz")
     p.add_argument("--pad", action="store_true", default=True)
     p.add_argument("--no-pad", dest="pad", action="store_false")
+    p.add_argument(
+        "--channel", type=int, default=-1,
+        help="de-interleave this channel for multi-channel WAVs (-1 = the "
+        "reference's SoundToTensor flattening)",
+    )
     _add_pipeline_args(p)
     p.set_defaults(fn=cmd_process)
 

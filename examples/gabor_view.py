@@ -21,6 +21,12 @@ from auditory_tpu.speech.table import SoundsTable, load_timit_sequence
 
 
 def main() -> None:
+    import os
+
+    if os.environ.get("AUDITORY_TPU_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     root = sys.argv[1] if len(sys.argv) > 1 else "."
     want = sys.argv[2] if len(sys.argv) > 2 else None
 

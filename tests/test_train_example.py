@@ -15,3 +15,23 @@ def test_phone_classifier_learns():
     assert last, out.stdout
     acc = float(last[0].split()[-3])
     assert acc > 0.5, f"classifier failed to learn: {last[0]}"
+
+
+def test_gabor_view_example(tmp_path):
+    """The headless gaborview example end to end over wav+PHN.MS fixtures."""
+    import numpy as np
+
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+    from tests.conftest import tone
+
+    for i in range(2):
+        sig = tone(600 + 300 * i, 0.6, 16000)
+        write_wav(str(tmp_path / f"g{i}.wav"), float_to_wave(sig, 16000))
+        (tmp_path / f"g{i}.PHN.MS").write_text("0 h#\n120 sh\n300 iy\n480 h#\n")
+    out = subprocess.run(
+        [sys.executable, "examples/gabor_view.py", str(tmp_path), "sh"],
+        capture_output=True, text=True, timeout=300, cwd=".",
+        env={**__import__("os").environ, "AUDITORY_TPU_CPU": "1"},
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "[sh]" in out.stdout
