@@ -256,3 +256,65 @@ def test_hamming_window_extension():
     # windowing must actually change the spectrum vs rectangular
     o3 = SndEnv(base, SR, dtype=jnp.float64, spectrum_method="fft").process(sig)
     assert np.abs(np.asarray(o1.power_segment) - np.asarray(o3.power_segment)).max() > 1.0
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(win_ms=20.0, step_ms=5.0, segment_ms=100.0, stride_ms=100.0,
+             border_steps=0),
+        dict(win_ms=25.0, step_ms=12.5, segment_ms=100.0, stride_ms=50.0,
+             border_steps=1),
+        # note: larger windows (more bins) with 32 filters overflow the
+        # reference's NFilters+2 weight tensor (a Go panic) -> keep win small
+        dict(win_ms=16.0, step_ms=8.0, segment_ms=96.0, stride_ms=96.0,
+             border_steps=3),
+    ],
+)
+def test_window_geometry_sweep(kw):
+    import dataclasses as dc
+
+    from auditory_tpu.config import WindowParams
+
+    base = default_cfg_2d()
+    cfg = dc.replace(base, params=WindowParams(**kw))
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    sig = env.pad(tone(1000.0, 0.35, SR))
+    assert_segments_match(cfg, sig, SR)
+
+
+def test_8khz_and_narrow_mel():
+    import dataclasses as dc
+
+    from auditory_tpu.config import FilterBank, MelParams
+
+    base = default_cfg_2d()
+    cfg = dc.replace(
+        base,
+        mel=MelParams(fbank=FilterBank(n_filters=26, hi_hz=4000.0)),
+    )
+    env = SndEnv(cfg, 8000, dtype=jnp.float64)
+    sig = env.pad(tone(900.0, 0.4, 8000))
+    assert_segments_match(cfg, sig, 8000)
+
+
+def test_distribute_and_circular_gabors():
+    import dataclasses as dc
+
+    from auditory_tpu.config import GaborSet, GaborSpec
+
+    base = default_cfg_2d()
+    specs = (
+        GaborSpec(wavelen=2.0, orientation=0, sigma_width=0.5, sigma_length=0.3),
+        GaborSpec(wavelen=2.0, orientation=0, sigma_width=0.5, sigma_length=0.3),
+        GaborSpec(wavelen=2.0, orientation=90, sigma_width=0.5, sigma_length=0.3),
+        GaborSpec(wavelen=1.5, circular=True, sigma_width=0.6),
+    )
+    cfg = dc.replace(
+        base,
+        gabor=GaborSet(size_x=9, size_y=9, stride_x=3, stride_y=3, gain=2.0,
+                       distribute=True, specs=specs),
+    )
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    sig = env.pad(tone(1100.0, 0.3, SR))
+    assert_segments_match(cfg, sig, SR)
