@@ -55,6 +55,11 @@ def supported_geometry(step_samples: int, max_block: int = 64) -> bool:
     return p <= max_block
 
 
+def rem_index_of(rems: Tuple[int, ...], u: int) -> int:
+    """Index of slot u's residue among the sorted distinct residues."""
+    return sorted(set(rems)).index(rems[u])
+
+
 def _make_kernel(
     *,
     win: int,
@@ -82,9 +87,13 @@ def _make_kernel(
     rem_index = {r: i for i, r in enumerate(rem_values)}
     slot_variant = tuple(rem_index[r] for r in rems)
     period = len(rem_values)
-    # slot residues cycle with the residue period; variant(u) = g(u % period)
-    # with g a bijection, so each variant selects one slot class
-    variant_slot = {slot_variant[u]: u for u in range(period)}
+    # slots grouped by residue variant: one MXU matmul per variant over its
+    # block/period slots (minimal FLOPs); output rows come out grouped and the
+    # caller de-permutes with a static row gather
+    variant_slots = tuple(
+        tuple(u for u in range(block) if slot_variant[u] == v)
+        for v in range(n_residues)
+    )
 
     def kernel(signal_ref, cos_ref, sin_ref, melw_ref, power_ref, logp_ref, mel_ref):
         wblk = pl.program_id(1)
@@ -92,28 +101,22 @@ def _make_kernel(
         # block*step is (block is padded to the residue period)
         dyn = wblk * (block * step)
 
-        rows = []
-        for u in range(block):
-            aligned = pl.multiple_of(dyn + stat_aligned[u], 128)
-            rows.append(signal_ref[0, 0, pl.ds(aligned, chunk)])
-        chunks = jnp.stack(rows)  # [block, chunk]
-
-        # per-variant row masks derived in-kernel (no captured constants)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-        slot_mod = jax.lax.rem(slot_ids, jnp.int32(period))
-
-        re = jnp.zeros((block, cos_ref.shape[2]), dtype=jnp.float32)
-        im = jnp.zeros_like(re)
+        re_groups = []
+        im_groups = []
         for v in range(n_residues):
-            mask = (slot_mod == variant_slot[v]).astype(jnp.float32)
-            re_v = jnp.dot(
-                chunks, cos_ref[v], preferred_element_type=jnp.float32
+            rows = []
+            for u in variant_slots[v]:
+                aligned = pl.multiple_of(dyn + stat_aligned[u], 128)
+                rows.append(signal_ref[0, 0, pl.ds(aligned, chunk)])
+            group = jnp.stack(rows)  # [block/period, chunk]
+            re_groups.append(
+                jnp.dot(group, cos_ref[v], preferred_element_type=jnp.float32)
             )
-            im_v = jnp.dot(
-                chunks, sin_ref[v], preferred_element_type=jnp.float32
+            im_groups.append(
+                jnp.dot(group, sin_ref[v], preferred_element_type=jnp.float32)
             )
-            re = re + mask * re_v
-            im = im + mask * im_v
+        re = jnp.concatenate(re_groups, axis=0)  # [block, k_pad] grouped order
+        im = jnp.concatenate(im_groups, axis=0)
         power = re * re + im * im
         power_ref[0] = power
 
@@ -247,10 +250,27 @@ def fused_frame_power_mel(
         ),
     )(sig, cos_v, sin_v, mel_weights)
 
+    # de-permute grouped kernel output rows back to window order: kernel
+    # block row order is residue-grouped; window u sits at grouped position
+    # rank(variant(u)) within the block
+    slot_variant = [rem_index_of(rems, u) for u in range(block)]
+    group_sizes = [slot_variant.count(v) for v in range(len(set(rems)))]
+    group_starts = np.cumsum([0] + group_sizes[:-1])
+    pos_in_group = {}
+    counters = [0] * len(group_sizes)
+    row_of_slot = np.zeros(block, dtype=np.int64)
+    for u in range(block):
+        v = slot_variant[u]
+        row_of_slot[u] = group_starts[v] + counters[v]
+        counters[v] += 1
+    blocks = np.arange(n_pad // block, dtype=np.int64)[:, None] * block
+    rows_of_window = (blocks + row_of_slot[None, :]).reshape(-1)[:n_windows]
+    rows = jnp.asarray(rows_of_window)
+
     return (
-        power[:, :n_windows, :n_bins],
-        logp[:, :n_windows, :n_bins],
-        mel[:, :n_windows, :n_mel],
+        power[:, rows, :n_bins],
+        logp[:, rows, :n_bins],
+        mel[:, rows, :n_mel],
     )
 
 
