@@ -88,11 +88,16 @@ def cmd_process(args) -> int:
     w = load_wav(args.file)
     if args.channel >= 0 and w.channels > 1:
         sig = w.channel_signal(args.channel)
+        channels = 1
     else:
         # reference SoundToTensor semantics (sound/sound.go:116-127)
         sig = w.sound_to_tensor()
+        channels = w.channels
     cfg = _build_cfg(args)
-    env = SndEnv(cfg, w.sample_rate, dtype=jnp.float64 if args.f64 else jnp.float32)
+    env = SndEnv(
+        cfg, w.sample_rate, dtype=jnp.float64 if args.f64 else jnp.float32,
+        channels=channels,
+    )
     if args.pad:
         sig = env.pad(sig)
     out = env.process(sig)
@@ -273,6 +278,11 @@ def main(argv=None) -> int:
         from .utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
+        if getattr(args, "f64", False):
+            import jax
+
+            # without x64, float64 arrays silently truncate to f32
+            jax.config.update("jax_enable_x64", True)
     try:
         return args.fn(args)
     except (FileNotFoundError, IsADirectoryError) as e:

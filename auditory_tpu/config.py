@@ -26,13 +26,17 @@ from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 
+def go_round(x: float) -> int:
+    """Go math.Round: round half away from zero (Python round() is banker's)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
 def msec_to_samples(ms: float, rate: int) -> int:
     """Milliseconds -> samples. Mirrors sound.MSecToSamples (sndenv.go:522-524).
 
     Go uses math.Round (round-half-away-from-zero), not banker's rounding.
     """
-    x = ms * 0.001 * float(rate)
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    return go_round(ms * 0.001 * float(rate))
 
 
 def samples_to_msec(samples: int, rate: int) -> float:
@@ -120,7 +124,9 @@ class WindowParams:
         step = msec_to_samples(self.step_ms, sample_rate)
         seg = msec_to_samples(self.segment_ms, sample_rate)
         stride = msec_to_samples(self.stride_ms, sample_rate)
-        steps = int(round(self.segment_ms / self.step_ms))
+        # sndenv.go:205 uses math.Round (half away from zero), NOT Python's
+        # banker's rounding: 10.5 steps must give 11
+        steps = go_round(self.segment_ms / self.step_ms)
         segment_steps = steps + 2 * self.border_steps
         # per-step start offsets: StepSamples*(i-BorderSteps)  (sndenv.go:247-251)
         offsets = tuple(step * (i - self.border_steps) for i in range(segment_steps))

@@ -65,6 +65,10 @@ class Wave:
 
     def channel_signal(self, channel: int = 0, dtype=np.float64) -> np.ndarray:
         """Sane de-interleaved single-channel normalized signal (extension)."""
+        if not 0 <= channel < self.channels:
+            raise ValueError(
+                f"channel {channel} out of range (file has {self.channels})"
+            )
         div = self._norm_divisor()
         ch = self.data[channel :: self.channels]
         if div == 0.0:

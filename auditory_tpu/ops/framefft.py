@@ -169,7 +169,7 @@ def fused_frame_power_mel(
     chunk = _round_up(win, 128) + 128  # window + up-to-127 residue slack
 
     p = 128 // math.gcd(step_samples, 128)
-    block = _round_up(max(p, 16), p)
+    block = _round_up(max(p, 64), p)  # meatier blocks: fewer grid steps, M=block/p rows per matmul
     if not supported_geometry(step_samples, max_block=64):
         raise ValueError(
             f"step={step_samples}: residue period {p} too large for the "

@@ -248,36 +248,58 @@ class CorpusRunner:
                 yield from pool.map(self._decode, paths)
             return
 
-        # one native pass to size the buffer, one to fill it
-        max_frames = 0
-        metas = {}
+        # chunked native decode: bounds the [chunk, max_frames] buffer and
+        # keeps host decode overlapping with device compute
+        chunk_files = max(self.batch_size, 32)
+        for lo in range(0, len(paths), chunk_files):
+            group = paths[lo : lo + chunk_files]
+            max_frames = 0
+            metas = {}
+            for p in group:
+                try:
+                    sr, ch, bd, nf = native.wav_info(p)
+                    metas[p] = (sr, nf)
+                    max_frames = max(max_frames, nf)
+                except IOError as e:
+                    metas[p] = e
+            ok_paths = [p for p in group if not isinstance(metas[p], Exception)]
+            out, lengths, srs, errors = native.decode_batch(
+                ok_paths, max(max_frames, 1), n_threads=self.decode_threads
+            )
+            by_path = {p: i for i, p in enumerate(ok_paths)}
+            for p in group:
+                meta = metas[p]
+                if isinstance(meta, Exception):
+                    yield p, None, str(meta)
+                    continue
+                i = by_path[p]
+                if errors[i] is not None:
+                    yield p, None, errors[i]
+                elif srs[i] != self.sample_rate:
+                    yield p, None, (
+                        f"sample rate {srs[i]} != pipeline rate {self.sample_rate}"
+                    )
+                else:
+                    sig = out[i, : lengths[i]]
+                    yield p, self.env.pad(sig), None
+
+    @staticmethod
+    def _out_names(paths: Sequence[str]) -> Dict[str, str]:
+        """Unique output stem per input path. Same-named WAVs in different
+        directories (the normal TIMIT layout: DR1/FCJF0/SA1.WAV,
+        DR1/FVMH0/SA1.WAV, ...) must not clobber each other, so stems come
+        from the path relative to the corpus' common directory with
+        separators flattened to '_'."""
+        if not paths:
+            return {}
+        dirs = {os.path.dirname(os.path.abspath(p)) for p in paths}
+        common = os.path.commonpath(list(dirs)) if len(dirs) > 1 else dirs.pop()
+        out = {}
         for p in paths:
-            try:
-                sr, ch, bd, nf = native.wav_info(p)
-                metas[p] = (sr, nf)
-                max_frames = max(max_frames, nf)
-            except IOError as e:
-                metas[p] = e
-        ok_paths = [p for p in paths if not isinstance(metas[p], Exception)]
-        out, lengths, srs, errors = native.decode_batch(
-            ok_paths, max(max_frames, 1), n_threads=self.decode_threads
-        )
-        by_path = {p: i for i, p in enumerate(ok_paths)}
-        for p in paths:
-            meta = metas[p]
-            if isinstance(meta, Exception):
-                yield p, None, str(meta)
-                continue
-            i = by_path[p]
-            if errors[i] is not None:
-                yield p, None, errors[i]
-            elif srs[i] != self.sample_rate:
-                yield p, None, (
-                    f"sample rate {srs[i]} != pipeline rate {self.sample_rate}"
-                )
-            else:
-                sig = out[i, : lengths[i]]
-                yield p, self.env.pad(sig), None
+            rel = os.path.relpath(os.path.abspath(p), common)
+            stem = os.path.splitext(rel)[0].replace(os.sep, "_")
+            out[p] = stem
+        return out
 
     def run(
         self,
@@ -287,6 +309,7 @@ class CorpusRunner:
         add_ms: int = 0,
     ) -> CorpusStats:
         os.makedirs(out_dir, exist_ok=True)
+        self._stems = self._out_names(list(wav_paths))
         manifest_path = os.path.join(out_dir, "manifest.jsonl")
         done = set()
         if resume and os.path.exists(manifest_path):
@@ -350,7 +373,9 @@ class CorpusRunner:
             i, path, n_audio = i_path_sig
             n_seg = int(sv[i].sum())
             rec = {k: v[i][:n_seg] for k, v in host.items()}
-            stem = os.path.splitext(os.path.basename(path))[0]
+            stem = self._stems.get(
+                path, os.path.splitext(os.path.basename(path))[0]
+            )
             np.savez(os.path.join(out_dir, stem + ".npz"), **rec)
             return path, n_audio
 

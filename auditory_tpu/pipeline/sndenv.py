@@ -112,14 +112,20 @@ class SndEnv:
         spectrum_method: Optional[str] = None,
         use_pallas: Optional[bool] = None,
         outputs: Optional[Tuple[str, ...]] = None,
+        channels: int = 1,
     ):
-        """``outputs``: which SndEnvOutputs fields to return (None = all).
+        """``channels``: number of interleaved channels in the signal, used
+        only by the SegCnt arithmetic (sndenv.go:263-265 divides by
+        Sound.Channels()); the reference's SndToWindow itself is mono-only.
+
+        ``outputs``: which SndEnvOutputs fields to return (None = all).
         Dropping fields lets XLA dead-code-eliminate their materialization --
         e.g. the reference's PowerSegment/LogPowerSegment are visualization
         tensors ("more useful for visualization", dft/dft.go:17) that corpus
         extraction rarely needs."""
         self.cfg = cfg
         self.sample_rate = sample_rate
+        self.channels = int(channels)
         if outputs is not None:
             unknown = set(outputs) - set(self.ALL_OUTPUTS)
             if unknown:
@@ -146,6 +152,11 @@ class SndEnv:
         elif use_pallas and not pallas_ok:
             raise ValueError(
                 "use_pallas requires float32 and prev_smooth == 0"
+            )
+        if (cfg.gbor_out_pools_x > 0) != (cfg.gbor_out_pools_y > 0):
+            raise ValueError(
+                "GborOutPoolsX & GborOutPoolsY must both be == 0 or > 0 "
+                "(2D or 4D; sndenv.go:220-222)"
             )
         self.use_pallas = bool(use_pallas)
         self._pallas_interpret = jax.default_backend() != "tpu"
@@ -196,7 +207,7 @@ class SndEnv:
         return (uy, ux)
 
     def seg_cnt(self, n_samples: int) -> int:
-        return self.timing.seg_cnt(n_samples)
+        return self.timing.seg_cnt(n_samples, self.channels)
 
     # ------------------------------------------------------------------
     # core program (natively batched: signals [B, S], lengths [B])
@@ -390,14 +401,10 @@ class SndEnv:
                 power = power[:, map_idx]
                 logp = logp[:, map_idx]
                 mel_vals = mel_vals[:, map_idx]
-            elif use_pallas:
-                power = power.reshape(
-                    power.shape[0], seg_cnt_static, steps, -1
-                )
-                logp = logp.reshape(logp.shape[0], seg_cnt_static, steps, -1)
-                mel_vals = mel_vals.reshape(
-                    mel_vals.shape[0], seg_cnt_static, steps, -1
-                )
+            else:
+                # use_pallas requires the uniform grid, so map_idx is always
+                # set on that path
+                assert not use_pallas
 
             # step validity from the per-(seg, step) starts (sndenv.go:353-359
             # break semantics; see dsp/frame.py)
@@ -465,8 +472,11 @@ class SndEnv:
                 else:
                     gabor_kwta = gabor_raw
 
-            # per-utterance SegCnt mask (sndenv.go:263-265, truncating division)
-            siglen = lengths.astype(jnp.int32) - t.segment_samples
+            # per-utterance SegCnt mask (sndenv.go:263-265, Go truncating
+            # division, including the division by Channels())
+            ch = self.channels
+            siglen = lengths.astype(jnp.int32) - t.segment_samples * ch
+            siglen = jnp.sign(siglen) * (jnp.abs(siglen) // ch)
             seg_cnt = jnp.sign(siglen) * (jnp.abs(siglen) // t.stride_samples) + 1
             seg_idx = jnp.arange(seg_cnt_static, dtype=jnp.int32)
             seg_valid = seg_idx[None, :] < seg_cnt[:, None]  # [B, seg]

@@ -188,9 +188,12 @@ class StreamingProcessor:
 
         return program
 
-    def process_segment(self) -> Optional[Dict[str, jnp.ndarray]]:
-        """Process the next segment (processspeech.go:332-352). Returns None
-        and restarts the cursor when the sound is exhausted."""
+    def process_segment(self) -> Dict[str, jnp.ndarray]:
+        """Process the next segment (processspeech.go:332-352). When the
+        sound is exhausted the cursor restarts from segment 0 on the next
+        call, exactly like the reference's ProcessSegment re-entering
+        ProcessSound on the same file (processspeech.go:333-335); check
+        ``more_segments`` to drive the loop."""
         if self.signal is None:
             raise RuntimeError("load() a sound first")
         if not self.more_segments:

@@ -147,3 +147,23 @@ def test_cli_corpus_mesh(tmp_path):
     ])
     assert rc == 0
     assert len(list(os.listdir(out))) == 5  # 4 npz + manifest
+
+
+def test_corpus_same_basename_no_clobber(tmp_path):
+    """Same-named WAVs in different dirs must produce distinct outputs
+    (TIMIT layout: DR1/FCJF0/SA1.WAV vs DR1/FVMH0/SA1.WAV)."""
+    paths = []
+    for spk, freq in (("FCJF0", 500.0), ("FVMH0", 1500.0)):
+        d = tmp_path / "DR1" / spk
+        d.mkdir(parents=True)
+        p = str(d / "SA1.wav")
+        write_wav(p, float_to_wave(tone(freq, 0.25, SR), SR))
+        paths.append(p)
+    out = str(tmp_path / "out")
+    runner = CorpusRunner(default_cfg_2d(), SR, batch_size=4)
+    stats = runner.run(paths, out)
+    assert stats.files_done == 2
+    npz = sorted(f for f in os.listdir(out) if f.endswith(".npz"))
+    assert len(npz) == 2, npz
+    a, b = (np.load(os.path.join(out, f))["mel_fbank_segment"] for f in npz)
+    assert not np.allclose(a, b), "distinct files must keep distinct features"

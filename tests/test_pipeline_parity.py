@@ -318,3 +318,39 @@ def test_distribute_and_circular_gabors():
     env = SndEnv(cfg, SR, dtype=jnp.float64)
     sig = env.pad(tone(1100.0, 0.3, SR))
     assert_segments_match(cfg, sig, SR)
+
+
+def test_go_round_half_steps():
+    """segment_ms/step_ms = 10.5 must give 11 steps (Go math.Round), not
+    Python banker's 10 (sndenv.go:205)."""
+    from auditory_tpu.config import WindowParams, go_round
+
+    assert go_round(10.5) == 11
+    assert go_round(-10.5) == -11
+    t = WindowParams(segment_ms=105.0, step_ms=10.0).derive(16000)
+    assert t.segment_steps == 11 + 2 * 2
+    t = WindowParams(segment_ms=125.0, step_ms=10.0).derive(16000)
+    assert t.segment_steps == 13 + 2 * 2  # round(12.5) -> 13, not 12
+
+
+def test_multichannel_segcnt():
+    """SegCnt divides by channels (sndenv.go:263-265)."""
+    cfg = default_cfg_2d()
+    env1 = SndEnv(cfg, SR, dtype=jnp.float64, channels=1)
+    env2 = SndEnv(cfg, SR, dtype=jnp.float64, channels=2)
+    n = 48000
+    t = env1.timing
+    assert env1.seg_cnt(n) == (n - t.segment_samples) // t.stride_samples + 1
+    assert env2.seg_cnt(n) == (n - t.segment_samples * 2) // 2 // t.stride_samples + 1
+    # the traced mask agrees with the static count
+    sig = np.zeros(n)
+    out2 = env2.process(sig)
+    assert out2.power_segment.shape[0] == env2.seg_cnt(n)
+
+
+def test_mixed_pools_rejected():
+    import dataclasses as dc
+
+    cfg = dc.replace(default_cfg_2d(), gbor_out_pools_y=4, gbor_out_pools_x=0)
+    with pytest.raises(ValueError):
+        SndEnv(cfg, SR)

@@ -61,3 +61,10 @@ def test_reference_assets_decode(ref_wavs):
     spec[0] = 0
     peak_hz = np.argmax(spec) * w.sample_rate / n
     assert abs(peak_hz - 800) < 40
+
+
+def test_channel_signal_bounds():
+    w = Wave(data=np.arange(8, dtype=np.int32), sample_rate=8000, channels=2,
+             source_bit_depth=16)
+    with pytest.raises(ValueError):
+        w.channel_signal(2)
