@@ -24,11 +24,19 @@ from .config import (
     msec_to_samples,
     samples_to_msec,
 )
+from .pipeline.batch import BatchedSndEnv, CorpusRunner
+from .pipeline.segments import SegmentPipeline, SegmentWindowParams
 from .pipeline.sndenv import SndEnv, SndEnvOutputs
+from .pipeline.streaming import StreamingProcessor
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "BatchedSndEnv",
+    "CorpusRunner",
+    "SegmentPipeline",
+    "SegmentWindowParams",
+    "StreamingProcessor",
     "DFTParams",
     "FilterBank",
     "GaborSet",
