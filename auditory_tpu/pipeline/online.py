@@ -1,0 +1,153 @@
+"""Online (streaming) processing: feed audio chunks, get segments out.
+
+The reference is strictly offline (whole WAV in memory); its only streaming
+notion is the segment cursor (processspeech MoreSegments). For production
+serving, :class:`OnlineSndEnv` accepts arbitrary-size sample chunks and emits
+the same per-segment outputs as the offline :class:`..pipeline.sndenv.SndEnv`
+as soon as each segment's samples (including its right border windows) are
+available -- with O(segment) memory and one fixed-shape jitted program (no
+per-length recompiles).
+
+Equivalence: segment k of the offline pipeline needs stream samples
+[k*stride - border*step, k*stride + (steps-1-border)*step + win). The online
+processor keeps a rolling buffer of exactly that span and runs the offline
+program on it with an `add` offset that shifts the window grid onto the
+buffered history, so outputs are bit-identical to the offline run (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SndEnvConfig, samples_to_msec
+from .sndenv import SndEnv, SndEnvOutputs, _tree_squeeze0
+
+__all__ = ["OnlineSndEnv"]
+
+
+class OnlineSndEnv:
+    """Streaming wrapper around the SndEnv pipeline.
+
+    Usage::
+
+        online = OnlineSndEnv(cfg, 16000)
+        for chunk in audio_chunks:          # any sizes
+            for seg_idx, out in online.feed(chunk):
+                consume(out.mel_fbank_segment, out.gabor_kwta, ...)
+        for seg_idx, out in online.flush(): # zero-pad the tail
+            ...
+    """
+
+    def __init__(
+        self,
+        cfg: SndEnvConfig,
+        sample_rate: int,
+        dtype=jnp.float32,
+        outputs: Optional[Tuple[str, ...]] = None,
+        **env_kw,
+    ):
+        self.env = SndEnv(
+            cfg, sample_rate, dtype=dtype, outputs=outputs, **env_kw
+        )
+        t = self.env.timing
+        border = cfg.params.border_steps
+        self._pre = border * t.step_samples
+        # last window of a segment starts at (steps-1-border)*step and spans win
+        self._post = (t.segment_steps - 1 - border) * t.step_samples + t.win_samples
+        self._span = self._pre + self._post
+        # the add offset must convert to exactly _pre samples
+        add_ms = samples_to_msec(self._pre, sample_rate)
+        from ..config import msec_to_samples
+
+        if msec_to_samples(add_ms, sample_rate) != self._pre:
+            raise ValueError(
+                "border offset does not round-trip through milliseconds; "
+                "choose step_ms with integral sample counts"
+            )
+        self._add_ms = add_ms
+        self._fn = None
+
+        self._np_dtype = np.dtype(self.env.dtype)
+        self._buf = np.zeros(0, dtype=self._np_dtype)
+        self._stream_pos = 0  # stream index of _buf[0]
+        self._next_seg = 0
+
+    @property
+    def segment_duration_s(self) -> float:
+        return self.env.timing.stride_samples / self.env.sample_rate
+
+    def _ready(self) -> bool:
+        t = self.env.timing
+        seg_start = self._next_seg * t.stride_samples
+        return self._stream_pos + len(self._buf) >= seg_start + self._post
+
+    def _emit(self, valid_until: Optional[int] = None) -> Tuple[int, SndEnvOutputs]:
+        t = self.env.timing
+        seg_start = self._next_seg * t.stride_samples
+        lo = seg_start - self._pre
+        # slice [lo, seg_start + _post); left-pad zeros before stream start
+        pad_left = max(0, -lo)
+        buf_lo = max(0, lo - self._stream_pos)
+        buf_hi = seg_start + self._post - self._stream_pos
+        window = np.concatenate(
+            [
+                np.zeros(pad_left, dtype=self._np_dtype),
+                self._buf[buf_lo:buf_hi],
+            ]
+        )
+        assert len(window) == self._span, (len(window), self._span)
+        if self._fn is None:
+            self._fn = self.env.process_fn(self._span, self._add_ms)
+        # a step is valid while its window ends within `valid_until` (stream
+        # coordinates) -- matches the offline break-on-overrun semantics
+        sig_len = (
+            self._span if valid_until is None
+            else max(0, min(self._span, valid_until - lo))
+        )
+        out, _ = self._fn(
+            jnp.asarray(window)[None], jnp.asarray([sig_len], dtype=jnp.int32)
+        )
+        seg_idx = self._next_seg
+        self._next_seg += 1
+        # drop history no future segment needs
+        keep_from = (self._next_seg * t.stride_samples - self._pre) - self._stream_pos
+        if keep_from > 0:
+            self._buf = self._buf[keep_from:]
+            self._stream_pos += keep_from
+        return seg_idx, _tree_squeeze0(jax.tree_util.tree_map(lambda x: x[:, 0], out))
+
+    def feed(self, samples: np.ndarray) -> Iterator[Tuple[int, SndEnvOutputs]]:
+        """Append samples; yields (segment_index, outputs) for every segment
+        completed by this chunk."""
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(samples, dtype=self._np_dtype)]
+        )
+        while self._ready():
+            yield self._emit()
+
+    def flush(self) -> Iterator[Tuple[int, SndEnvOutputs]]:
+        """Zero-pad the tail exactly like SndEnv.Pad (sndenv.go:510-519) and
+        emit the remaining segments; steps whose windows overrun the padded
+        end are masked to zero, matching the offline break-on-overrun
+        behavior on a padded signal."""
+        import math as _math
+
+        t = self.env.timing
+        stream_end = self._stream_pos + len(self._buf)  # real audio end, fixed
+        tail = int(_math.fmod(stream_end - t.segment_samples, t.stride_samples))
+        pad_len = (
+            t.segment_samples - t.step_samples - int(_math.fmod(tail, t.step_samples))
+        )
+        padded_end = stream_end + pad_len
+        while self._next_seg * t.stride_samples < stream_end:
+            buf_end = self._stream_pos + len(self._buf)
+            need = self._next_seg * t.stride_samples + self._post - buf_end
+            if need > 0:
+                self._buf = np.concatenate(
+                    [self._buf, np.zeros(need, dtype=self._np_dtype)]
+                )
+            yield self._emit(valid_until=padded_end)

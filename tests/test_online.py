@@ -1,0 +1,91 @@
+"""Online (streaming) processing must match the offline pipeline exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auditory_tpu.pipeline.online import OnlineSndEnv
+from auditory_tpu.pipeline.sndenv import SndEnv
+from tests.conftest import default_cfg_2d, tone
+
+SR = 16000
+
+
+def chunks_of(sig, rng, lo=160, hi=7000):
+    i = 0
+    while i < len(sig):
+        n = int(rng.integers(lo, hi))
+        yield sig[i : i + n]
+        i += n
+
+
+@pytest.mark.parametrize("dur", [0.25, 0.4, 1.13])
+def test_online_matches_offline(dur):
+    cfg = default_cfg_2d()
+    env = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    sig = tone(1234.0, dur, SR)
+    offline = env.process(env.pad(sig))
+    n_off = offline.power_segment.shape[0]
+
+    online = OnlineSndEnv(cfg, SR, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    got = {}
+    for chunk in chunks_of(sig, rng):
+        for k, out in online.feed(chunk):
+            got[k] = out
+    for k, out in online.flush():
+        got[k] = out
+
+    assert len(got) == n_off, (len(got), n_off)
+    for k in range(n_off):
+        np.testing.assert_allclose(
+            np.asarray(got[k].mel_fbank_segment),
+            np.asarray(offline.mel_fbank_segment[k]),
+            atol=1e-9, err_msg=f"segment {k}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[k].mfcc_deltas),
+            np.asarray(offline.mfcc_deltas[k]),
+            atol=1e-9, rtol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[k].gabor_raw),
+            np.asarray(offline.gabor_raw[k]),
+            atol=1e-5,
+        )
+
+
+def test_online_single_sample_chunks():
+    """Pathological chunking (1..17 samples) still yields identical results."""
+    cfg = default_cfg_2d()
+    env = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    sig = tone(700.0, 0.22, SR)
+    offline = env.process(env.pad(sig))
+
+    online = OnlineSndEnv(cfg, SR, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    got = {}
+    for chunk in chunks_of(sig, rng, lo=1, hi=17):
+        for k, out in online.feed(chunk):
+            got[k] = out
+    for k, out in online.flush():
+        got[k] = out
+    assert len(got) == offline.power_segment.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(got[0].mel_fbank_segment),
+        np.asarray(offline.mel_fbank_segment[0]),
+        atol=1e-9,
+    )
+
+
+def test_online_bounded_memory():
+    cfg = default_cfg_2d()
+    online = OnlineSndEnv(cfg, SR)
+    sig = tone(500.0, 2.0, SR)
+    n_out = 0
+    for chunk in np.array_split(sig, 40):
+        for _ in online.feed(chunk):
+            n_out += 1
+    # buffer never exceeds one segment span + one chunk
+    assert len(online._buf) <= online._span + len(sig) // 40 + 1
+    assert n_out >= 18
