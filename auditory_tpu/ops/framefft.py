@@ -55,9 +55,24 @@ def supported_geometry(step_samples: int, max_block: int = 64) -> bool:
     return p <= max_block
 
 
-def rem_index_of(rems: Tuple[int, ...], u: int) -> int:
-    """Index of slot u's residue among the sorted distinct residues."""
-    return sorted(set(rems)).index(rems[u])
+def residue_grouping(rems: Tuple[int, ...]):
+    """Single source of truth for the kernel/caller row-order contract:
+    returns (variant_slots, row_of_slot) where variant_slots[v] lists the
+    block slots using residue variant v (in slot order) and row_of_slot[u]
+    is the grouped-output row holding slot u's result."""
+    rem_values = sorted(set(rems))
+    rem_index = {r: i for i, r in enumerate(rem_values)}
+    variant_slots = tuple(
+        tuple(u for u in range(len(rems)) if rem_index[rems[u]] == v)
+        for v in range(len(rem_values))
+    )
+    row_of_slot = np.zeros(len(rems), dtype=np.int64)
+    row = 0
+    for slots in variant_slots:
+        for u in slots:
+            row_of_slot[u] = row
+            row += 1
+    return variant_slots, row_of_slot
 
 
 def _make_kernel(
@@ -83,17 +98,10 @@ def _make_kernel(
     # 0..win. Each slot's [1, chunk] aligned chunk then multiplies its
     # residue's variant; slots are grouped per residue into one MXU matmul
     # and the results recombined with static row masks.
-    rem_values = sorted(set(rems))
-    rem_index = {r: i for i, r in enumerate(rem_values)}
-    slot_variant = tuple(rem_index[r] for r in rems)
-    period = len(rem_values)
     # slots grouped by residue variant: one MXU matmul per variant over its
     # block/period slots (minimal FLOPs); output rows come out grouped and the
-    # caller de-permutes with a static row gather
-    variant_slots = tuple(
-        tuple(u for u in range(block) if slot_variant[u] == v)
-        for v in range(n_residues)
-    )
+    # caller de-permutes with a static row gather (see residue_grouping)
+    variant_slots, _ = residue_grouping(rems)
 
     def kernel(signal_ref, cos_ref, sin_ref, melw_ref, power_ref, logp_ref, mel_ref):
         wblk = pl.program_id(1)
@@ -250,19 +258,9 @@ def fused_frame_power_mel(
         ),
     )(sig, cos_v, sin_v, mel_weights)
 
-    # de-permute grouped kernel output rows back to window order: kernel
-    # block row order is residue-grouped; window u sits at grouped position
-    # rank(variant(u)) within the block
-    slot_variant = [rem_index_of(rems, u) for u in range(block)]
-    group_sizes = [slot_variant.count(v) for v in range(len(set(rems)))]
-    group_starts = np.cumsum([0] + group_sizes[:-1])
-    pos_in_group = {}
-    counters = [0] * len(group_sizes)
-    row_of_slot = np.zeros(block, dtype=np.int64)
-    for u in range(block):
-        v = slot_variant[u]
-        row_of_slot[u] = group_starts[v] + counters[v]
-        counters[v] += 1
+    # de-permute grouped kernel output rows back to window order (shared
+    # grouping definition with the kernel: residue_grouping)
+    _, row_of_slot = residue_grouping(rems)
     blocks = np.arange(n_pad // block, dtype=np.int64)[:, None] * block
     rows_of_window = (blocks + row_of_slot[None, :]).reshape(-1)[:n_windows]
     rows = jnp.asarray(rows_of_window)

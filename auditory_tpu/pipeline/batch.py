@@ -295,10 +295,15 @@ class CorpusRunner:
         dirs = {os.path.dirname(os.path.abspath(p)) for p in paths}
         common = os.path.commonpath(list(dirs)) if len(dirs) > 1 else dirs.pop()
         out = {}
+        used = {}
         for p in paths:
             rel = os.path.relpath(os.path.abspath(p), common)
             stem = os.path.splitext(rel)[0].replace(os.sep, "_")
-            out[p] = stem
+            # flattening separators can itself collide (DR1/A/S1 vs DR1/A_S1);
+            # disambiguate deterministically
+            n = used.get(stem, 0)
+            used[stem] = n + 1
+            out[p] = stem if n == 0 else f"{stem}-{n}"
         return out
 
     def run(

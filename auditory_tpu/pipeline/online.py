@@ -75,10 +75,17 @@ class OnlineSndEnv:
         self._buf = np.zeros(0, dtype=self._np_dtype)
         self._stream_pos = 0  # stream index of _buf[0]
         self._next_seg = 0
+        self._closed = False
+
+    @property
+    def stride_duration_s(self) -> float:
+        """Seconds of new audio per emitted segment."""
+        return self.env.timing.stride_samples / self.env.sample_rate
 
     @property
     def segment_duration_s(self) -> float:
-        return self.env.timing.stride_samples / self.env.sample_rate
+        """Seconds of audio one segment covers (>= stride when overlapping)."""
+        return self.env.timing.segment_samples / self.env.sample_rate
 
     def _ready(self) -> bool:
         t = self.env.timing
@@ -121,19 +128,31 @@ class OnlineSndEnv:
         return seg_idx, _tree_squeeze0(jax.tree_util.tree_map(lambda x: x[:, 0], out))
 
     def feed(self, samples: np.ndarray) -> Iterator[Tuple[int, SndEnvOutputs]]:
-        """Append samples; yields (segment_index, outputs) for every segment
-        completed by this chunk."""
+        """Append samples (eagerly -- the chunk is buffered even if the
+        returned iterator is never consumed); iterating yields
+        (segment_index, outputs) for every segment completed by this chunk."""
+        if self._closed:
+            raise RuntimeError(
+                "stream closed by flush(); create a new OnlineSndEnv"
+            )
         self._buf = np.concatenate(
             [self._buf, np.asarray(samples, dtype=self._np_dtype)]
         )
+        return self._drain()
+
+    def _drain(self) -> Iterator[Tuple[int, SndEnvOutputs]]:
         while self._ready():
             yield self._emit()
 
     def flush(self) -> Iterator[Tuple[int, SndEnvOutputs]]:
         """Zero-pad the tail exactly like SndEnv.Pad (sndenv.go:510-519) and
-        emit the remaining segments; steps whose windows overrun the padded
-        end are masked to zero, matching the offline break-on-overrun
-        behavior on a padded signal."""
+        emit the remaining segments the offline pipeline would produce on the
+        padded signal (steps whose windows overrun the padded end are masked
+        to zero, matching the break-on-overrun semantics). Closes the stream;
+        a second flush emits nothing and further feed() raises."""
+        if self._closed:
+            return
+        self._closed = True
         import math as _math
 
         t = self.env.timing
@@ -143,7 +162,9 @@ class OnlineSndEnv:
             t.segment_samples - t.step_samples - int(_math.fmod(tail, t.step_samples))
         )
         padded_end = stream_end + pad_len
-        while self._next_seg * t.stride_samples < stream_end:
+        # offline SegCnt on the padded signal: segments with
+        # k*stride + SegmentSamples <= padded_end (sndenv.go:263-265)
+        while self._next_seg * t.stride_samples + t.segment_samples <= padded_end:
             buf_end = self._stream_pos + len(self._buf)
             need = self._next_seg * t.stride_samples + self._post - buf_end
             if need > 0:

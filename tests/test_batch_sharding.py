@@ -167,3 +167,13 @@ def test_corpus_same_basename_no_clobber(tmp_path):
     assert len(npz) == 2, npz
     a, b = (np.load(os.path.join(out, f))["mel_fbank_segment"] for f in npz)
     assert not np.allclose(a, b), "distinct files must keep distinct features"
+
+
+def test_out_names_flatten_collision(tmp_path):
+    from auditory_tpu.pipeline.batch import CorpusRunner
+
+    (tmp_path / "DR1" / "A").mkdir(parents=True)
+    p1 = str(tmp_path / "DR1" / "A" / "S1.wav")
+    p2 = str(tmp_path / "DR1" / "A_S1.wav")
+    stems = CorpusRunner._out_names([p1, p2])
+    assert len(set(stems.values())) == 2, stems

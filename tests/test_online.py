@@ -89,3 +89,42 @@ def test_online_bounded_memory():
     # buffer never exceeds one segment span + one chunk
     assert len(online._buf) <= online._span + len(sig) // 40 + 1
     assert n_out >= 18
+
+
+def test_online_edge_stream_3210():
+    """The review's repro: 3210 samples must give the same segment count as
+    offline (2), and flush must be idempotent / close the stream."""
+    cfg = default_cfg_2d()
+    env = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    sig = tone(640.0, 3210 / SR, SR)[:3210]
+    offline = env.process(env.pad(sig))
+    online = OnlineSndEnv(cfg, SR, dtype=jnp.float64)
+    got = dict(online.feed(sig))
+    got.update(dict(online.flush()))
+    assert len(got) == offline.power_segment.shape[0] == 2
+    for k in got:
+        np.testing.assert_allclose(
+            np.asarray(got[k].mel_fbank_segment),
+            np.asarray(offline.mel_fbank_segment[k]), atol=1e-9,
+        )
+    # second flush: nothing; feed after flush: error
+    assert list(online.flush()) == []
+    with pytest.raises(RuntimeError):
+        list(online.feed(np.zeros(10)))
+
+
+def test_online_feed_eager_append():
+    """Samples must be buffered even when the iterator is not consumed."""
+    cfg = default_cfg_2d()
+    env = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    sig = tone(500.0, 0.4, SR)
+    offline = env.process(env.pad(sig))
+    online = OnlineSndEnv(cfg, SR, dtype=jnp.float64)
+    online.feed(sig[:3000])  # iterator dropped on purpose
+    got = dict(online.feed(sig[3000:]))
+    got.update(dict(online.flush()))
+    assert len(got) == offline.power_segment.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(got[0].mel_fbank_segment),
+        np.asarray(offline.mel_fbank_segment[0]), atol=1e-9,
+    )
