@@ -1,0 +1,135 @@
+"""Randomized config fuzz: sample valid pipeline configurations and assert
+oracle parity end-to-end. Catches geometry corner cases the hand-picked
+sweeps miss (seeded -> deterministic)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auditory_tpu.config import (
+    FilterBank,
+    GaborSet,
+    MelParams,
+    SndEnvConfig,
+    WindowParams,
+    default_gabor_specs,
+)
+from auditory_tpu.pipeline.sndenv import SndEnv
+from auditory_tpu.refemu.goref import SndEnvRef
+from tests.conftest import tone
+from tests.test_pipeline_parity import assert_segments_match
+
+
+def sample_cfg(rng: np.random.Generator):
+    """One random valid configuration + sample rate."""
+    sr = int(rng.choice([8000, 16000, 22050]))
+    step_ms = float(rng.choice([5.0, 8.0, 10.0, 12.5]))
+    steps_per_seg = int(rng.integers(6, 14))
+    segment_ms = step_ms * steps_per_seg
+    stride_mult = int(rng.integers(1, max(2, steps_per_seg)))
+    stride_ms = step_ms * stride_mult if rng.random() < 0.7 else segment_ms * 0.95
+    win_ms = float(rng.choice([16.0, 20.0, 25.0]))
+    border = int(rng.integers(0, 4))
+
+    n_filters = int(rng.choice([24, 32, 40]))
+    hi_hz = float(min(sr / 2, rng.choice([4000.0, 6000.0, 8000.0])))
+    lo_hz = float(rng.choice([0.0, 100.0, 300.0]))
+
+    gsize = int(rng.choice([6, 8, 9]))
+    gstride = int(rng.integers(2, gsize + 1))
+    cfg = SndEnvConfig(
+        params=WindowParams(
+            win_ms=win_ms, step_ms=step_ms, segment_ms=segment_ms,
+            stride_ms=stride_ms, border_steps=border,
+        ),
+        mel=MelParams(
+            fbank=FilterBank(n_filters=n_filters, lo_hz=lo_hz, hi_hz=hi_hz),
+            mfcc=bool(rng.random() < 0.8),
+            deltas=bool(rng.random() < 0.8),
+        ),
+        gabor=GaborSet(
+            size_x=gsize, size_y=gsize, stride_x=gstride, stride_y=gstride,
+            gain=float(rng.choice([1.0, 1.5, 2.0])),
+            specs=default_gabor_specs(
+                phases=(0.0, 1.5708) if rng.random() < 0.5 else (0.0,)
+            ),
+        ),
+        energy_mode="sndenv",
+        delta_mode="sndenv" if rng.random() < 0.7 else "gaborview",
+    )
+    return cfg, sr
+
+
+def config_is_runnable(cfg: SndEnvConfig, sr: int) -> bool:
+    """Skip configs the reference itself cannot run (documented Go panics)."""
+    t = cfg.params.derive(sr)
+    # mel triangle wider than NFilters+2 bins -> reference panics
+    try:
+        SndEnvRef(cfg).init(np.zeros(max(t.segment_samples, 10)), sr)
+    except ValueError:
+        return False
+    # gabor wider than the mel matrix -> both sides raise; skip
+    if cfg.gabor.size_x > t.segment_steps:
+        return False
+    if cfg.gabor.size_y > cfg.mel.fbank.n_filters:
+        return False
+    # 'sndenv' energy quirk requires steps <= n_bins (reference would read OOB)
+    if t.segment_steps > t.n_bins:
+        return False
+    return True
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzzed_config_parity(seed):
+    rng = np.random.default_rng(1000 + seed)
+    cfg = sr = None
+    for _ in range(50):
+        c, s = sample_cfg(rng)
+        if config_is_runnable(c, s):
+            cfg, sr = c, s
+            break
+    assert cfg is not None, "no runnable config sampled"
+
+    t = cfg.params.derive(sr)
+    dur = (t.segment_samples + 2 * t.stride_samples + 321) / sr
+    sig = tone(float(rng.uniform(200, min(3500, sr / 2 - 500))), dur, sr)
+    env = SndEnv(cfg, sr, dtype=jnp.float64)
+    sig = env.pad(sig)
+    assert_segments_match(cfg, sig, sr)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzzed_4d_and_bytime_parity(seed):
+    """Fuzz the gabor output layouts too: 4-D pooled (with consistent pool
+    counts) and 2-D byTime."""
+    from auditory_tpu.dsp.gabor import gabor_out_counts
+
+    rng = np.random.default_rng(5000 + seed)
+    cfg = sr = None
+    for _ in range(50):
+        c, s = sample_cfg(rng)
+        if config_is_runnable(c, s):
+            cfg, sr = c, s
+            break
+    assert cfg is not None
+
+    t = cfg.params.derive(sr)
+    if rng.random() < 0.5:
+        # consistent 4-D pools from the valid conv counts
+        fc, tc = gabor_out_counts(
+            (cfg.mel.fbank.n_filters, t.segment_steps), cfg.gabor, None
+        )
+        cfg = dataclasses.replace(
+            cfg, gbor_out_pools_y=fc, gbor_out_pools_x=tc,
+            gbor_out_units_y=2, gbor_out_units_x=cfg.gabor.n_filters,
+        )
+    else:
+        cfg = dataclasses.replace(cfg, by_time=True)
+
+    dur = (t.segment_samples + 2 * t.stride_samples + 123) / sr
+    sig = tone(float(rng.uniform(300, min(3000, sr / 2 - 600))), dur, sr)
+    env = SndEnv(cfg, sr, dtype=jnp.float64)
+    sig = env.pad(sig)
+    assert_segments_match(cfg, sig, sr)
