@@ -127,7 +127,7 @@ class SegmentPipeline:
             if spectrum_method == "matmul"
             else None
         )
-        self._jit_cache: Dict[Tuple[int, int], any] = {}
+        self._jit_cache: Dict[Tuple[int, int], object] = {}
 
     # gbv.go:489-492 -- the reference's literal "round up" arithmetic
     def steps_total(self, start_ms: float, end_ms: float) -> int:

@@ -106,7 +106,7 @@ class StreamingProcessor:
         self.segment = -1
         self.more_segments = False
         self.signal: Optional[np.ndarray] = None
-        self._jit_cache: Dict[Tuple[int, int], any] = {}
+        self._jit_cache: Dict[Tuple[int, int], object] = {}
 
     # processspeech.go:406-422
     def pad(self, signal: np.ndarray) -> np.ndarray:

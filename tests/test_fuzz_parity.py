@@ -133,3 +133,47 @@ def test_fuzzed_4d_and_bytime_parity(seed):
     env = SndEnv(cfg, sr, dtype=jnp.float64)
     sig = env.pad(sig)
     assert_segments_match(cfg, sig, sr)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_online_matches_offline(seed):
+    """Fuzz the streaming path's border/span geometry against offline."""
+    from auditory_tpu.pipeline.online import OnlineSndEnv
+
+    rng = np.random.default_rng(9000 + seed)
+    cfg = sr = None
+    for _ in range(50):
+        c, s = sample_cfg(rng)
+        if not config_is_runnable(c, s):
+            continue
+        try:
+            OnlineSndEnv(c, s, dtype=jnp.float64)
+        except ValueError:
+            continue  # border offset not ms-representable
+        cfg, sr = c, s
+        break
+    assert cfg is not None
+
+    t = cfg.params.derive(sr)
+    dur = (t.segment_samples + 3 * t.stride_samples + 77) / sr
+    sig = tone(float(rng.uniform(300, min(3000, sr / 2 - 600))), dur, sr)
+    env = SndEnv(cfg, sr, dtype=jnp.float64, spectrum_method="fft")
+    offline = env.process(env.pad(sig))
+
+    online = OnlineSndEnv(cfg, sr, dtype=jnp.float64)
+    got = {}
+    i = 0
+    while i < len(sig):
+        n = int(rng.integers(100, 4000))
+        got.update(dict(online.feed(sig[i : i + n])))
+        i += n
+    got.update(dict(online.flush()))
+    assert len(got) == offline.power_segment.shape[0], (
+        len(got), offline.power_segment.shape[0],
+    )
+    for k in got:
+        np.testing.assert_allclose(
+            np.asarray(got[k].mel_fbank_segment),
+            np.asarray(offline.mel_fbank_segment[k]),
+            atol=1e-9, err_msg=f"seed {seed} segment {k}",
+        )
