@@ -127,11 +127,12 @@ class BatchedSndEnv:
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
         def program(signals, lengths):
-            out, seg_valid = batch_program(signals, lengths)
+            res = batch_program(signals, lengths)
+            out, seg_valid, rest = res[0], res[1], res[2:]
             out = jax.tree_util.tree_map(
                 seg_sharded, out, is_leaf=lambda v: v is None
             )
-            return out, seg_sharded(seg_valid)
+            return (out, seg_sharded(seg_valid)) + rest
 
         repl = replicated(self.mesh)
         return jax.jit(program, in_shardings=(repl, repl))
@@ -209,11 +210,13 @@ class CorpusRunner:
         save_keys: Sequence[str] = ("mel_fbank_segment", "gabor_kwta"),
         decode_threads: int = 8,
         bucket_quantum_s: float = 1.0,
+        feature_stats: bool = True,
     ):
         # only materialize what gets saved (XLA DCEs the rest)
         self.env = SndEnv(
             cfg, sample_rate, dtype=dtype,
             outputs=tuple(save_keys) + ("step_valid",),
+            feature_stats=feature_stats,
         )
         self.batched = BatchedSndEnv(self.env, mesh=mesh)
         self.batch_size = batch_size
@@ -329,6 +332,7 @@ class CorpusRunner:
         todo = [p for p in wav_paths if p not in done]
 
         stats = CorpusStats()
+        self._moments = {"sum": 0.0, "sumsq": 0.0, "count": 0.0}
         t0 = time.perf_counter()
         manifest = open(manifest_path, "a")
         try:
@@ -352,6 +356,20 @@ class CorpusRunner:
                 self._flush(items, blen, out_dir, add_ms, manifest, stats)
         finally:
             manifest.close()
+        if self.env.feature_stats and np.ndim(self._moments["sum"]):
+            # corpus-wide per-mel-band normalization statistics
+            cnt = max(float(self._moments["count"]), 1.0)
+            mean = self._moments["sum"] / cnt
+            var = np.maximum(self._moments["sumsq"] / cnt - mean**2, 0.0)
+            with open(os.path.join(out_dir, "feature_stats.json"), "w") as f:
+                json.dump(
+                    {
+                        "mel_mean": mean.tolist(),
+                        "mel_std": np.sqrt(var).tolist(),
+                        "count_steps": cnt,
+                    },
+                    f,
+                )
         stats.wall_seconds = time.perf_counter() - t0
         return stats
 
@@ -363,9 +381,16 @@ class CorpusRunner:
         for i, (_, sig) in enumerate(items):
             signals[i, : len(sig)] = sig
             lengths[i] = len(sig)
-        out, seg_valid = self.batched.process(signals, lengths, add_ms)
+        res = self.batched.process(signals, lengths, add_ms)
+        out, seg_valid = res[0], res[1]
         out = jax.block_until_ready(out)
         sv = np.asarray(seg_valid)
+        if len(res) > 2:
+            mom = res[2]
+            self._moments = {
+                k: self._moments[k] + np.asarray(v, dtype=np.float64)
+                for k, v in mom.items()
+            }
         # one device->host transfer per key per batch (per-item transfers
         # would pay a host round trip each)
         host = {

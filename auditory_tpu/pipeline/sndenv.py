@@ -113,8 +113,14 @@ class SndEnv:
         use_pallas: Optional[bool] = None,
         outputs: Optional[Tuple[str, ...]] = None,
         channels: int = 1,
+        feature_stats: bool = False,
     ):
-        """``channels``: number of interleaved channels in the signal, used
+        """``feature_stats``: additionally return per-mel-band moment
+        accumulators (sum, sumsq, count over all valid steps) for corpus
+        feature normalization; on a sharded mesh this reduction is the
+        pipeline's one cross-device collective.
+
+        ``channels``: number of interleaved channels in the signal, used
         only by the SegCnt arithmetic (sndenv.go:263-265 divides by
         Sound.Channels()); the reference's SndToWindow itself is mono-only.
 
@@ -126,6 +132,7 @@ class SndEnv:
         self.cfg = cfg
         self.sample_rate = sample_rate
         self.channels = int(channels)
+        self.feature_stats = bool(feature_stats)
         if outputs is not None:
             unknown = set(outputs) - set(self.ALL_OUTPUTS)
             if unknown:
@@ -518,6 +525,19 @@ class SndEnv:
                         if f not in self.outputs
                     },
                 )
+            if self.feature_stats:
+                # per-mel-band moment accumulators over all VALID steps of all
+                # utterances: on a batch-sharded mesh these reductions make
+                # XLA insert the cross-device all-reduce (the only collective
+                # the pipeline needs; SURVEY.md section 5)
+                fmask = (valid & seg_valid[..., None])[..., None]
+                mel_valid = jnp.where(fmask, mel_vals, 0)
+                stats = {
+                    "sum": jnp.sum(mel_valid, axis=(0, 1, 2)),
+                    "sumsq": jnp.sum(mel_valid * mel_valid, axis=(0, 1, 2)),
+                    "count": jnp.sum(fmask.astype(mel_vals.dtype)),
+                }
+                return out, seg_valid, stats
             return out, seg_valid
 
         return program
@@ -537,11 +557,11 @@ class SndEnv:
         signal = jnp.asarray(signal)
         n = signal.shape[-1]
         fn = self.process_fn(n, add_ms)
-        out, _ = fn(
+        res = fn(
             signal[None],
             jnp.asarray([n if signal_len is None else signal_len]),
         )
-        return _tree_squeeze0(out)
+        return _tree_squeeze0(res[0])
 
     def pad(self, signal: np.ndarray, value: float = 0.0) -> np.ndarray:
         """SndEnv.Pad (sndenv.go:510-519)."""

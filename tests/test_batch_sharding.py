@@ -146,7 +146,9 @@ def test_cli_corpus_mesh(tmp_path):
         "--rate", str(SR), "--mesh", "--no-kwta", "--batch-size", "4",
     ])
     assert rc == 0
-    assert len(list(os.listdir(out))) == 5  # 4 npz + manifest
+    files = set(os.listdir(out))
+    assert sum(f.endswith(".npz") for f in files) == 4
+    assert "manifest.jsonl" in files and "feature_stats.json" in files
 
 
 def test_corpus_same_basename_no_clobber(tmp_path):
@@ -177,3 +179,42 @@ def test_out_names_flatten_collision(tmp_path):
     p2 = str(tmp_path / "DR1" / "A_S1.wav")
     stems = CorpusRunner._out_names([p1, p2])
     assert len(set(stems.values())) == 2, stems
+
+
+def test_feature_stats(tmp_path):
+    """Corpus feature-normalization statistics: written, correct, and equal
+    with and without mesh sharding (the sharded reduction is the pipeline's
+    one collective)."""
+    import jax.numpy as jnp
+
+    from auditory_tpu.pipeline.batch import CorpusRunner
+
+    wavs = []
+    for i in range(4):
+        p = str(tmp_path / f"s{i}.wav")
+        write_wav(p, float_to_wave(tone(400 + 300 * i, 0.3, SR), SR))
+        wavs.append(p)
+
+    r1 = CorpusRunner(default_cfg_2d(), SR, batch_size=4)
+    r1.run(wavs, str(tmp_path / "o1"))
+    s1 = json.load(open(tmp_path / "o1" / "feature_stats.json"))
+    assert len(s1["mel_mean"]) == 32 and s1["count_steps"] > 0
+
+    r2 = CorpusRunner(default_cfg_2d(), SR, batch_size=4, mesh=make_mesh())
+    r2.run(wavs, str(tmp_path / "o2"))
+    s2 = json.load(open(tmp_path / "o2" / "feature_stats.json"))
+    np.testing.assert_allclose(s1["mel_mean"], s2["mel_mean"], rtol=1e-5)
+    np.testing.assert_allclose(s1["mel_std"], s2["mel_std"], rtol=1e-4)
+
+    # sanity: mean must equal the masked mean of the saved features
+    mels = []
+    for i in range(4):
+        m = np.load(tmp_path / "o1" / f"s{i}.npz")["mel_fbank_segment"]
+        mels.append(m.transpose(0, 2, 1).reshape(-1, 32))
+    allm = np.concatenate(mels)
+    # saved npz excludes invalid steps' zeros? they are zero columns included;
+    # compare against stats count instead: mean over count_steps
+    total = allm.sum(axis=0)
+    # stats count all valid steps incl. zero-valued ones; rough agreement:
+    approx_mean = total / s1["count_steps"]
+    np.testing.assert_allclose(approx_mean, s1["mel_mean"], atol=1e-6)
