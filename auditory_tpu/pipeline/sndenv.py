@@ -344,7 +344,7 @@ class SndEnv:
             self.use_pallas
             and seg_cnt_static > 0
             and map_idx_np is not None  # uniform window grid only
-            and supported_geometry(t.step_samples)
+            and supported_geometry(t.step_samples, win=t.win_samples)
         )
 
         def _apply_kwta(fn, raw, ext_gi=None):
