@@ -52,17 +52,12 @@ def _round_up(x: int, m: int) -> int:
 def supported_geometry(
     step_samples: int, max_block: int = 64, win: int = 0
 ) -> bool:
-    """True when the residue period p = 128/gcd(step,128) fits in one block
-    and the block tile covers one load chunk (win + residue slack)."""
+    """True when the residue period p = 128/gcd(step,128) fits in one block.
+    (The ``win`` argument is accepted for call-site stability; the whole-row
+    kernel has no tile constraint.)"""
+    del win
     p = 128 // math.gcd(step_samples, 128)
-    if p > max_block:
-        return False
-    if win:
-        block = _round_up(max(p, 64), p)
-        chunk = _round_up(win, 128) + 128
-        if block * step_samples < chunk:
-            return False
-    return True
+    return p <= max_block
 
 
 def residue_grouping(rems: Tuple[int, ...]):
@@ -113,28 +108,19 @@ def _make_kernel(
     # caller de-permutes with a static row gather (see residue_grouping)
     variant_slots, _ = residue_grouping(rems)
 
-    tile_len = block * step
-
-    def kernel(tile_ref, halo_ref, cos_ref, sin_ref, melw_ref,
-               power_ref, logp_ref, mel_ref):
-        # each grid step sees its own signal tile [tile_len] plus the NEXT
-        # tile as halo (both selected by BlockSpec index maps); window slot
-        # offsets within the tile are compile-time constants, so every read
-        # is a static 128-aligned slice -- no dynamic indexing at all
-        def load_row(u):
-            base = stat_aligned[u]
-            end = base + chunk
-            if end <= tile_len:
-                return tile_ref[0, 0, base:end]
-            spill = end - tile_len
-            return jnp.concatenate(
-                [tile_ref[0, 0, base:tile_len], halo_ref[0, 0, 0:spill]]
-            )
+    def kernel(signal_ref, cos_ref, sin_ref, melw_ref, power_ref, logp_ref, mel_ref):
+        wblk = pl.program_id(1)
+        # dynamic block base on the signal axis; multiple of 128 because
+        # block*step is (block is padded to the residue period)
+        dyn = wblk * (block * step)
 
         re_groups = []
         im_groups = []
         for v in range(n_residues):
-            rows = [load_row(u) for u in variant_slots[v]]
+            rows = []
+            for u in variant_slots[v]:
+                aligned = pl.multiple_of(dyn + stat_aligned[u], 128)
+                rows.append(signal_ref[0, 0, pl.ds(aligned, chunk)])
             group = jnp.stack(rows)  # [block/period, chunk]
             re_groups.append(
                 jnp.dot(group, cos_ref[v], preferred_element_type=jnp.float32)
@@ -199,33 +185,22 @@ def fused_frame_power_mel(
     block = _round_up(max(p, 64), p)  # meatier blocks: fewer grid steps, M=block/p rows per matmul
     if not supported_geometry(step_samples, max_block=64, win=win):
         raise ValueError(
-            f"step={step_samples}, win={win}: geometry unsupported by the "
+            f"step={step_samples}: residue period {p} too large for the "
             "aligned-load kernel; use the XLA path"
         )
 
-    # normalize the grid so window 0 starts at padded position 0: left-pad
-    # for negative offsets, left-slice for positive ones (c0 == 0 keeps the
-    # per-slot tile offsets identical in every tile)
-    signals = signals.astype(jnp.float32)
-    if offset0 > 0:
-        signals = signals[:, offset0:]
-        s -= offset0
-        offset0 = 0
-    left = -offset0
-    c0 = 0
+    # left-pad so window 0 starts at a nonnegative position, then choose the
+    # pad so position 0 keeps the residues' static pattern
+    left = max(0, -offset0)
+    c0 = offset0 + left  # first start within the padded signal, >= 0
     n_pad = _round_up(max(n_windows, 1), block)
-    tile_len = block * step_samples  # multiple of 128 by construction
-    if tile_len < chunk:
-        raise ValueError(
-            f"tile {tile_len} shorter than the load chunk {chunk}; use the "
-            "XLA path (supported_geometry with win should have caught this)"
-        )
-    n_tiles = n_pad // block
-    # one extra tile at the end serves as the last tile's halo
-    total = (n_tiles + 1) * tile_len
-    right = max(0, total - (s + left))
-    sig = jnp.pad(signals, ((0, 0), (left, right)))[:, : total]
-    sig = sig[:, None, :]  # [B, 1, (n_tiles+1)*tile_len]
+    last = (n_pad - 1) * step_samples + c0 + chunk
+    right = max(0, last - (s + left))
+    sig = jnp.pad(signals.astype(jnp.float32), ((0, 0), (left, right)))
+    s_pad = _round_up(sig.shape[1], 128)
+    if s_pad != sig.shape[1]:
+        sig = jnp.pad(sig, ((0, 0), (0, s_pad - sig.shape[1])))
+    sig = sig[:, None, :]  # [B, 1, s_pad]
 
     # static per-slot geometry within a block
     starts_u = [step_samples * u + c0 for u in range(block)]
@@ -269,9 +244,7 @@ def fused_frame_power_mel(
         kernel,
         grid=grid,
         in_specs=[
-            # own tile + next tile (halo); same array, shifted index map
-            pl.BlockSpec((1, 1, tile_len), lambda bi, wi: (bi, 0, wi)),
-            pl.BlockSpec((1, 1, tile_len), lambda bi, wi: (bi, 0, wi + 1)),
+            pl.BlockSpec((1, 1, s_pad), lambda bi, wi: (bi, 0, 0)),
             pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
             pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
             pl.BlockSpec((k_pad, m_pad), lambda bi, wi: (0, 0)),
@@ -285,10 +258,10 @@ def fused_frame_power_mel(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=4 * (b * total + b * n_pad * (2 * k_pad + m_pad)),
+            bytes_accessed=4 * (b * s_pad + b * n_pad * (2 * k_pad + m_pad)),
             transcendentals=b * n_pad * (k_pad + m_pad),
         ),
-    )(sig, sig, cos_v, sin_v, mel_weights)
+    )(sig, cos_v, sin_v, mel_weights)
 
     # de-permute grouped kernel output rows back to window order (shared
     # grouping definition with the kernel: residue_grouping)
