@@ -97,18 +97,23 @@ def mfcc_deltas(
     mode='gaborview' (gbv.go:590-592): d = nume / 2 * npn^2.
     """
     *batch, steps, ncoef = mfcc_seg.shape
-    s_idx = jnp.arange(steps)
     n_idx = jnp.arange(1, npn + 1)
-    sprv = jnp.clip(s_idx[:, None] - n_idx[None, :], 0, steps - 1)  # [steps, npn]
-    snxt = jnp.clip(s_idx[:, None] + n_idx[None, :], 0, steps - 1)
 
-    # gather: src[..., clamp(s +- n), i] -> [..., steps, npn, ncoef]
-    p = jnp.take(mfcc_seg, sprv.reshape(-1), axis=-2).reshape(
-        *batch, steps, npn, ncoef
-    )
-    x = jnp.take(mfcc_seg, snxt.reshape(-1), axis=-2).reshape(
-        *batch, steps, npn, ncoef
-    )
+    # clamped shifts built from slices + edge repeats (gathers are slow on
+    # TPU; this is pure data movement XLA fuses)
+    def shift_prev(k):  # [..., s, c] -> [..., clamp(s-k), c]
+        lead = jnp.repeat(mfcc_seg[..., :1, :], min(k, steps), axis=-2)
+        return jnp.concatenate(
+            [lead, mfcc_seg[..., : max(steps - k, 0), :]], axis=-2
+        )
+
+    def shift_next(k):
+        tail = jnp.repeat(mfcc_seg[..., -1:, :], min(k, steps), axis=-2)
+        return jnp.concatenate([mfcc_seg[..., k:, :], tail], axis=-2)
+
+    p = jnp.stack([shift_prev(k) for k in range(1, npn + 1)], axis=-2)
+    x = jnp.stack([shift_next(k) for k in range(1, npn + 1)], axis=-2)
+    # [..., steps, npn, ncoef]
     # flatten (i, n) in the reference loop order: i-major, n-minor
     p = jnp.moveaxis(p, -1, -2).reshape(*batch, steps, ncoef * npn)
     x = jnp.moveaxis(x, -1, -2).reshape(*batch, steps, ncoef * npn)

@@ -402,28 +402,49 @@ class SndEnv:
                         power[:, 0], logp[:, 0], mel_vals[:, 0]
                     )
 
-            if map_idx is not None:
-                # materialize segments from the shared global windows: a
-                # static row-gather over the *small* spectra
-                power = power[:, map_idx]
-                logp = logp[:, map_idx]
-                mel_vals = mel_vals[:, map_idx]
-            else:
-                # use_pallas requires the uniform grid, so map_idx is always
-                # set on that path
-                assert not use_pallas
-
             # step validity from the per-(seg, step) starts (sndenv.go:353-359
             # break semantics; see dsp/frame.py)
             ends = jnp.asarray(starts_np) + t.win_samples  # [seg, steps]
             valid = ends[None] <= lengths[:, None, None]
-
             vmask = valid[..., None]
-            power = jnp.where(vmask, power, 0)
-            logp = jnp.where(vmask, logp, 0)
-            mel_vals = jnp.where(vmask, mel_vals, 0)
 
-            en = energy(logp, cfg.energy_mode)  # [B, seg, steps]
+            # Energy reads only a narrow slice of the log-power bins (the
+            # reference's indexing quirks, dsp/mel.py::energy): expanding the
+            # full [.., n_bins] spectrum per segment just to sum 'steps' bins
+            # costs a wide gather, so slice BEFORE segment materialization.
+            en_bins = steps if cfg.energy_mode in ("sndenv", "gaborview") else None
+            logp_narrow = logp[..., :en_bins] if en_bins else logp
+
+            need_power = self.outputs is None or "power_segment" in self.outputs
+            need_logp = (
+                self.outputs is None or "log_power_segment" in self.outputs
+            )
+
+            if map_idx is not None:
+                # materialize segments from the shared global windows: static
+                # row-gathers over the *small* spectra (wide power/log-power
+                # only when those tensors are requested)
+                mel_vals = mel_vals[:, map_idx]
+                logp_narrow = logp_narrow[:, map_idx]
+                power = power[:, map_idx] if need_power else None
+                logp = logp[:, map_idx] if need_logp else None
+            else:
+                # use_pallas requires the uniform grid, so map_idx is always
+                # set on that path
+                assert not use_pallas
+                if not need_power:
+                    power = None
+                if not need_logp:
+                    logp = None
+
+            if power is not None:
+                power = jnp.where(vmask, power, 0)
+            if logp is not None:
+                logp = jnp.where(vmask, logp, 0)
+            mel_vals = jnp.where(vmask, mel_vals, 0)
+            logp_narrow = jnp.where(vmask, logp_narrow, 0)
+
+            en = energy(logp_narrow, cfg.energy_mode)  # [B, seg, steps]
 
             mfcc = deltas = ddeltas = None
             if cfg.mel.mfcc:
@@ -495,8 +516,12 @@ class SndEnv:
                 return jnp.where(m, x, jnp.zeros((), dtype=x.dtype))
 
             out = SndEnvOutputs(
-                power_segment=jnp.swapaxes(power, -1, -2),
-                log_power_segment=jnp.swapaxes(logp, -1, -2),
+                power_segment=(
+                    jnp.swapaxes(power, -1, -2) if power is not None else None
+                ),
+                log_power_segment=(
+                    jnp.swapaxes(logp, -1, -2) if logp is not None else None
+                ),
                 mel_fbank_segment=mel_fs,
                 energy=en,
                 mfcc_segment=(
