@@ -383,11 +383,15 @@ class SndEnv:
                     int(flat_starts_np[0]),
                     int(flat_starts_np.shape[0]),
                 )
-                logp = (
-                    log_power(power, cfg.dft)
-                    if cfg.dft.comp_log_pow
-                    else jnp.zeros_like(power)
+                need_full_logp = (
+                    self.outputs is None or "log_power_segment" in self.outputs
                 )
+                if need_full_logp and cfg.dft.comp_log_pow:
+                    logp = log_power(power, cfg.dft)
+                elif need_full_logp:
+                    logp = jnp.zeros_like(power)
+                else:
+                    logp = None  # energy uses the narrow slice below
                 mel_vals = apply_mel(power, mel_w, cfg.mel.fbank)
             else:
                 starts2d = (
@@ -409,11 +413,18 @@ class SndEnv:
             vmask = valid[..., None]
 
             # Energy reads only a narrow slice of the log-power bins (the
-            # reference's indexing quirks, dsp/mel.py::energy): expanding the
-            # full [.., n_bins] spectrum per segment just to sum 'steps' bins
-            # costs a wide gather, so slice BEFORE segment materialization.
+            # reference's indexing quirks, dsp/mel.py::energy): computing the
+            # full-width log and expanding it per segment just to sum 'steps'
+            # bins costs a wide transcendental + gather, so take the slice at
+            # the power stage (log of a slice == slice of the log).
+            from ..dsp.dft import log_power as _log_power
+
             en_bins = steps if cfg.energy_mode in ("sndenv", "gaborview") else None
-            logp_narrow = logp[..., :en_bins] if en_bins else logp
+            en_src = power[..., :en_bins] if en_bins else power
+            if cfg.dft.comp_log_pow:
+                logp_narrow = _log_power(en_src, cfg.dft)
+            else:
+                logp_narrow = jnp.zeros_like(en_src)
 
             need_power = self.outputs is None or "power_segment" in self.outputs
             need_logp = (
@@ -427,7 +438,11 @@ class SndEnv:
                 mel_vals = mel_vals[:, map_idx]
                 logp_narrow = logp_narrow[:, map_idx]
                 power = power[:, map_idx] if need_power else None
-                logp = logp[:, map_idx] if need_logp else None
+                logp = (
+                    logp[:, map_idx]
+                    if (need_logp and logp is not None)
+                    else None
+                )
             else:
                 # use_pallas requires the uniform grid, so map_idx is always
                 # set on that path
