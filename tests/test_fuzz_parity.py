@@ -177,3 +177,63 @@ def test_fuzzed_online_matches_offline(seed):
             np.asarray(offline.mel_fbank_segment[k]),
             atol=1e-9, err_msg=f"seed {seed} segment {k}",
         )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_segment_pipeline(seed):
+    """Fuzz the gaborview segment path: random slices + gabor geometry vs a
+    literal per-step oracle run (goref building blocks + gbv quirks)."""
+    from auditory_tpu.config import GaborSet, KWTAParams, default_gabor_specs
+    from auditory_tpu.config import msec_to_samples
+    from auditory_tpu.pipeline.segments import SegmentPipeline, SegmentWindowParams
+    from auditory_tpu.refemu import goref
+
+    rng = np.random.default_rng(12000 + seed)
+    sr = int(rng.choice([16000, 22050]))
+    gsize = int(rng.choice([6, 8]))
+    gset = GaborSet(
+        size_x=gsize, size_y=gsize,
+        stride_x=int(rng.integers(2, gsize + 1)),
+        stride_y=int(rng.integers(2, gsize + 1)),
+        gain=1.5, specs=default_gabor_specs(phases=(0.0,)),
+    )
+    wp = SegmentWindowParams(resize=bool(rng.random() < 0.7),
+                             border_steps=int(rng.integers(0, 3)))
+    from auditory_tpu.config import MelParams
+
+    mel_params = MelParams()
+    pipe = SegmentPipeline(
+        sr, wp, mel=mel_params, gabor=gset, kwta=KWTAParams(on=False),
+        dtype=jnp.float64, spectrum_method="fft",
+    )
+    sig = tone(float(rng.uniform(300, 3000)), 0.8, sr)
+    a = float(rng.uniform(30, 300))
+    b = a + float(rng.uniform(40, 250))
+    start_ms, end_ms, steps = pipe.setup(a, b)
+    out = pipe.process(sig, a, b)
+
+    # literal oracle at the same window starts
+    n_bins = pipe.win_samples // 2 + 1
+    nf = mel_params.fbank.n_filters
+    power = np.zeros(n_bins); logpow = np.zeros(n_bins)
+    power_seg = np.zeros((n_bins, steps)); logpow_seg = np.zeros((n_bins, steps))
+    fbank = np.zeros(nf); mel_seg = np.zeros((nf, steps))
+    bin_pts, _, tri = goref.init_filters(mel_params.fbank, pipe.win_samples, sr)
+    start_sample = msec_to_samples(start_ms, sr)
+    for s in range(steps):
+        st = start_sample + pipe.step_samples * (s - wp.border_steps)
+        en = st + pipe.win_samples
+        if en > len(sig):
+            break
+        window = (np.concatenate([np.zeros(-st), sig[:en]]) if st < 0
+                  else sig[st:en])
+        goref.dft_filter(pipe.dft, s, window, pipe.win_samples, power, logpow,
+                         power_seg, logpow_seg)
+        goref.filter_dft(mel_params, s, power, mel_seg, fbank, tri, bin_pts)
+    np.testing.assert_allclose(
+        np.asarray(out["mel_fbank_segment"]), mel_seg, atol=1e-5, rtol=0,
+        err_msg=f"seed {seed}",
+    )
+    e_ref = logpow_seg[:steps, :].sum(axis=0)
+    np.testing.assert_allclose(np.asarray(out["energy"]), e_ref,
+                               atol=1e-6, rtol=1e-9)
