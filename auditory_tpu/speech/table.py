@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 from typing import List
 
 from . import Sequence, Unit, adjust_sequence_times
-from . import grafestes, synthcvs, timit
+from . import grafestes, synthcvs, timit, vowels
 
 __all__ = ["SoundRow", "SoundsTable", "load_timit_sequence", "load_cv_sequence", "idx_from_snd"]
 
@@ -100,7 +100,7 @@ def load_cv_sequence(
 ) -> Sequence:
     """Build a Sequence for a synthcvs/grafestes CV recording: the
     transcription file lists CV names, the times file start/end seconds."""
-    mod = {"SYNTHCVS": synthcvs, "GRAFESTES": grafestes}[corpus]
+    mod = {"SYNTHCVS": synthcvs, "GRAFESTES": grafestes, "VOWELS": vowels}[corpus]
     seq = Sequence(file=wav_path, id=set_id, silence=silence)
     base = os.path.splitext(wav_path)[0]
     try:
@@ -122,4 +122,6 @@ def idx_from_snd(corpus: str, snd: str, set_id: str = "") -> tuple:
         return synthcvs.idx_from_snd(snd, set_id)
     if corpus == "GRAFESTES":
         return grafestes.idx_from_snd(snd, set_id)
+    if corpus == "VOWELS":
+        return vowels.idx_from_snd(snd, set_id)
     return -1, False

@@ -126,3 +126,55 @@ def test_adjust_sequence_times():
     assert seq.units[0].a_start == 50.0
     assert seq.units[0].a_end == 150.0
     assert seq.units[1].a_start == 150.0
+
+
+def test_vowels_loaders(tmp_path):
+    from auditory_tpu.speech import vowels
+
+    # the 12 Hillenbrand categories (vowels.go:25)
+    assert vowels.CATS == [
+        "ae", "ah", "aw", "eh", "ei", "er",
+        "ih", "iy", "oa", "oo", "uh", "uw",
+    ]
+    for i, cat in enumerate(vowels.CATS):
+        assert vowels.idx_from_snd(cat) == (i, True)
+        assert vowels.snd_from_idx(i) == (cat, True)
+    assert vowels.idx_from_snd("zz") == (-1, False)
+    assert vowels.snd_from_idx(12) == ("", False)
+    assert vowels.snd_from_idx(-1) == ("", False)
+
+    trans = tmp_path / "v.txt"
+    trans.write_text("header\nae iy uw\n")
+    names = vowels.load_transcription(str(trans))
+    assert names == ["ae", "iy", "uw"]
+
+    times = tmp_path / "v.times"
+    # backslash-prefixed frequency lines are skipped (vowels.go:66-68);
+    # blank line stops parsing; names-bound early return (vowels.go:84-86)
+    times.write_text(
+        "\\440 880\n0.10 0.35\n0.35 0.61\n\\100 200\n0.61 0.92\n1.0 2.0\n"
+    )
+    units = vowels.load_times(str(times), names)
+    assert len(units) == 3
+    assert [u.name for u in units] == ["ae", "iy", "uw"]
+    assert units[0].start == pytest.approx(100.0)
+    assert units[2].end == pytest.approx(920.0)
+
+    blank = tmp_path / "b.times"
+    blank.write_text("0.0 0.1\n\n0.2 0.3\n")
+    units = vowels.load_times(str(blank), ["ae", "ah"])
+    assert len(units) == 1  # blank line breaks (vowels.go:63-65)
+
+
+def test_vowels_table_dispatch(tmp_path):
+    from auditory_tpu.speech import table
+
+    assert table.idx_from_snd("VOWELS", "er") == (5, True)
+    trans = tmp_path / "v.txt"
+    trans.write_text("ae iy\n")
+    times = tmp_path / "v.times"
+    times.write_text("0.0 0.3\n0.3 0.6\n")
+    wav = tmp_path / "v.wav"
+    seq = table.load_cv_sequence(str(wav), corpus="VOWELS")
+    assert [u.name for u in seq.units] == ["ae", "iy"]
+    assert seq.units[1].a_end == pytest.approx(600.0)
