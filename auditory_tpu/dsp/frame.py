@@ -22,7 +22,7 @@ import numpy as np
 
 from ..config import DerivedTiming, msec_to_samples
 
-__all__ = ["window_starts", "extract_windows", "pad_signal", "tail_len"]
+__all__ = ["window_starts", "extract_windows", "pad_signal", "tail_len", "pad_len"]
 
 
 def window_starts(
@@ -74,14 +74,21 @@ def tail_len(n: int, timing: DerivedTiming) -> int:
     return int(np.fmod(temp, timing.stride_samples))
 
 
-def pad_signal(
-    signal: np.ndarray, timing: DerivedTiming, value: float = 0.0
-) -> np.ndarray:
-    """Right-pad so length divides evenly into strides (sndenv.go:510-519)."""
-    tail = tail_len(len(signal), timing)
-    pad_len = (
+def pad_len(n: int, timing: DerivedTiming) -> int:
+    """Right-pad length so ``n`` divides evenly into strides
+    (sndenv.go:510-519; the single source of truth for the Pad arithmetic,
+    also used by the online flush)."""
+    tail = tail_len(n, timing)
+    return (
         timing.segment_samples
         - timing.step_samples
         - int(np.fmod(tail, timing.step_samples))
     )
-    return np.concatenate([signal, np.full(pad_len, value, dtype=signal.dtype)])
+
+
+def pad_signal(
+    signal: np.ndarray, timing: DerivedTiming, value: float = 0.0
+) -> np.ndarray:
+    """Right-pad so length divides evenly into strides (sndenv.go:510-519)."""
+    n = pad_len(len(signal), timing)
+    return np.concatenate([signal, np.full(n, value, dtype=signal.dtype)])

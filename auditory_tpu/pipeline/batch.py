@@ -150,8 +150,26 @@ class BatchedSndEnv:
         add_ms: int = 0,
     ) -> Tuple[SndEnvOutputs, jnp.ndarray]:
         """signals [B, S] (padded), lengths [B] -> (outputs with leading
-        [B, seg] axes, seg_valid [B, seg])."""
+        [B, seg] axes, seg_valid [B, seg]).
+
+        Any batch size works on any mesh: when B is not a multiple of the
+        device count, the batch is padded internally with zero-length rows
+        (which the seg/step validity masks make inert, including in the
+        feature-stats moments) and the padded rows are sliced off the
+        returned outputs."""
         signals = jnp.asarray(signals)
+        b = signals.shape[0]
+        mult = self.batch_multiple
+        b_padded = pad_to_multiple(b, mult)
+        if b_padded != b:
+            pad = b_padded - b
+            signals = jnp.concatenate(
+                [signals, jnp.zeros((pad,) + signals.shape[1:], signals.dtype)]
+            )
+            lengths = jnp.concatenate(
+                [jnp.asarray(lengths, dtype=jnp.int32),
+                 jnp.zeros(pad, dtype=jnp.int32)]
+            )
         fn = self.process_fn(signals.shape[-1], add_ms)
         if self.mesh is not None and self.shard_axis == "batch":
             signals = jax.device_put(
@@ -168,7 +186,14 @@ class BatchedSndEnv:
             )
         else:
             lengths = jnp.asarray(lengths, dtype=jnp.int32)
-        return fn(signals, lengths)
+        res = fn(signals, lengths)
+        if b_padded != b:
+            trim = lambda x: None if x is None else x[:b]
+            out = jax.tree_util.tree_map(
+                trim, res[0], is_leaf=lambda v: v is None
+            )
+            res = (out, res[1][:b]) + res[2:]
+        return res
 
     @property
     def batch_multiple(self) -> int:
@@ -374,10 +399,9 @@ class CorpusRunner:
         return stats
 
     def _flush(self, items, blen, out_dir, add_ms, manifest, stats):
-        mult = self.batched.batch_multiple
-        b = pad_to_multiple(len(items), mult)
-        signals = np.zeros((b, blen), dtype=np.float32)
-        lengths = np.zeros(b, dtype=np.int32)
+        # mesh padding happens inside BatchedSndEnv.process
+        signals = np.zeros((len(items), blen), dtype=np.float32)
+        lengths = np.zeros(len(items), dtype=np.int32)
         for i, (_, sig) in enumerate(items):
             signals[i, : len(sig)] = sig
             lengths[i] = len(sig)

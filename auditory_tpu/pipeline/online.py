@@ -153,15 +153,11 @@ class OnlineSndEnv:
         if self._closed:
             return
         self._closed = True
-        import math as _math
+        from ..dsp.frame import pad_len
 
         t = self.env.timing
         stream_end = self._stream_pos + len(self._buf)  # real audio end, fixed
-        tail = int(_math.fmod(stream_end - t.segment_samples, t.stride_samples))
-        pad_len = (
-            t.segment_samples - t.step_samples - int(_math.fmod(tail, t.step_samples))
-        )
-        padded_end = stream_end + pad_len
+        padded_end = stream_end + pad_len(stream_end, t)
         # offline SegCnt on the padded signal: segments with
         # k*stride + SegmentSamples <= padded_end (sndenv.go:263-265)
         while self._next_seg * t.stride_samples + t.segment_samples <= padded_end:

