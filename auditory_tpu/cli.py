@@ -149,51 +149,111 @@ def cmd_corpus(args) -> int:
     return 0
 
 
-def cmd_segment(args) -> int:
-    """Headless gaborview: process one phone/time-slice of an utterance."""
+def _segment_slice(args, prefix="") -> tuple:
+    """Resolve a (start_ms, end_ms, label) slice from --phn/--unit or
+    --start-ms/--end-ms (B side falls back to the A side's slice when its
+    own flags are unset, like gaborview's independent CurSnd1/CurSnd2)."""
+    from .speech import timit
+
+    g = lambda name: getattr(args, prefix + name)
+    start_ms, end_ms = g("start_ms"), g("end_ms")
+    label = None if prefix else "(time slice)"
+    unit = g("unit")
+    if args.phn and (not prefix or unit is not None):
+        units = timit.load_times(args.phn, fuse=args.fuse)
+        idx = unit if unit is not None else 0
+        if not 0 <= idx < len(units):
+            raise ValueError(
+                f"unit index {idx} out of range (file has {len(units)})"
+            )
+        u = units[idx]
+        start_ms, end_ms, label = u.start, u.end, u.name
+    return start_ms, end_ms, label
+
+
+def _segment_pipeline(args, w, prefix=""):
+    """Build a SegmentPipeline from (possibly B-prefixed) CLI flags; any
+    unset B flag inherits the A value (gbv.go:243-258 dual param stacks)."""
     import jax.numpy as jnp
 
     from .pipeline.segments import SegmentPipeline, SegmentWindowParams
-    from .speech import timit
+
+    def g(name):
+        v = getattr(args, prefix + name, None) if prefix else None
+        return getattr(args, name) if v is None else v
+
+    gset = GaborSet(
+        size_x=g("gabor_size"), size_y=g("gabor_size"),
+        stride_x=g("gabor_stride_x"), stride_y=g("gabor_stride_y"),
+        gain=g("gabor_gain"),
+        specs=default_gabor_specs(
+            phases=(0.0, 1.5708) if g("gabor_phases") == 2 else (0.0,)
+        ),
+    )
+    return SegmentPipeline(
+        w.sample_rate,
+        SegmentWindowParams(
+            win_ms=g("win_ms"), step_ms=g("step_ms"),
+            resize=not args.no_resize,
+        ),
+        mel=MelParams(fbank=FilterBank(n_filters=g("mel_filters"))),
+        gabor=gset,
+        dtype=jnp.float64 if args.f64 else jnp.float32,
+    )
+
+
+def cmd_segment(args) -> int:
+    """Headless gaborview: process one phone/time-slice of an utterance;
+    with --compare, run a second (B) parameter stack on the same (or another)
+    slice and report the differences -- the reference app's A/B capability
+    (gbv.go:243-258, 952-1207)."""
+    from .pipeline.segments import compare_segments
 
     w = load_wav(args.file)
     sig = w.sound_to_tensor()
 
-    start_ms, end_ms, label = args.start_ms, args.end_ms, "(time slice)"
-    if args.phn:
-        units = timit.load_times(args.phn, fuse=args.fuse)
-        if not 0 <= args.unit < len(units):
-            print(
-                f"unit index {args.unit} out of range (file has {len(units)})",
-                file=sys.stderr,
-            )
-            return 1
-        u = units[args.unit]
-        start_ms, end_ms, label = u.start, u.end, u.name
+    try:
+        start_ms, end_ms, label = _segment_slice(args)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
     if end_ms is None or start_ms is None:
         print("need --phn or both --start-ms/--end-ms", file=sys.stderr)
         return 1
 
-    gset = GaborSet(
-        size_x=8, size_y=8, stride_x=6, stride_y=3, gain=1.5,
-        specs=default_gabor_specs(phases=(0.0,)),
-    )
-    pipe = SegmentPipeline(
-        w.sample_rate,
-        SegmentWindowParams(resize=not args.no_resize),
-        gabor=gset,
-        dtype=jnp.float64 if args.f64 else jnp.float32,
-    )
+    pipe = _segment_pipeline(args, w)
     s, e, steps = pipe.setup(start_ms, end_ms)
-    out = pipe.process(sig, start_ms, end_ms)
-    arrays = {k: np.asarray(v) for k, v in out.items() if v is not None}
-    np.savez(args.out, **arrays)
-    print(
-        f"{args.file} [{label}] {start_ms:.0f}-{end_ms:.0f} ms "
-        f"(resized {s:.0f}-{e:.0f}, {steps} steps) -> {args.out}: "
-        f"mel {arrays['mel_fbank_segment'].shape}, "
-        f"gabor {arrays['gabor_kwta'].shape}"
+
+    if not args.compare:
+        out = pipe.process(sig, start_ms, end_ms)
+        arrays = {k: np.asarray(v) for k, v in out.items() if v is not None}
+        np.savez(args.out, **arrays)
+        print(
+            f"{args.file} [{label}] {start_ms:.0f}-{end_ms:.0f} ms "
+            f"(resized {s:.0f}-{e:.0f}, {steps} steps) -> {args.out}: "
+            f"mel {arrays['mel_fbank_segment'].shape}, "
+            f"gabor {arrays['gabor_kwta'].shape}"
+        )
+        return 0
+
+    try:
+        b_start, b_end, b_label = _segment_slice(args, prefix="b_")
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    pipe_b = _segment_pipeline(args, w, prefix="b_")
+    res = compare_segments(
+        pipe, pipe_b, sig, start_ms, end_ms,
+        start_ms_b=b_start, end_ms_b=b_end,
     )
+    arrays = {}
+    for side in ("a", "b"):
+        for k, v in res[side].items():
+            if v is not None:
+                arrays[f"{side}_{k}"] = np.asarray(v)
+    np.savez(args.out, **arrays)
+    print(f"A [{label}] vs B [{b_label or label}] -> {args.out}")
+    print(json.dumps(res["diff"], indent=1, default=str))
     return 0
 
 
@@ -263,6 +323,30 @@ def main(argv=None) -> int:
     p.add_argument("--no-resize", action="store_true")
     p.add_argument("--out", default="segment.npz")
     p.add_argument("--f64", action="store_true")
+    # A-side params (defaults per gbv.go InitGabors/WinDefaults)
+    p.add_argument("--win-ms", type=float, default=25.0)
+    p.add_argument("--step-ms", type=float, default=10.0)
+    p.add_argument("--mel-filters", type=int, default=32)
+    p.add_argument("--gabor-size", type=int, default=8)
+    p.add_argument("--gabor-stride-x", type=int, default=6)
+    p.add_argument("--gabor-stride-y", type=int, default=3)
+    p.add_argument("--gabor-gain", type=float, default=1.5)
+    p.add_argument("--gabor-phases", type=int, default=1, choices=(1, 2))
+    # B-side params for --compare (unset -> inherit the A value;
+    # gbv.go:243-258 dual WParams/PParams/GParams)
+    p.add_argument("--compare", action="store_true",
+                   help="run a second (B) parameter stack and diff outputs")
+    p.add_argument("--b-unit", type=int, default=None)
+    p.add_argument("--b-start-ms", type=float, default=None)
+    p.add_argument("--b-end-ms", type=float, default=None)
+    p.add_argument("--b-win-ms", type=float, default=None)
+    p.add_argument("--b-step-ms", type=float, default=None)
+    p.add_argument("--b-mel-filters", type=int, default=None)
+    p.add_argument("--b-gabor-size", type=int, default=None)
+    p.add_argument("--b-gabor-stride-x", type=int, default=None)
+    p.add_argument("--b-gabor-stride-y", type=int, default=None)
+    p.add_argument("--b-gabor-gain", type=float, default=None)
+    p.add_argument("--b-gabor-phases", type=int, default=None, choices=(1, 2))
     p.set_defaults(fn=cmd_segment)
 
     p = sub.add_parser("info", help="WAV metadata")

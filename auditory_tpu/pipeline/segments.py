@@ -46,7 +46,12 @@ from ..dsp.gabor import convolve, gabor_out_counts, to_layout_2d
 from ..dsp.mel import apply_mel, energy, mfcc_dct, mfcc_deltas
 from ..nn.kwta import kwta_layer
 
-__all__ = ["SegmentWindowParams", "resize_segment", "SegmentPipeline"]
+__all__ = [
+    "SegmentWindowParams",
+    "resize_segment",
+    "SegmentPipeline",
+    "compare_segments",
+]
 
 
 @dataclass(frozen=True)
@@ -233,3 +238,62 @@ class SegmentPipeline:
             self._jit_cache[key] = jax.jit(self._program(signal.shape[-1], steps))
         start_sample = msec_to_samples(start_ms, self.sample_rate)
         return self._jit_cache[key](signal, jnp.asarray(start_sample))
+
+
+def _activity_summary(arr: np.ndarray) -> Dict[str, float]:
+    return {
+        "shape": list(arr.shape),
+        "max_abs": float(np.max(np.abs(arr))) if arr.size else 0.0,
+        "mean": float(arr.mean()) if arr.size else 0.0,
+        "active_frac": float(np.mean(arr != 0)) if arr.size else 0.0,
+    }
+
+
+def compare_segments(
+    pipe_a: "SegmentPipeline",
+    pipe_b: "SegmentPipeline",
+    signal: np.ndarray,
+    start_ms: float,
+    end_ms: float,
+    signal_b: Optional[np.ndarray] = None,
+    start_ms_b: Optional[float] = None,
+    end_ms_b: Optional[float] = None,
+) -> Dict[str, object]:
+    """A/B dual-parameter comparison -- the gaborview app's core capability
+    (gbv.go:243-258 WParams1/2, PParams1/2, GParams1/2; dual result tabs
+    gbv.go:1209-1313): process the same time slice (or two different slices,
+    like the reference's CurSnd1/CurSnd2) through two independent parameter
+    stacks and summarize how the outputs differ.
+
+    Returns ``{"a": outputs, "b": outputs, "diff": {key: {...}}}`` where each
+    diff entry carries both sides' shape/max-abs/mean/active-fraction, the
+    active-fraction delta, and -- when the shapes agree -- the max-abs
+    elementwise difference.
+    """
+    out_a = pipe_a.process(signal, start_ms, end_ms)
+    out_b = pipe_b.process(
+        signal if signal_b is None else signal_b,
+        start_ms if start_ms_b is None else start_ms_b,
+        end_ms if end_ms_b is None else end_ms_b,
+    )
+    diff: Dict[str, Dict[str, object]] = {}
+    for k in sorted(set(out_a) | set(out_b)):
+        va, vb = out_a.get(k), out_b.get(k)
+        if va is None or vb is None:
+            diff[k] = {"only_in": "a" if vb is None else "b"}
+            continue
+        na, nb = np.asarray(va), np.asarray(vb)
+        if na.dtype == bool:
+            na = na.astype(np.float64)
+        if nb.dtype == bool:
+            nb = nb.astype(np.float64)
+        sa, sb = _activity_summary(na), _activity_summary(nb)
+        entry: Dict[str, object] = {
+            "a": sa,
+            "b": sb,
+            "active_frac_delta": sb["active_frac"] - sa["active_frac"],
+        }
+        if na.shape == nb.shape:
+            entry["max_abs_diff"] = float(np.max(np.abs(na - nb))) if na.size else 0.0
+        diff[k] = entry
+    return {"a": out_a, "b": out_b, "diff": diff}

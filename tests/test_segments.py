@@ -1,6 +1,8 @@
 """gaborview-equivalent segment pipeline: resize arithmetic, steps quirk,
 stage parity against the literal oracle building blocks."""
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -138,3 +140,86 @@ def test_segment_kwta_on():
     kw = np.asarray(out["gabor_kwta"])
     assert kw.shape == raw.shape
     assert (kw > 0.1).mean() <= (raw > 0.1).mean() + 1e-9
+
+
+def test_compare_segments_api():
+    """A/B dual-parameter comparison (gbv.go:243-258): two independent param
+    stacks over the same slice must produce the documented differing shapes
+    and values, and the diff summary must reflect it."""
+    from auditory_tpu.pipeline.segments import compare_segments
+
+    sig = tone(1000.0, 0.5, SR)
+    pipe_a = SegmentPipeline(
+        SR, SegmentWindowParams(), gabor=gbv_gabor(),
+        dtype=jnp.float64, spectrum_method="fft",
+    )
+    # B: different gabor gain and fewer mel filters; same gabor geometry so
+    # the resize (which depends on size/stride, gbv.go:456-479) is identical
+    # and the window/power stages stay comparable
+    gset_b = GaborSet(
+        size_x=8, size_y=8, stride_x=6, stride_y=3, gain=3.0,
+        specs=default_gabor_specs(phases=(0.0,)),
+    )
+    pipe_b = SegmentPipeline(
+        SR, SegmentWindowParams(),
+        mel=MelParams(fbank=dataclasses.replace(
+            MelParams().fbank, n_filters=26)),
+        gabor=gset_b, dtype=jnp.float64, spectrum_method="fft",
+    )
+    res = compare_segments(pipe_a, pipe_b, sig, 50.0, 330.0)
+    a, b, diff = res["a"], res["b"], res["diff"]
+    # differing mel filter count -> differing mel shape
+    assert np.asarray(a["mel_fbank_segment"]).shape[0] == 32
+    assert np.asarray(b["mel_fbank_segment"]).shape[0] == 26
+    assert "max_abs_diff" not in diff["mel_fbank_segment"]
+    # differing mel height -> differing gabor output height
+    ga = np.asarray(a["gabor_raw"])
+    gb = np.asarray(b["gabor_raw"])
+    assert ga.shape != gb.shape
+    # same-shaped tensors get an elementwise diff: power is identical
+    # (same window params), so max_abs_diff == 0
+    assert diff["power_segment"]["max_abs_diff"] == pytest.approx(0.0)
+    for k in ("a", "b"):
+        assert diff["gabor_raw"][k]["active_frac"] > 0
+
+
+def test_compare_segments_different_slices():
+    """B may analyze a different slice (CurSnd1 vs CurSnd2)."""
+    from auditory_tpu.pipeline.segments import compare_segments
+
+    sig = tone(800.0, 0.6, SR)
+    pipe = SegmentPipeline(
+        SR, SegmentWindowParams(), gabor=gbv_gabor(),
+        dtype=jnp.float64, spectrum_method="fft",
+    )
+    res = compare_segments(
+        pipe, pipe, sig, 50.0, 200.0, start_ms_b=300.0, end_ms_b=450.0
+    )
+    # same config + pure steady tone, different slice: shapes agree
+    assert (np.asarray(res["a"]["mel_fbank_segment"]).shape
+            == np.asarray(res["b"]["mel_fbank_segment"]).shape)
+    assert "max_abs_diff" in res["diff"]["mel_fbank_segment"]
+
+
+def test_cli_segment_compare(tmp_path):
+    from auditory_tpu.cli import main
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+
+    p = str(tmp_path / "t.wav")
+    write_wav(p, float_to_wave(tone(1200.0, 0.4, SR), SR))
+    out = str(tmp_path / "cmp.npz")
+    rc = main([
+        "segment", p, "--start-ms", "40", "--end-ms", "200",
+        "--compare", "--b-gabor-gain", "3.0",
+        "--out", out, "--f64",
+    ])
+    assert rc == 0
+    d = np.load(out)
+    # same windows -> identical power on both sides
+    np.testing.assert_allclose(
+        d["a_power_segment"], d["b_power_segment"], rtol=0, atol=0
+    )
+    # gain 1.5 vs 3.0 -> raw gabor activations scale by exactly 2
+    np.testing.assert_allclose(
+        2.0 * d["a_gabor_raw"], d["b_gabor_raw"], rtol=1e-9
+    )
