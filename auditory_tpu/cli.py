@@ -267,6 +267,47 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_viz(args) -> int:
+    """Headless PNG rendering of pipeline outputs and the gabor bank --
+    the reference's tensor-grid validation surface (gbv.go:1209-1313,
+    processspeech.go:503-512, agabor/gabor.go:318-326) without a GUI."""
+    from .utils import viz
+
+    try:
+        written = []
+        if args.npz:
+            written += viz.render_npz(
+                args.npz, args.out,
+                keys=args.keys.split(",") if args.keys else None,
+                max_panels=args.max_panels,
+            )
+        if args.gabor_bank:
+            gset = GaborSet(
+                size_x=args.gabor_size, size_y=args.gabor_size,
+                specs=default_gabor_specs(
+                    phases=(0.0, 1.5708) if args.gabor_phases == 2 else (0.0,)
+                ),
+            )
+            import os as _os
+
+            _os.makedirs(args.out, exist_ok=True)
+            written.append(
+                viz.render_gabor_bank(
+                    gset, _os.path.join(args.out, "gabor_bank.png")
+                )
+            )
+    except RuntimeError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    if not written:
+        print("nothing to render (pass an .npz and/or --gabor-bank)",
+              file=sys.stderr)
+        return 1
+    for p in written:
+        print(p)
+    return 0
+
+
 def cmd_play(args) -> int:
     """Host audio playback (reference sound/playwav.go:20-62 equivalent)."""
     w = load_wav(args.file)
@@ -352,6 +393,20 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="WAV metadata")
     p.add_argument("file")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser(
+        "viz", help="render pipeline .npz outputs / the gabor bank to PNGs"
+    )
+    p.add_argument("npz", nargs="?", help="pipeline output .npz to render")
+    p.add_argument("--out", default="viz", help="output directory")
+    p.add_argument("--keys", help="comma-separated subset of npz keys")
+    p.add_argument("--max-panels", type=int, default=16,
+                   help="max per-segment panels for 3-D tensors")
+    p.add_argument("--gabor-bank", action="store_true",
+                   help="also render the (default-spec) gabor filter bank")
+    p.add_argument("--gabor-size", type=int, default=9)
+    p.add_argument("--gabor-phases", type=int, default=2, choices=(1, 2))
+    p.set_defaults(fn=cmd_viz)
 
     p = sub.add_parser("play", help="play a WAV on the host audio device")
     p.add_argument("file")

@@ -1,0 +1,197 @@
+"""Headless visualization export.
+
+The reference validates by eye: GoGi tensor-grid tabs render power/mel/MFCC/
+gabor tensors (examples/gaborview/gbv.go:1209-1313,
+examples/processspeech/processspeech.go:503-512) and
+``agabor.FilterSet.ToTable`` exists "for display and validation purposes"
+(agabor/gabor.go:318-326). This module restores that capability without a GUI:
+render any pipeline ``.npz`` (or in-memory dict of arrays) and the rendered
+gabor bank to PNGs.
+
+matplotlib is an optional dependency, gated like the audio backend: callers
+get a clean :class:`RuntimeError` (and the CLI exits rc=2) when it is absent.
+
+Color rules (fixed, not configurable): magnitude tensors use a single
+perceptually-uniform, luminance-monotonic sequential ramp; signed tensors
+(gabor filters, MFCC deltas) use a two-hue diverging ramp centered on a
+neutral midpoint at zero. Identity/annotation text stays in neutral ink.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Mapping, Optional, Union
+
+import numpy as np
+
+__all__ = ["render_npz", "render_gabor_bank", "render_array"]
+
+_SEQ_CMAP = "magma"  # luminance-monotonic sequential (magnitude)
+_DIV_CMAP = "RdBu_r"  # two hues + neutral midpoint (polarity)
+
+
+def _require_mpl():
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")  # headless
+        import matplotlib.pyplot as plt
+    except ImportError as e:  # pragma: no cover - env without matplotlib
+        raise RuntimeError(
+            "visualization requires matplotlib, which is not installed"
+        ) from e
+    return plt
+
+
+def _cmap_and_norm(arr: np.ndarray):
+    """Sequential ramp for magnitudes; diverging ramp centered at 0 for
+    signed data (polarity must get a neutral midpoint, not a hue)."""
+    amin, amax = float(arr.min()), float(arr.max())
+    if amin < 0 < amax:
+        bound = max(abs(amin), abs(amax))
+        return _DIV_CMAP, -bound, bound
+    return _SEQ_CMAP, amin, amax
+
+
+def render_array(
+    arr: np.ndarray,
+    path: str,
+    title: str = "",
+    xlabel: str = "step",
+    ylabel: str = "",
+    max_panels: int = 16,
+) -> str:
+    """Render one tensor to ``path`` (PNG).
+
+    - 1-D: line plot over steps.
+    - 2-D [Y, X]: heatmap, origin lower (freq/mel row 0 at the bottom,
+      matching the reference's tensor-grid orientation).
+    - 3-D [seg, Y, X]: grid of per-segment heatmaps (first ``max_panels``)
+      with a shared scale and one colorbar.
+    """
+    plt = _require_mpl()
+    arr = np.asarray(arr)
+    if arr.dtype == bool:
+        arr = arr.astype(np.float64)
+
+    if arr.ndim == 1:
+        fig, ax = plt.subplots(figsize=(6, 2.5))
+        ax.plot(arr, lw=2, color="#2a6fdb")
+        ax.set_xlabel(xlabel)
+        ax.set_title(title, fontsize=10)
+        ax.grid(alpha=0.25, lw=0.5)
+    elif arr.ndim == 2:
+        fig, ax = plt.subplots(
+            figsize=(max(3.0, arr.shape[1] / 8), max(2.5, arr.shape[0] / 8))
+        )
+        cmap, vmin, vmax = _cmap_and_norm(arr)
+        im = ax.imshow(
+            arr, aspect="auto", origin="lower", cmap=cmap, vmin=vmin, vmax=vmax
+        )
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
+        ax.set_title(f"{title}  {arr.shape}", fontsize=10)
+        fig.colorbar(im, ax=ax, shrink=0.85)
+    elif arr.ndim == 3:
+        n = min(arr.shape[0], max_panels)
+        cols = min(n, 4)
+        rows = -(-n // cols)
+        cmap, vmin, vmax = _cmap_and_norm(arr[:n])
+        fig, axes = plt.subplots(
+            rows, cols, figsize=(3 * cols, 2.4 * rows), squeeze=False
+        )
+        im = None
+        for i in range(rows * cols):
+            ax = axes[i // cols][i % cols]
+            if i >= n:
+                ax.axis("off")
+                continue
+            im = ax.imshow(
+                arr[i], aspect="auto", origin="lower",
+                cmap=cmap, vmin=vmin, vmax=vmax,
+            )
+            ax.set_title(f"seg {i}", fontsize=8)
+            ax.tick_params(labelsize=6)
+        if arr.shape[0] > n:
+            fig.suptitle(
+                f"{title}  {arr.shape} (first {n} of {arr.shape[0]} segments)",
+                fontsize=10,
+            )
+        else:
+            fig.suptitle(f"{title}  {arr.shape}", fontsize=10)
+        if im is not None:
+            fig.colorbar(im, ax=[a for row in axes for a in row], shrink=0.8)
+    else:
+        # flatten leading axes to panels
+        return render_array(
+            arr.reshape((-1,) + arr.shape[-2:]), path, title, xlabel, ylabel,
+            max_panels,
+        )
+
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def render_npz(
+    data: Union[str, Mapping[str, np.ndarray]],
+    out_dir: str,
+    keys: Optional[List[str]] = None,
+    max_panels: int = 16,
+) -> List[str]:
+    """Render every array of a pipeline ``.npz`` (or dict) to
+    ``out_dir/<key>.png``; returns the written paths. The de-facto
+    validation surface of the reference (gbv.go:1209-1313)."""
+    if isinstance(data, str):
+        data = dict(np.load(data))
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for k in sorted(keys if keys is not None else data):
+        arr = np.asarray(data[k])
+        if arr.size == 0:
+            continue
+        ylabel = "mel band" if "mel" in k else ("freq bin" if "power" in k else "")
+        path = os.path.join(out_dir, f"{k}.png")
+        written.append(
+            render_array(arr, path, title=k, ylabel=ylabel, max_panels=max_panels)
+        )
+    return written
+
+
+def render_gabor_bank(gset, path: str) -> str:
+    """Render the full gabor filter bank (the agabor.FilterSet.ToTable
+    display surface, agabor/gabor.go:318-326) as a grid of diverging-ramp
+    patches annotated with orientation/wavelength/phase."""
+    plt = _require_mpl()
+    from ..dsp.design import gabor_table
+
+    table = gabor_table(gset)
+    filters = table["filters"]
+    n = filters.shape[0]
+    cols = min(n, 8)
+    rows = -(-n // cols)
+    bound = float(np.max(np.abs(filters))) or 1.0
+    fig, axes = plt.subplots(
+        rows, cols, figsize=(1.6 * cols, 1.9 * rows), squeeze=False
+    )
+    for i in range(rows * cols):
+        ax = axes[i // cols][i % cols]
+        ax.axis("off")
+        if i >= n:
+            continue
+        ax.imshow(
+            filters[i], cmap=_DIV_CMAP, vmin=-bound, vmax=bound,
+            origin="lower", interpolation="nearest",
+        )
+        ax.set_title(
+            f"{table['orientation'][i]:.0f}° λ={table['wavelen'][i]:.0f} "
+            f"φ={table['phase_offset'][i]:.2f}",
+            fontsize=7,
+        )
+    fig.suptitle(
+        f"gabor bank: {n} filters {table['size_y']}x{table['size_x']}",
+        fontsize=10,
+    )
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
