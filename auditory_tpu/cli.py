@@ -309,19 +309,63 @@ def cmd_viz(args) -> int:
 
 
 def cmd_play(args) -> int:
-    """Host audio playback (reference sound/playwav.go:20-62 equivalent)."""
+    """Host audio playback (reference sound/playwav.go:20-62 +
+    examples/play/play.go:164-179).
+
+    Flag parity with the play app: --rate/--channels/--depth configure the
+    playback stream the way the reference passes them into the oto context
+    (playwav.go:41), overriding the file header. Unset flags default to the
+    file's own header (a conscious deviation: the reference hardcodes
+    44100/2/2 and plays misconfigured audio; defaulting to the header plays
+    every file correctly while explicit flags reproduce the override).
+
+    Missing file: "File: X not found" like play.go:139-141, rc 1. No audio
+    backend: with --out-wav, re-encode the decoded audio at the requested
+    rate/channels/depth to that file (headless fallback, rc 0); else report
+    and rc 2.
+    """
+    import os
+
+    if not os.path.exists(args.file):
+        # PlayIt's missing-file message (play.go:139-141)
+        print(f"File: {args.file} not found", file=sys.stderr)
+        return 1
     w = load_wav(args.file)
-    sig = w.channel_signal(0, dtype=np.float32)
+    rate = args.rate if args.rate else w.sample_rate
+    channels = args.channels if args.channels else w.channels
+    depth_bits = 8 * args.depth if args.depth else w.source_bit_depth
+    sig = w.sound_to_tensor(dtype=np.float32)
     try:
         import sounddevice  # type: ignore
     except ImportError:
+        if args.out_wav:
+            from .io.wav import float_to_wave, write_wav
+
+            write_wav(
+                args.out_wav,
+                float_to_wave(
+                    sig, rate, bit_depth=depth_bits, channels=channels
+                ),
+            )
+            print(
+                f"no audio backend; wrote {args.out_wav} "
+                f"({rate} Hz, {channels} ch, {depth_bits}-bit, "
+                f"{len(sig)} samples)"
+            )
+            return 0
         print(
             "no audio backend available (sounddevice not installed); "
-            f"decoded {len(sig)} samples at {w.sample_rate} Hz OK",
+            f"decoded {len(sig)} samples at {rate} Hz OK "
+            "(pass --out-wav FILE to re-encode instead)",
             file=sys.stderr,
         )
         return 2
-    sounddevice.play(sig, w.sample_rate, blocking=True)
+    frames = (
+        sig[: len(sig) // channels * channels].reshape(-1, channels)
+        if channels > 1
+        else sig
+    )
+    sounddevice.play(frames, rate, blocking=True)
     return 0
 
 
@@ -409,7 +453,18 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_viz)
 
     p = sub.add_parser("play", help="play a WAV on the host audio device")
-    p.add_argument("file")
+    p.add_argument("file", help="wave file name (play.go -file)")
+    p.add_argument("--rate", type=int, default=None,
+                   help="sample rate, e.g. 44100/22050/11025 (play.go -rate);"
+                   " default: file header")
+    p.add_argument("--channels", type=int, default=None,
+                   help="channel count (play.go -channels); default: header")
+    p.add_argument("--depth", type=int, default=None,
+                   help="bit depth in BYTES like the reference (play.go"
+                   " -depth); default: header")
+    p.add_argument("--out-wav", default=None,
+                   help="headless fallback: re-encode to this WAV when no "
+                   "audio backend is available")
     p.set_defaults(fn=cmd_play)
 
     args = ap.parse_args(argv)

@@ -68,3 +68,42 @@ def test_channel_signal_bounds():
              source_bit_depth=16)
     with pytest.raises(ValueError):
         w.channel_signal(2)
+
+
+def test_cli_play_paths(tmp_path, capsys):
+    """Drive the play command's decode path (play.go:139-179 parity):
+    missing file, headless rc-2, and the --out-wav re-encode fallback."""
+    import sys
+
+    from auditory_tpu.cli import main
+    from auditory_tpu.io.wav import float_to_wave, load_wav, write_wav
+
+    assert "sounddevice" not in sys.modules or sys.modules["sounddevice"] is None
+
+    # missing file -> rc 1 with the reference's message shape
+    rc = main(["play", str(tmp_path / "nope.wav")])
+    assert rc == 1
+    assert "not found" in capsys.readouterr().err
+
+    sr = 16000
+    t = np.arange(int(0.05 * sr)) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 700.0 * t)).astype(np.float64)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, float_to_wave(sig, sr))
+
+    # no audio backend, no fallback -> rc 2, decode reported
+    rc = main(["play", p])
+    assert rc == 2
+    assert "decoded" in capsys.readouterr().err
+
+    # headless fallback: re-encode at overridden rate/channels/depth
+    out = str(tmp_path / "re.wav")
+    rc = main(["play", p, "--rate", "8000", "--depth", "1",
+               "--out-wav", out])
+    assert rc == 0
+    w = load_wav(out)
+    assert w.sample_rate == 8000
+    assert w.source_bit_depth == 8
+    assert w.channels == 1
+    # same number of samples survived the re-encode
+    assert w.num_frames == len(sig)
