@@ -178,3 +178,23 @@ def test_vowels_table_dispatch(tmp_path):
     seq = table.load_cv_sequence(str(wav), corpus="VOWELS")
     assert [u.name for u in seq.units] == ["ae", "iy"]
     assert seq.units[1].a_end == pytest.approx(600.0)
+
+
+def test_snd_from_idx_folded_member_pinned():
+    """Pin snd_from_idx's documented order behavior for folded indices
+    (VERDICT round-1 weakness 4): the *last table-order member* is returned.
+    Any member is semantically valid (the Go reference's map iteration is
+    nondeterministic), but our implementation is deterministic -- assert it
+    so a silent change in the contract is caught."""
+    # fold index 33 = sh/zh; insertion order in PHONES_41 puts zh after sh
+    snd, ok = timit.snd_from_idx(33, "Phones41")
+    assert ok
+    members = [k for k, v in timit.PHONES_41.items() if v == 33]
+    assert snd == members[-1]
+    # and the returned member round-trips to the same folded index
+    idx, ok = timit.idx_from_snd(snd, "Phones41")
+    assert ok and idx == 33
+    # unfolded sets are exact inverses
+    for i in range(61):
+        s, ok = timit.snd_from_idx(i, "Phones61")
+        assert ok and timit.idx_from_snd(s, "Phones61") == (i, True)
