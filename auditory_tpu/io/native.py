@@ -13,7 +13,10 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["available", "decode_batch", "wav_info", "STATUS_NAMES"]
+__all__ = [
+    "available", "decode_batch", "decode_batch_i16", "wav_info",
+    "STATUS_NAMES", "STATUS_NOT_I16",
+]
 
 STATUS_NAMES = {
     0: "ok",
@@ -23,7 +26,11 @@ STATUS_NAMES = {
     4: "unsupported encoding",
     5: "truncated data",
     6: "file longer than buffer",
+    7: "not representable as int16 (use the float path)",
 }
+
+#: decodable file whose samples need the float path (24/32-bit, float WAV)
+STATUS_NOT_I16 = 7
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -58,6 +65,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,
     ]
     lib.auditory_wav_decode_batch.restype = ctypes.c_int32
+    lib.auditory_wav_decode_batch_i16.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+    ]
+    lib.auditory_wav_decode_batch_i16.restype = ctypes.c_int32
     _lib = lib
     return lib
 
@@ -119,3 +139,43 @@ def decode_batch(
         None if s == 0 else STATUS_NAMES.get(int(s), str(s)) for s in statuses
     ]
     return out, lengths, srs, errors
+
+
+def decode_batch_i16(
+    paths: Sequence[str],
+    max_samples: int,
+    channel: int = -1,
+    n_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Raw-sample decode of 8/16-bit PCM WAVs: the integer samples as int16
+    plus the reference normalization divisor per file
+    (sound/sound.go:130-141), so the int->float divide runs on the
+    accelerator after a half-size host->device transfer.
+
+    Returns (signals [n, max_samples] int16, lengths [n] int64,
+    sample_rates [n] int32, divisors [n] float32, statuses [n] int32).
+    A status of :data:`STATUS_NOT_I16` means the file is fine but needs
+    :func:`decode_batch` (24/32-bit or float WAV)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not built (make -C csrc)")
+    n = len(paths)
+    blob = b"\0".join(p.encode() for p in paths) + b"\0"
+    out = np.zeros((n, max_samples), dtype=np.int16)
+    statuses = np.zeros(n, dtype=np.int32)
+    lengths = np.zeros(n, dtype=np.int64)
+    srs = np.zeros(n, dtype=np.int32)
+    divisors = np.zeros(n, dtype=np.float32)
+    lib.auditory_wav_decode_batch_i16(
+        blob,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        max_samples,
+        channel,
+        statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        divisors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    return out, lengths, srs, divisors, statuses

@@ -13,10 +13,26 @@ Masking semantics (matches the reference exactly):
   reference never runs ProcessSegment for these; all outputs zeroed and
   ``seg_valid`` False.
 
-Also provides :class:`CorpusRunner`: host-side WAV decode (thread pool) ->
-bucketed batches -> device pipeline -> per-utterance ``.npz`` outputs, with a
-resumable JSONL manifest (checkpoint/restart + failure records for
-undecodable files; SURVEY.md section 5 aux-subsystem equivalents).
+Also provides :class:`CorpusRunner`: a three-stage overlapped pipeline
+(host WAV decode || device compute || device->host transfer + ``.npz``
+writes), with a resumable JSONL manifest (checkpoint/restart + failure
+records for undecodable files; SURVEY.md section 5 aux-subsystem
+equivalents). Stage N+1's decode runs concurrently with stage N's device
+compute and stage N-1's output writes; bounded queues give backpressure.
+
+Transfer-volume controls (the host<->device link is the corpus bottleneck,
+not device compute):
+- ``transfer='auto'`` ships 8/16-bit PCM audio as raw int16 (the WAV's own
+  payload, half the bytes of float32) and normalizes on device: the jitted
+  program computes ``int16.astype(f32) / divisor`` with the reference's
+  divisor (sound/sound.go:130-141). This can differ from the host float
+  path by <= 1 ulp of float32 per sample (float64-divide-then-round vs
+  float32 divide) -- documented conscious deviation, gated by the
+  ``transfer='float32'`` escape hatch. 24/32-bit and float WAVs always take
+  the float path.
+- ``transfer_dtype=jnp.float16`` (opt-in) casts the saved feature tensors to
+  half precision on device before the device->host copy, halving download
+  bytes; features feeding NN training are insensitive at this scale.
 """
 
 from __future__ import annotations
@@ -24,6 +40,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import queue
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -38,7 +56,61 @@ from ..io.wav import load_wav
 from ..parallel.mesh import batch_sharding, pad_to_multiple, replicated
 from .sndenv import SndEnv, SndEnvOutputs
 
-__all__ = ["BatchedSndEnv", "CorpusRunner", "bucket_length"]
+__all__ = ["BatchedSndEnv", "CorpusRunner", "PackedBatch", "bucket_length"]
+
+
+@dataclass
+class PackedBatch:
+    """One device buffer holding a whole batch's saved features:
+    [B, seg, F_total]. A single device->host copy per batch (the link pays
+    a fixed per-transfer cost, so many small copies of mel/gabor would
+    waste most of its bandwidth).
+
+    Two lossless byte reductions are applied at pack time:
+    - gabor on/off **fold**: the reference's half-rectified on/off pair
+      (agabor/gabor.go:284-308) has at most one nonzero per (on, off) unit
+      -- kWTA preserves exact zeros -- so the pair is stored as one signed
+      value ``on - off`` and reconstructed exactly as (max(v,0), max(-v,0)),
+      halving the gabor payload. ``fold_axes[k]`` is the axis of the
+      size-2 on/off dimension (None = not folded).
+    - no validity column: per-file segment counts are a pure function of
+      the (host-known) lengths, recomputed host-side by the caller.
+    """
+
+    data: Any                                  # [B, seg, F] device array
+    keys: Tuple[str, ...]
+    feat_shapes: Tuple[Tuple[int, ...], ...]   # per-key fold-view shape
+    final_shapes: Tuple[Tuple[int, ...], ...]  # per-key true trailing shape
+    splits: Tuple[int, ...]                    # cumulative column offsets
+    fold_axes: Tuple[Optional[int], ...]       # on/off axis per key, or None
+
+    def trim(self, max_seg: int) -> "PackedBatch":
+        """Device-side slice to the first ``max_seg`` segments (the rest are
+        invalid padding for every file in the batch); shrinks the host copy."""
+        if max_seg >= self.data.shape[1]:
+            return self
+        return dataclasses.replace(self, data=self.data[:, :max_seg])
+
+    def unpack(self) -> Dict[str, np.ndarray]:
+        """One host copy -> {key: [B, seg, ...]} with folds expanded."""
+        host = np.asarray(self.data)
+        b, seg = host.shape[:2]
+        out = {}
+        for key, shape, final, fold_ax, lo, hi in zip(
+            self.keys, self.feat_shapes, self.final_shapes, self.fold_axes,
+            self.splits[:-1], self.splits[1:],
+        ):
+            if fold_ax is None:
+                out[key] = host[:, :, lo:hi].reshape((b, seg) + shape)
+                continue
+            folded_shape = list(shape)
+            folded_shape[fold_ax] = 1
+            v = host[:, :, lo:hi].reshape((b, seg) + tuple(folded_shape))
+            on = np.maximum(v, 0)
+            off = np.maximum(-v, 0)
+            full = np.concatenate([on, off], axis=2 + fold_ax)
+            out[key] = full.reshape((b, seg) + final)
+        return out
 
 
 def bucket_length(
@@ -79,6 +151,9 @@ class BatchedSndEnv:
     to shard on axis 1; segments are independent when prev_smooth == 0, so
     this is also communication-free. SURVEY.md section 5 long-context
     equivalent.
+
+    ``transfer_dtype``: cast floating outputs to this dtype on device before
+    they leave the program (halves device->host bytes with float16).
     """
 
     def __init__(
@@ -87,6 +162,8 @@ class BatchedSndEnv:
         mesh: Optional[jax.sharding.Mesh] = None,
         axis_name: str = "data",
         shard_axis: str = "batch",
+        transfer_dtype=None,
+        pack_keys: Optional[Tuple[str, ...]] = None,
     ):
         if shard_axis not in ("batch", "segment"):
             raise ValueError("shard_axis must be 'batch' or 'segment'")
@@ -100,20 +177,100 @@ class BatchedSndEnv:
         self.mesh = mesh
         self.axis_name = axis_name
         self.shard_axis = shard_axis
-        self._jit_cache: Dict[Tuple[int, int], Any] = {}
+        self.transfer_dtype = (
+            jnp.dtype(transfer_dtype) if transfer_dtype is not None else None
+        )
+        self.pack_keys = tuple(pack_keys) if pack_keys is not None else None
+        self._jit_cache: Dict[Tuple[int, int, bool], Any] = {}
 
-    def _build(self, n_samples: int, add_ms: int):
+    def _build(self, n_samples: int, add_ms: int, with_divisors: bool):
         # the SndEnv program is natively batched: [B, S] + lengths [B]
-        batch_program = self.env._build(n_samples, add_ms)
+        inner = self.env._build(n_samples, add_ms)
+        dtype = self.env.dtype
+        td = self.transfer_dtype
+
+        pack_keys = self.pack_keys
+        pack_meta: Dict[str, Any] = {}
+
+        def cast_out(res):
+            if td is not None:
+                cast = lambda x: (
+                    x.astype(td)
+                    if x is not None and jnp.issubdtype(x.dtype, jnp.floating)
+                    else x
+                )
+                out = jax.tree_util.tree_map(
+                    cast, res[0], is_leaf=lambda v: v is None
+                )
+                res = (out,) + tuple(res[1:])
+            if pack_keys is None:
+                return res
+            # pack the saved features into ONE [B, seg, F] buffer: a single
+            # device->host copy per batch. Validity is NOT shipped -- the
+            # per-file segment count is a pure function of the host-known
+            # length (config.DerivedTiming.seg_cnt). Gabor on/off pairs are
+            # folded into one signed channel (see PackedBatch).
+            out = res[0]
+            ptd = td if td is not None else dtype
+            is_4d = self.env.is_4d
+            cols, keys, shapes, finals, folds, splits = [], [], [], [], [], [0]
+            for k in pack_keys:
+                a = getattr(out, k)
+                if a is None:
+                    continue
+                final_shape = tuple(a.shape[2:])
+                view_shape, fold_ax = final_shape, None
+                if k in ("gabor_raw", "gabor_kwta"):
+                    if is_4d and len(final_shape) == 4:
+                        fold_ax = 2  # [py, px, 2, nf]
+                    elif len(final_shape) == 2 and final_shape[0] % 2 == 0:
+                        # 2-D layout interleaves on/off rows (2f, 2f+1)
+                        view_shape = (
+                            final_shape[0] // 2, 2, final_shape[1]
+                        )
+                        fold_ax = 1
+                if fold_ax is not None:
+                    v = a.reshape(a.shape[:2] + view_shape)
+                    on, off = jnp.split(v, 2, axis=2 + fold_ax)
+                    a = on - off  # exact: at most one of the pair is nonzero
+                flat = a.reshape(a.shape[0], a.shape[1], -1).astype(ptd)
+                cols.append(flat)
+                keys.append(k)
+                shapes.append(view_shape)
+                finals.append(final_shape)
+                folds.append(fold_ax)
+                splits.append(splits[-1] + flat.shape[-1])
+            pack_meta["keys"] = tuple(keys)
+            pack_meta["feat_shapes"] = tuple(shapes)
+            pack_meta["final_shapes"] = tuple(finals)
+            pack_meta["fold_axes"] = tuple(folds)
+            pack_meta["splits"] = tuple(splits)
+            return (jnp.concatenate(cols, axis=-1),) + tuple(res[2:])
+
+        if with_divisors:
+            # raw integer audio in, reference normalization on device
+            # (sound/sound.go:130-141; divide, not reciprocal-multiply, to
+            # stay within 1 ulp of the host float path)
+            def batch_program(signals, divisors, lengths):
+                sig = signals.astype(dtype) / divisors[:, None].astype(dtype)
+                return cast_out(inner(sig, lengths))
+        else:
+            def batch_program(signals, lengths):
+                return cast_out(inner(signals, lengths))
+
+        n_in = 3 if with_divisors else 2
         if self.mesh is None:
-            return jax.jit(batch_program)
+            return jax.jit(batch_program), pack_meta
 
         if self.shard_axis == "batch":
-            in_shardings = (
-                batch_sharding(self.mesh, 2, self.axis_name),
-                batch_sharding(self.mesh, 1, self.axis_name),
+            shardings = [batch_sharding(self.mesh, 2, self.axis_name)]
+            shardings += [batch_sharding(self.mesh, 1, self.axis_name)] * (
+                n_in - 1
             )
-            return jax.jit(batch_program, in_shardings=in_shardings)
+            return (
+                jax.jit(batch_program, in_shardings=tuple(shardings)),
+                pack_meta,
+            )
 
         # segment sharding: replicate inputs, constrain outputs on axis 1
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -126,21 +283,36 @@ class BatchedSndEnv:
             spec = P(None, axis, *([None] * (x.ndim - 2)))
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-        def program(signals, lengths):
-            res = batch_program(signals, lengths)
-            out, seg_valid, rest = res[0], res[1], res[2:]
-            out = jax.tree_util.tree_map(
-                seg_sharded, out, is_leaf=lambda v: v is None
-            )
-            return (out, seg_sharded(seg_valid)) + rest
+        if pack_keys is not None:
+            def program(*args):
+                res = batch_program(*args)
+                return (seg_sharded(res[0]),) + tuple(res[1:])
+        else:
+            def program(*args):
+                res = batch_program(*args)
+                out, seg_valid, rest = res[0], res[1], res[2:]
+                out = jax.tree_util.tree_map(
+                    seg_sharded, out, is_leaf=lambda v: v is None
+                )
+                return (out, seg_sharded(seg_valid)) + rest
 
         repl = replicated(self.mesh)
-        return jax.jit(program, in_shardings=(repl, repl))
+        return jax.jit(program, in_shardings=(repl,) * n_in), pack_meta
 
-    def process_fn(self, n_samples: int, add_ms: int = 0):
-        key = (n_samples, add_ms)
+    def process_fn(
+        self, n_samples: int, add_ms: int = 0, with_divisors: bool = False
+    ):
+        key = (n_samples, add_ms, with_divisors)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._build(n_samples, add_ms)
+            self._jit_cache[key] = self._build(n_samples, add_ms, with_divisors)
+        return self._jit_cache[key][0]
+
+    def _fn_and_meta(
+        self, n_samples: int, add_ms: int = 0, with_divisors: bool = False
+    ):
+        key = (n_samples, add_ms, with_divisors)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build(n_samples, add_ms, with_divisors)
         return self._jit_cache[key]
 
     def process(
@@ -148,9 +320,13 @@ class BatchedSndEnv:
         signals: np.ndarray,
         lengths: np.ndarray,
         add_ms: int = 0,
+        divisors: Optional[np.ndarray] = None,
     ) -> Tuple[SndEnvOutputs, jnp.ndarray]:
         """signals [B, S] (padded), lengths [B] -> (outputs with leading
         [B, seg] axes, seg_valid [B, seg]).
+
+        With ``divisors`` [B], signals are raw integer samples (int16) and
+        the program normalizes on device: ``signals.astype(f) / divisors``.
 
         Any batch size works on any mesh: when B is not a multiple of the
         device count, the batch is padded internally with zero-length rows
@@ -161,6 +337,9 @@ class BatchedSndEnv:
         b = signals.shape[0]
         mult = self.batch_multiple
         b_padded = pad_to_multiple(b, mult)
+        with_div = divisors is not None
+        if with_div:
+            divisors = jnp.asarray(divisors, dtype=jnp.float32)
         if b_padded != b:
             pad = b_padded - b
             signals = jnp.concatenate(
@@ -170,23 +349,35 @@ class BatchedSndEnv:
                 [jnp.asarray(lengths, dtype=jnp.int32),
                  jnp.zeros(pad, dtype=jnp.int32)]
             )
-        fn = self.process_fn(signals.shape[-1], add_ms)
+            if with_div:
+                divisors = jnp.concatenate(
+                    [divisors, jnp.ones(pad, dtype=jnp.float32)]
+                )
+        fn, pack_meta = self._fn_and_meta(signals.shape[-1], add_ms, with_div)
         if self.mesh is not None and self.shard_axis == "batch":
+            put1 = lambda x: jax.device_put(
+                x, batch_sharding(self.mesh, 1, self.axis_name)
+            )
             signals = jax.device_put(
                 signals, batch_sharding(self.mesh, 2, self.axis_name)
             )
-            lengths = jax.device_put(
-                jnp.asarray(lengths, dtype=jnp.int32),
-                batch_sharding(self.mesh, 1, self.axis_name),
-            )
+            lengths = put1(jnp.asarray(lengths, dtype=jnp.int32))
+            if with_div:
+                divisors = put1(divisors)
         elif self.mesh is not None:
-            signals = jax.device_put(signals, replicated(self.mesh))
-            lengths = jax.device_put(
-                jnp.asarray(lengths, dtype=jnp.int32), replicated(self.mesh)
-            )
+            put = lambda x: jax.device_put(x, replicated(self.mesh))
+            signals = put(signals)
+            lengths = put(jnp.asarray(lengths, dtype=jnp.int32))
+            if with_div:
+                divisors = put(divisors)
         else:
             lengths = jnp.asarray(lengths, dtype=jnp.int32)
-        res = fn(signals, lengths)
+        args = (signals, divisors, lengths) if with_div else (signals, lengths)
+        res = fn(*args)
+        if self.pack_keys is not None:
+            data = res[0][:b] if b_padded != b else res[0]
+            packed = PackedBatch(data=data, **pack_meta)
+            return (packed,) + tuple(res[1:])
         if b_padded != b:
             trim = lambda x: None if x is None else x[:b]
             out = jax.tree_util.tree_map(
@@ -214,15 +405,30 @@ class CorpusStats:
         return self.audio_seconds / self.wall_seconds if self.wall_seconds else 0.0
 
 
-class CorpusRunner:
-    """Resumable batched extraction over a corpus of WAV files.
+_SENTINEL = object()
 
-    - host decode in a thread pool, device compute in length buckets
-    - JSONL manifest ``manifest.jsonl`` in ``out_dir``: one record per file
-      ({path, status: ok|error, error?}); on resume, files already 'ok' are
-      skipped (checkpoint/restart equivalent, SURVEY.md section 5)
-    - undecodable/odd files are recorded as errors and skipped, never fatal
-      (failure-detection equivalent)
+
+class CorpusRunner:
+    """Resumable overlapped batched extraction over a corpus of WAV files.
+
+    Three concurrent stages (decode || compute || write):
+    - a decode thread runs the native (or thread-pool) WAV decoder and feeds
+      a bounded queue;
+    - the main thread forms length buckets and *dispatches* device batches
+      (JAX dispatch is asynchronous, so compute of batch N overlaps both
+      decode of N+1 and writes of N-1);
+    - a writer thread blocks on results, copies them to host, and writes
+      per-utterance ``.npz`` files plus the JSONL manifest.
+
+    ``manifest.jsonl`` in ``out_dir``: one record per file
+    ({path, status: ok|error, error?}); on resume, files already 'ok' are
+    skipped (checkpoint/restart equivalent, SURVEY.md section 5).
+    Undecodable/odd files are recorded as errors and skipped, never fatal
+    (failure-detection equivalent). The manifest is written only by the
+    writer thread, so record order is deterministic per batch.
+
+    ``pipeline_depth`` bounds how many dispatched-but-unwritten batches may
+    be in flight (device memory backpressure).
     """
 
     def __init__(
@@ -236,36 +442,60 @@ class CorpusRunner:
         decode_threads: int = 8,
         bucket_quantum_s: float = 1.0,
         feature_stats: bool = True,
+        transfer: str = "auto",
+        transfer_dtype=None,
+        pipeline_depth: int = 3,
     ):
+        if transfer not in ("auto", "float32"):
+            raise ValueError("transfer must be 'auto' or 'float32'")
         # only materialize what gets saved (XLA DCEs the rest)
         self.env = SndEnv(
             cfg, sample_rate, dtype=dtype,
             outputs=tuple(save_keys) + ("step_valid",),
             feature_stats=feature_stats,
         )
-        self.batched = BatchedSndEnv(self.env, mesh=mesh)
+        # packed transfer: one device->host copy per batch (features +
+        # validity in a single buffer; the link's per-copy cost dominates
+        # many small transfers)
+        self.batched = BatchedSndEnv(
+            self.env, mesh=mesh, transfer_dtype=transfer_dtype,
+            pack_keys=tuple(save_keys),
+        )
         self.batch_size = batch_size
         self.save_keys = tuple(save_keys)
         self.decode_threads = decode_threads
         self._bucket_quantum = int(bucket_quantum_s * sample_rate)
         self.sample_rate = sample_rate
+        self.transfer = transfer
+        self.pipeline_depth = max(int(pipeline_depth), 1)
 
-    def _decode(self, path: str) -> Tuple[str, Optional[np.ndarray], Optional[str]]:
+    # ---------------------------------------------------------------- decode
+
+    def _decode(self, path: str):
+        """Single-file host decode -> (path, signal, divisor|None, err|None).
+
+        divisor is set when the signal is raw int16 audio to be normalized
+        on device; None means the signal is already reference-normalized
+        float32."""
         try:
             w = load_wav(path)
             if w.sample_rate != self.sample_rate:
-                return path, None, (
+                return path, None, None, (
                     f"sample rate {w.sample_rate} != pipeline rate "
                     f"{self.sample_rate}"
                 )
+            if self.transfer == "auto" and w.source_bit_depth <= 16:
+                sig = w.data[: w.num_frames].astype(np.int16)
+                div = w._norm_divisor()
+                return path, self.env.pad(sig), np.float32(div), None
             sig = w.sound_to_tensor(dtype=np.float32)
-            sig = self.env.pad(sig)
-            return path, sig, None
+            return path, self.env.pad(sig), None, None
         except Exception as e:  # noqa: BLE001 - failure detection, not flow
-            return path, None, f"{type(e).__name__}: {e}"
+            return path, None, None, f"{type(e).__name__}: {e}"
 
     def _decode_many(self, paths):
-        """Decode a list of paths -> iterable of (path, signal|None, err|None).
+        """Decode a list of paths -> iterable of
+        (path, signal|None, divisor|None, err|None).
 
         Uses the native threaded batch decoder (csrc/auditory_io.cpp) when
         built, else the Python thread pool."""
@@ -291,25 +521,59 @@ class CorpusRunner:
                 except IOError as e:
                     metas[p] = e
             ok_paths = [p for p in group if not isinstance(metas[p], Exception)]
-            out, lengths, srs, errors = native.decode_batch(
-                ok_paths, max(max_frames, 1), n_threads=self.decode_threads
+            yield from self._native_decode_group(
+                group, ok_paths, max(max_frames, 1), metas
             )
-            by_path = {p: i for i, p in enumerate(ok_paths)}
-            for p in group:
-                meta = metas[p]
-                if isinstance(meta, Exception):
-                    yield p, None, str(meta)
-                    continue
-                i = by_path[p]
-                if errors[i] is not None:
-                    yield p, None, errors[i]
+
+    def _native_decode_group(self, group, ok_paths, max_frames, metas):
+        from ..io import native
+
+        results: Dict[str, Tuple] = {}
+        float_paths = ok_paths
+        if self.transfer == "auto":
+            out, lengths, srs, divs, sts = native.decode_batch_i16(
+                ok_paths, max_frames, n_threads=self.decode_threads
+            )
+            float_paths = []
+            for i, p in enumerate(ok_paths):
+                st = int(sts[i])
+                if st == native.STATUS_NOT_I16:
+                    float_paths.append(p)  # fall back below
+                elif st != 0:
+                    results[p] = (p, None, None, native.STATUS_NAMES.get(st, str(st)))
                 elif srs[i] != self.sample_rate:
-                    yield p, None, (
-                        f"sample rate {srs[i]} != pipeline rate {self.sample_rate}"
-                    )
+                    results[p] = (p, None, None, (
+                        f"sample rate {srs[i]} != pipeline rate "
+                        f"{self.sample_rate}"
+                    ))
                 else:
                     sig = out[i, : lengths[i]]
-                    yield p, self.env.pad(sig), None
+                    results[p] = (
+                        p, self.env.pad(sig), np.float32(divs[i]), None
+                    )
+        if float_paths:
+            out, lengths, srs, errors = native.decode_batch(
+                float_paths, max_frames, n_threads=self.decode_threads
+            )
+            for i, p in enumerate(float_paths):
+                if errors[i] is not None:
+                    results[p] = (p, None, None, errors[i])
+                elif srs[i] != self.sample_rate:
+                    results[p] = (p, None, None, (
+                        f"sample rate {srs[i]} != pipeline rate "
+                        f"{self.sample_rate}"
+                    ))
+                else:
+                    sig = out[i, : lengths[i]]
+                    results[p] = (p, self.env.pad(sig), None, None)
+        for p in group:
+            meta = metas[p]
+            if isinstance(meta, Exception):
+                yield p, None, None, str(meta)
+            else:
+                yield results[p]
+
+    # ---------------------------------------------------------------- naming
 
     @staticmethod
     def _out_names(paths: Sequence[str]) -> Dict[str, str]:
@@ -334,6 +598,8 @@ class CorpusRunner:
             out[p] = stem if n == 0 else f"{stem}-{n}"
         return out
 
+    # ------------------------------------------------------------------- run
+
     def run(
         self,
         wav_paths: Sequence[str],
@@ -357,35 +623,99 @@ class CorpusRunner:
         todo = [p for p in wav_paths if p not in done]
 
         stats = CorpusStats()
-        self._moments = {"sum": 0.0, "sumsq": 0.0, "count": 0.0}
+        # per-mel-band moments accumulate ON DEVICE (float32) batch by batch
+        # and come to host once at the end -- per-batch downloads of the
+        # three tiny arrays would each pay the link's fixed round trip
+        self._moments_dev = None
         t0 = time.perf_counter()
+
+        # stage queues: decoded items in, dispatched batches out
+        dq: queue.Queue = queue.Queue(maxsize=max(4 * self.batch_size, 64))
+        wq: queue.Queue = queue.Queue(maxsize=self.pipeline_depth)
+        failures: List[BaseException] = []
+
+        def decode_worker():
+            try:
+                for rec in self._decode_many(todo):
+                    dq.put(rec)
+            except BaseException as e:  # noqa: BLE001
+                failures.append(e)
+            finally:
+                dq.put(_SENTINEL)
+
+        # one dedicated download thread: the device->host link moves fastest
+        # on a single serial stream (concurrent copies fragment it), so the
+        # downloader drains batches in order at full link speed and hands the
+        # host arrays to the pool, which does npz/manifest writes without
+        # ever stalling the stream; manifest/stats/moments guarded by a lock
         manifest = open(manifest_path, "a")
-        try:
-            buckets: Dict[int, List[Tuple[str, np.ndarray]]] = {}
-            for path, sig, err in self._decode_many(todo):
-                if err is not None:
-                    stats.files_failed += 1
-                    manifest.write(
-                        json.dumps({"path": path, "status": "error", "error": err})
-                        + "\n"
+        manifest_lock = threading.Lock()
+        pool = ThreadPoolExecutor(max(self.decode_threads, 4))
+        write_futures: List = []
+
+        def write_worker():
+            while True:
+                entry = wq.get()
+                if entry is _SENTINEL:
+                    return
+                if failures:
+                    continue  # drain so producers never block
+                try:
+                    self._write_entry(
+                        entry, out_dir, manifest, manifest_lock, stats, pool,
+                        write_futures,
                     )
+                except BaseException as e:  # noqa: BLE001
+                    failures.append(e)
+
+        dec_t = threading.Thread(target=decode_worker, name="corpus-decode")
+        wrt_t = threading.Thread(target=write_worker, name="corpus-download")
+        dec_t.start()
+        wrt_t.start()
+        try:
+            buckets: Dict[Tuple[int, bool], List[Tuple]] = {}
+            while True:
+                rec = dq.get()
+                if rec is _SENTINEL:
+                    break
+                path, sig, div, err = rec
+                if err is not None:
+                    wq.put(("error", path, err))
                     continue
                 blen = bucket_length(
                     len(sig), self.env.timing, quantum=self._bucket_quantum
                 )
-                buckets.setdefault(blen, []).append((path, sig))
-                if len(buckets[blen]) >= self.batch_size:
-                    self._flush(buckets.pop(blen), blen, out_dir, add_ms,
-                                manifest, stats)
-            for blen, items in list(buckets.items()):
-                self._flush(items, blen, out_dir, add_ms, manifest, stats)
+                key = (blen, div is not None)
+                buckets.setdefault(key, []).append((path, sig, div))
+                if len(buckets[key]) >= self.batch_size:
+                    wq.put(self._dispatch(buckets.pop(key), blen, add_ms))
+            for (blen, _), items in list(buckets.items()):
+                wq.put(self._dispatch(items, blen, add_ms))
+        except BaseException as e:  # noqa: BLE001
+            failures.append(e)
         finally:
+            wq.put(_SENTINEL)
+            dec_t.join()
+            wrt_t.join()
+            for fut in write_futures:
+                try:
+                    fut.result()
+                except BaseException as e:  # noqa: BLE001
+                    failures.append(e)
+            pool.shutdown(wait=True)
             manifest.close()
-        if self.env.feature_stats and np.ndim(self._moments["sum"]):
+        if failures:
+            raise failures[0]
+
+        if self.env.feature_stats and self._moments_dev is not None:
             # corpus-wide per-mel-band normalization statistics
-            cnt = max(float(self._moments["count"]), 1.0)
-            mean = self._moments["sum"] / cnt
-            var = np.maximum(self._moments["sumsq"] / cnt - mean**2, 0.0)
+            moments = {
+                k: np.asarray(v, dtype=np.float64)
+                for k, v in self._moments_dev.items()
+            }
+            cnt = max(float(moments["count"]), 1.0)
+            mean = moments["sum"] / cnt
+            var = np.maximum(moments["sumsq"] / cnt - mean**2, 0.0)
             with open(os.path.join(out_dir, "feature_stats.json"), "w") as f:
                 json.dump(
                     {
@@ -398,45 +728,89 @@ class CorpusRunner:
         stats.wall_seconds = time.perf_counter() - t0
         return stats
 
-    def _flush(self, items, blen, out_dir, add_ms, manifest, stats):
-        # mesh padding happens inside BatchedSndEnv.process
-        signals = np.zeros((len(items), blen), dtype=np.float32)
+    def _dispatch(self, items, blen, add_ms):
+        """Build the padded batch and *dispatch* it (asynchronously) to the
+        device; returns the entry the writer thread will block on."""
+        int16_mode = items[0][2] is not None
+        signals = np.zeros(
+            (len(items), blen), dtype=np.int16 if int16_mode else np.float32
+        )
         lengths = np.zeros(len(items), dtype=np.int32)
-        for i, (_, sig) in enumerate(items):
+        divisors = np.ones(len(items), dtype=np.float32) if int16_mode else None
+        for i, (_, sig, div) in enumerate(items):
             signals[i, : len(sig)] = sig
             lengths[i] = len(sig)
-        res = self.batched.process(signals, lengths, add_ms)
-        out, seg_valid = res[0], res[1]
-        out = jax.block_until_ready(out)
-        sv = np.asarray(seg_valid)
-        if len(res) > 2:
-            mom = res[2]
-            self._moments = {
-                k: self._moments[k] + np.asarray(v, dtype=np.float64)
-                for k, v in mom.items()
-            }
-        # one device->host transfer per key per batch (per-item transfers
-        # would pay a host round trip each)
-        host = {
-            k: np.asarray(getattr(out, k))
-            for k in self.save_keys
-            if getattr(out, k) is not None
-        }
-
-        def write_one(i_path_sig):
-            i, path, n_audio = i_path_sig
-            n_seg = int(sv[i].sum())
-            rec = {k: v[i][:n_seg] for k, v in host.items()}
-            stem = self._stems.get(
-                path, os.path.splitext(os.path.basename(path))[0]
+            if int16_mode:
+                divisors[i] = div
+        res = self.batched.process(signals, lengths, add_ms, divisors=divisors)
+        # per-file segment counts are host-computable (sndenv.go:263-265);
+        # trim the packed buffer to the batch max (quantized so distinct
+        # slice shapes stay few and compile-cached) before it is downloaded
+        n_segs = [max(self.env.seg_cnt(int(n)), 0) for n in lengths]
+        packed = res[0]
+        if isinstance(packed, PackedBatch):
+            max_seg = min(
+                pad_to_multiple(max(n_segs) if n_segs else 0, 4),
+                packed.data.shape[1],
             )
-            np.savez(os.path.join(out_dir, stem + ".npz"), **rec)
-            return path, n_audio
+            res = (packed.trim(max_seg),) + tuple(res[1:])
+        return ("batch", res, items, n_segs)
 
-        jobs = [(i, path, len(sig)) for i, (path, sig) in enumerate(items)]
-        with ThreadPoolExecutor(self.decode_threads) as pool:
-            for path, n_audio in pool.map(write_one, jobs):
-                manifest.write(json.dumps({"path": path, "status": "ok"}) + "\n")
-                stats.files_done += 1
-                stats.audio_seconds += n_audio / self.sample_rate
-        manifest.flush()
+    def _write_entry(
+        self, entry, out_dir, manifest, manifest_lock, stats, pool,
+        write_futures,
+    ):
+        """Download-stage handler: block on one dispatched batch, copy it to
+        host on this (single) thread -- the link moves fastest on one serial
+        stream -- then hand the host arrays to the pool for npz/manifest
+        writes so the next batch's download starts immediately."""
+        if entry[0] == "error":
+            _, path, err = entry
+            with manifest_lock:
+                stats.files_failed += 1
+                manifest.write(
+                    json.dumps({"path": path, "status": "error", "error": err})
+                    + "\n"
+                )
+            return
+        _, res, items, n_segs = entry
+        packed = res[0]
+        if len(res) > 1 and res[1] is not None:
+            # device-side accumulation: no host copy until the end of the run
+            mom = res[1]
+            with manifest_lock:
+                self._moments_dev = (
+                    mom
+                    if self._moments_dev is None
+                    else jax.tree_util.tree_map(
+                        jnp.add, self._moments_dev, mom
+                    )
+                )
+        # ONE device->host copy for the whole batch
+        host = packed.unpack()
+
+        def write_batch():
+            def write_one(i_path_sig):
+                i, path, n_audio = i_path_sig
+                n_seg = n_segs[i]
+                rec = {k: v[i][:n_seg] for k, v in host.items()}
+                stem = self._stems.get(
+                    path, os.path.splitext(os.path.basename(path))[0]
+                )
+                np.savez(os.path.join(out_dir, stem + ".npz"), **rec)
+                return path, n_audio
+
+            jobs = [
+                (i, path, len(sig)) for i, (path, sig, _) in enumerate(items)
+            ]
+            results = [write_one(j) for j in jobs]
+            with manifest_lock:
+                for path, n_audio in results:
+                    manifest.write(
+                        json.dumps({"path": path, "status": "ok"}) + "\n"
+                    )
+                    stats.files_done += 1
+                    stats.audio_seconds += n_audio / self.sample_rate
+                manifest.flush()
+
+        write_futures.append(pool.submit(write_batch))

@@ -40,6 +40,9 @@ enum Status : int32_t {
   ERR_UNSUPPORTED = 4,
   ERR_TRUNCATED = 5,
   ERR_TOO_LONG = 6,
+  // the file decodes fine but its samples don't fit int16 (24/32-bit or
+  // float WAV): caller must use the float path for this file
+  ERR_NOT_I16 = 7,
 };
 
 uint32_t rd_u32(const uint8_t* p) {
@@ -169,6 +172,60 @@ int32_t decode_one(const char* path, float* out, int64_t max_samples,
   return OK;
 }
 
+// Raw-sample decode for 8/16-bit PCM: emits the integer samples (sign-
+// corrected) as int16 plus the reference normalization divisor, so the
+// int->float divide can happen on the accelerator after a half-size
+// transfer. 24/32-bit and float files return ERR_NOT_I16 (caller falls back
+// to the float path).
+int32_t decode_one_i16(const char* path, int16_t* out, int64_t max_samples,
+                       int32_t channel, int32_t* sr, float* divisor,
+                       int64_t* n_out) {
+  *n_out = 0;
+  *divisor = 0.0f;
+  FILE* f = fopen(path, "rb");
+  if (!f) return ERR_OPEN;
+  WavInfo info;
+  int32_t st = parse_header(f, &info);
+  if (st != OK) { fclose(f); return st; }
+  if (info.channels <= 0 || info.sample_rate <= 0) { fclose(f); return ERR_FMT; }
+  *sr = info.sample_rate;
+  if (info.format != 1 || (info.bit_depth != 8 && info.bit_depth != 16)) {
+    fclose(f);
+    // distinguish "decodable, just not i16" from genuinely unsupported
+    bool decodable =
+        (info.format == 1 && (info.bit_depth == 24 || info.bit_depth == 32)) ||
+        (info.format == 3 && info.bit_depth == 32);
+    return decodable ? ERR_NOT_I16 : ERR_UNSUPPORTED;
+  }
+  int bytes_per = info.bit_depth / 8;
+  int64_t total_samples = info.n_data_bytes / bytes_per;
+  int64_t n_frames = total_samples / info.channels;
+  if (n_frames > max_samples) { fclose(f); return ERR_TOO_LONG; }
+
+  std::vector<uint8_t> raw(info.n_data_bytes);
+  fseek(f, (long)info.data_offset, SEEK_SET);
+  size_t got = fread(raw.data(), 1, (size_t)info.n_data_bytes, f);
+  fclose(f);
+  if ((int64_t)got < info.n_data_bytes) return ERR_TRUNCATED;
+
+  *divisor = (float)divisor_for(info.bit_depth);
+  const uint8_t* p = raw.data();
+  auto sample_at = [&](int64_t idx) -> int16_t {
+    const uint8_t* q = p + idx * bytes_per;
+    if (info.bit_depth == 8) return (int16_t)q[0];  // raw unsigned, like go-audio
+    return (int16_t)rd_u16(q);
+  };
+  if (channel < 0) {
+    for (int64_t i = 0; i < n_frames; ++i) out[i] = sample_at(i);
+  } else {
+    if (channel >= info.channels) return ERR_UNSUPPORTED;
+    for (int64_t i = 0; i < n_frames; ++i)
+      out[i] = sample_at(i * info.channels + channel);
+  }
+  *n_out = n_frames;
+  return OK;
+}
+
 }  // namespace
 
 extern "C" {
@@ -225,6 +282,46 @@ int32_t auditory_wav_decode_batch(const char* paths_blob, int32_t n_files,
       memset(out + (int64_t)i * max_samples, 0, sizeof(float) * max_samples);
       int32_t st = decode_one(paths[i], out + (int64_t)i * max_samples,
                               max_samples, channel, &srs[i], &ch_n, &bd, &n);
+      statuses[i] = st;
+      lengths[i] = n;
+      if (st == OK) ok_count.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok_count.load();
+}
+
+// Batch raw-int16 decode (8/16-bit PCM). out is [n_files, max_samples]
+// int16 row-major; divisors [n_files] float32 carry the reference
+// normalization divisor per file. Files that need the float path get
+// status ERR_NOT_I16. Returns count of OK files.
+int32_t auditory_wav_decode_batch_i16(const char* paths_blob, int32_t n_files,
+                                      int16_t* out, int64_t max_samples,
+                                      int32_t channel, int32_t* statuses,
+                                      int64_t* lengths, int32_t* srs,
+                                      float* divisors, int32_t n_threads) {
+  std::vector<const char*> paths(n_files);
+  const char* p = paths_blob;
+  for (int32_t i = 0; i < n_files; ++i) {
+    paths[i] = p;
+    p += strlen(p) + 1;
+  }
+  if (n_threads <= 0) n_threads = (int32_t)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = 4;
+  if (n_threads > n_files) n_threads = n_files > 0 ? n_files : 1;
+
+  std::atomic<int32_t> next(0), ok_count(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n_files) return;
+      int64_t n = 0;
+      memset(out + (int64_t)i * max_samples, 0, sizeof(int16_t) * max_samples);
+      int32_t st = decode_one_i16(paths[i], out + (int64_t)i * max_samples,
+                                  max_samples, channel, &srs[i], &divisors[i],
+                                  &n);
       statuses[i] = st;
       lengths[i] = n;
       if (st == OK) ok_count.fetch_add(1);

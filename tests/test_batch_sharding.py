@@ -261,3 +261,195 @@ def test_sharded_non_divisible_feature_stats(env):
             np.asarray(m1[k]), np.asarray(m2[k]), rtol=1e-12,
             err_msg=k,
         )
+
+
+def _mk_corpus(tmp_path, n=4, sr=SR, bit_depth=16):
+    wavs = []
+    for i in range(n):
+        sig = tone(400 + 150 * i, 0.22 + 0.03 * i, sr)
+        p = str(tmp_path / f"c{bit_depth}_{i}.wav")
+        write_wav(p, float_to_wave(sig, sr, bit_depth=bit_depth))
+        wavs.append(p)
+    return wavs
+
+
+def test_corpus_int16_transfer_parity(tmp_path):
+    """transfer='auto' ships raw int16 + on-device normalization; outputs
+    must match the float32 host-normalized path to <= a few f32 ulps of
+    input quantization propagated through the pipeline."""
+    cfg = default_cfg_2d()
+    wavs = _mk_corpus(tmp_path)
+    ra = CorpusRunner(cfg, SR, batch_size=4, transfer="auto")
+    rf = CorpusRunner(cfg, SR, batch_size=4, transfer="float32")
+    ra.run(wavs, str(tmp_path / "oa"))
+    rf.run(wavs, str(tmp_path / "of"))
+    for i in range(len(wavs)):
+        stem = f"c16_{i}"
+        a = np.load(tmp_path / "oa" / f"{stem}.npz")
+        f = np.load(tmp_path / "of" / f"{stem}.npz")
+        assert set(a.files) == set(f.files)
+        for k in a.files:
+            np.testing.assert_allclose(
+                a[k], f[k], atol=5e-5, rtol=1e-5, err_msg=f"{stem}:{k}"
+            )
+
+
+def test_corpus_python_decode_fallback(tmp_path, monkeypatch):
+    """Without the native lib, the pure-Python decode path must feed the
+    overlapped pipeline identically (incl. the int16 fast path)."""
+    from auditory_tpu.io import native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    cfg = default_cfg_2d()
+    wavs = _mk_corpus(tmp_path)
+    r = CorpusRunner(cfg, SR, batch_size=2, transfer="auto")
+    stats = r.run(wavs, str(tmp_path / "out"))
+    assert stats.files_done == 4
+    d = np.load(tmp_path / "out" / "c16_0.npz")
+    assert d["mel_fbank_segment"].shape[1:] == (32, 14)
+
+
+def test_corpus_transfer_dtype_f16(tmp_path):
+    """transfer_dtype=float16 halves the device->host bytes; saved features
+    are f16 and within half-precision tolerance of the f32 run."""
+    import jax.numpy as jnp
+
+    cfg = default_cfg_2d()
+    wavs = _mk_corpus(tmp_path)
+    r16 = CorpusRunner(cfg, SR, batch_size=4, transfer_dtype=jnp.float16)
+    r32 = CorpusRunner(cfg, SR, batch_size=4)
+    r16.run(wavs, str(tmp_path / "h"))
+    r32.run(wavs, str(tmp_path / "f"))
+    a = np.load(tmp_path / "h" / "c16_0.npz")
+    b = np.load(tmp_path / "f" / "c16_0.npz")
+    assert a["mel_fbank_segment"].dtype == np.float16
+    # mel values are O(10) logs; f16 eps ~ 1e-3 relative
+    np.testing.assert_allclose(
+        a["mel_fbank_segment"].astype(np.float64),
+        b["mel_fbank_segment"].astype(np.float64),
+        rtol=2e-3, atol=2e-2,
+    )
+
+
+def test_corpus_mixed_bit_depths(tmp_path):
+    """8/16-bit files take the int16 fast path; 24/32-bit fall back to the
+    float path inside the same run (separate buckets, same outputs)."""
+    cfg = default_cfg_2d()
+    wavs = _mk_corpus(tmp_path, n=2, bit_depth=16)
+    wavs += _mk_corpus(tmp_path, n=2, bit_depth=24)
+    wavs += _mk_corpus(tmp_path, n=1, bit_depth=8)
+    r = CorpusRunner(cfg, SR, batch_size=8, transfer="auto")
+    stats = r.run(wavs, str(tmp_path / "out"))
+    assert stats.files_done == 5
+    assert stats.files_failed == 0
+    files = {f for f in os.listdir(tmp_path / "out") if f.endswith(".npz")}
+    assert len(files) == 5
+    # a 24-bit and a 16-bit encoding of the same tone must agree on the
+    # physics (hot mel band); the quiet bands read each encoding's own
+    # quantization noise floor and legitimately differ (see CLAUDE.md)
+    a = np.load(tmp_path / "out" / "c16_0.npz")["mel_fbank_segment"]
+    b = np.load(tmp_path / "out" / "c24_0.npz")["mel_fbank_segment"]
+    assert a.shape == b.shape
+    band_a = int(a[0].mean(axis=1).argmax())
+    band_b = int(b[0].mean(axis=1).argmax())
+    assert band_a == band_b
+    np.testing.assert_allclose(a[0, band_a], b[0, band_b], atol=1e-3)
+
+
+def test_corpus_runner_matches_single_pipeline(tmp_path):
+    """End-to-end guard on the packed/folded/trimmed transfer path: every
+    npz the CorpusRunner writes must match a direct SndEnv run of the same
+    file (same dtype), including the on/off fold reconstruction and the
+    host-side segment counts."""
+    cfg = default_cfg_2d()
+    wavs = _mk_corpus(tmp_path, n=3)
+    runner = CorpusRunner(cfg, SR, batch_size=2, transfer="float32")
+    runner.run(wavs, str(tmp_path / "out"))
+    env = SndEnv(cfg, SR, dtype=jnp.float32)
+    from auditory_tpu.io.wav import load_wav
+
+    for i, p in enumerate(wavs):
+        d = np.load(tmp_path / "out" / f"c16_{i}.npz")
+        w = load_wav(p)
+        single = env.process(env.pad(w.sound_to_tensor(dtype=np.float32)))
+        # f32 noise-floor values (log of ~1e-6 powers) legitimately differ
+        # ~1e-3 between batch shapes; the fold/trim/segcount machinery is
+        # guarded bit-exactly by test_packed_transfer_roundtrip below
+        np.testing.assert_allclose(
+            d["mel_fbank_segment"],
+            np.asarray(single.mel_fbank_segment),
+            atol=0.05, rtol=2e-3, err_msg=p,
+        )
+        np.testing.assert_allclose(
+            d["gabor_kwta"],
+            np.asarray(single.gabor_kwta),
+            atol=0.1, rtol=5e-3, err_msg=p,
+        )
+        assert d["mel_fbank_segment"].shape[0] == single.mel_fbank_segment.shape[0]
+
+
+def test_corpus_runner_4d_fold(tmp_path):
+    """The on/off fold must also reconstruct the 4-D pooled gabor layout."""
+    import dataclasses as dc
+
+    cfg = dc.replace(default_cfg_2d(), gbor_out_pools_y=8, gbor_out_pools_x=2)
+    wavs = _mk_corpus(tmp_path, n=2)
+    runner = CorpusRunner(cfg, SR, batch_size=2, transfer="float32")
+    stats = runner.run(wavs, str(tmp_path / "out"))
+    assert stats.files_done == 2
+    env = SndEnv(cfg, SR, dtype=jnp.float32)
+    from auditory_tpu.io.wav import load_wav
+
+    for i, p in enumerate(wavs):
+        d = np.load(tmp_path / "out" / f"c16_{i}.npz")
+        single = env.process(env.pad(load_wav(p).sound_to_tensor(dtype=np.float32)))
+        np.testing.assert_allclose(
+            d["gabor_kwta"], np.asarray(single.gabor_kwta),
+            atol=0.1, rtol=5e-3, err_msg=p,
+        )
+
+
+def test_packed_transfer_roundtrip():
+    """Bit-exact guard on PackedBatch: pack (with on/off fold) -> single
+    buffer -> unpack must reproduce the unpacked program's outputs exactly
+    (same dtype, same program, so no numeric slack is tolerated)."""
+    import dataclasses as dc
+
+    from auditory_tpu.pipeline.batch import PackedBatch
+
+    for cfg in (
+        default_cfg_2d(),
+        dc.replace(default_cfg_2d(), gbor_out_pools_y=8, gbor_out_pools_x=2),
+    ):
+        e = SndEnv(
+            cfg, SR, dtype=jnp.float32,
+            outputs=("mel_fbank_segment", "gabor_kwta", "step_valid"),
+        )
+        sigs, batch, lengths = make_batch(e, [0.25, 0.4, 0.15])
+        batch = batch.astype(np.float32)
+        plain = BatchedSndEnv(e)
+        packed_env = BatchedSndEnv(
+            e, pack_keys=("mel_fbank_segment", "gabor_kwta")
+        )
+        out, sv = plain.process(batch, lengths)
+        res = packed_env.process(batch, lengths)
+        pb = res[0]
+        assert isinstance(pb, PackedBatch)
+        host = pb.unpack()
+        np.testing.assert_array_equal(
+            host["mel_fbank_segment"], np.asarray(out.mel_fbank_segment)
+        )
+        np.testing.assert_array_equal(
+            host["gabor_kwta"], np.asarray(out.gabor_kwta)
+        )
+        # the fold really halved the gabor payload in the buffer
+        gi = pb.keys.index("gabor_kwta")
+        packed_cols = pb.splits[gi + 1] - pb.splits[gi]
+        full_cols = int(np.prod(host["gabor_kwta"].shape[2:]))
+        assert packed_cols * 2 == full_cols
+        # trim is a pure slice
+        host3 = pb.trim(3).unpack()
+        np.testing.assert_array_equal(
+            host3["mel_fbank_segment"],
+            host["mel_fbank_segment"][:, :3],
+        )

@@ -171,7 +171,7 @@ def test_kwta_golden_snapshot():
     change to the FFFB/XX1 dynamics shows up as a diff here."""
     import os
 
-    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+    g = np.load(os.path.join(os.path.dirname(__file__), "data",
                              "kwta_golden.npz"))
     p = KWTAParams()
     pool = np.asarray(kwta_pool(p, jnp.asarray(g["raw4"])))
