@@ -133,6 +133,9 @@ def cmd_corpus(args) -> int:
         batch_size=args.batch_size,
         dtype=jnp.float64 if args.f64 else jnp.float32,
         mesh=mesh,
+        transfer=args.transfer,
+        transfer_dtype=jnp.float16 if args.f16_features else None,
+        pipeline_depth=args.pipeline_depth,
     )
     stats = runner.run(paths, args.out, resume=not args.no_resume)
     print(
@@ -393,6 +396,19 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--mesh", action="store_true", help="shard over all devices")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--transfer", choices=("auto", "float32"), default="auto",
+        help="auto: ship 8/16-bit PCM as raw int16, normalize on device "
+        "(half the upload bytes; <=1 f32 ulp vs the host float path); "
+        "float32: exact host normalization",
+    )
+    p.add_argument(
+        "--f16-features", action="store_true",
+        help="cast saved features to float16 on device (half the download "
+        "bytes and npz size)",
+    )
+    p.add_argument("--pipeline-depth", type=int, default=3,
+                   help="max dispatched-but-unwritten batches in flight")
     _add_pipeline_args(p)
     p.set_defaults(fn=cmd_corpus)
 
