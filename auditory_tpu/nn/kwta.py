@@ -61,21 +61,63 @@ def _noisy_xx1_table(gain: float, nvar: float, n: int = 512):
     return float(xs[0]), float(xs[-1]), ys.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def _noisy_xx1_cheb(gain: float, nvar: float, deg_a: int = 24, deg_b: int = 16):
+    """Two-band Chebyshev fit of the gaussian-convolved XX1 over the
+    transition range [lo, hi] (host-side, cached): band A [lo, 6*nvar]
+    resolves the nvar-scale shoulder around 0, band B [6*nvar, hi] the
+    smooth XX1 rise. Replaces the device table *gather* -- pathologically
+    slow on TPU inside the settle scan (~18 ms/iter for ~1M lookups) --
+    with a pure elementwise Clenshaw evaluation on the VPU. Max fit error
+    vs the dense convolution is ~1e-6, and the fit is monotone (both
+    asserted in tests)."""
+    lo = -4.0 * nvar
+    hi = max(16.0 / max(gain, 1e-6), 8.0 * nvar)
+    mid = min(6.0 * nvar, 0.5 * (lo + hi))
+    z = np.linspace(-5.0 * nvar, 5.0 * nvar, 2049)
+    gz = np.exp(-0.5 * (z / nvar) ** 2)
+    gz /= gz.sum()
+
+    def conv(xs):
+        xz = xs[:, None] - z[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            clean = np.where(xz > 0, gain * xz / (gain * xz + 1.0), 0.0)
+        return clean @ gz
+
+    xa = np.linspace(lo, mid, 2001)
+    xb = np.linspace(mid, hi, 2001)
+    ca = np.polynomial.chebyshev.chebfit(
+        2.0 * (xa - lo) / (mid - lo) - 1.0, conv(xa), deg_a
+    )
+    cb = np.polynomial.chebyshev.chebfit(
+        2.0 * (xb - mid) / (hi - mid) - 1.0, conv(xb), deg_b
+    )
+    return lo, mid, hi, ca.astype(np.float32), cb.astype(np.float32)
+
+
+def _clenshaw(t: jnp.ndarray, coefs: np.ndarray) -> jnp.ndarray:
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for c in coefs[:0:-1]:
+        b1, b2 = 2.0 * t * b1 - b2 + c, b1
+    return t * b1 - b2 + coefs[0]
+
+
 def xx1(params: KWTAParams, drive: jnp.ndarray) -> jnp.ndarray:
     """Noisy-XX1 rate code: x/(x+1) of the gain-scaled drive, convolved with
-    a gaussian of width nvar (leabra nxx1 semantics; table built on host,
-    linearly interpolated on device). Above the table range the clean XX1 is
-    exact; below it the activation is 0."""
-    x0, x1, ys = _noisy_xx1_table(float(params.xx1_gain), float(params.xx1_nvar))
-    table = jnp.asarray(ys, dtype=drive.dtype)
-    n = table.shape[0]
-    t = (drive - x0) / (x1 - x0) * (n - 1)
-    i = jnp.clip(t.astype(jnp.int32), 0, n - 2)
-    frac = jnp.clip(t - i, 0.0, 1.0)
-    interp = table[i] * (1.0 - frac) + table[i + 1] * frac
+    a gaussian of width nvar (leabra nxx1 semantics). The transition band is
+    a host-fit two-band Chebyshev polynomial evaluated on device (Clenshaw
+    recurrence, elementwise -- no gathers); above the band the clean XX1 is
+    exact, below it the activation is 0."""
+    x0, mid, x1, ca, cb = _noisy_xx1_cheb(
+        float(params.xx1_gain), float(params.xx1_nvar)
+    )
+    ta = jnp.clip(2.0 * (drive - x0) / (mid - x0) - 1.0, -1.0, 1.0)
+    tb = jnp.clip(2.0 * (drive - mid) / (x1 - mid) - 1.0, -1.0, 1.0)
+    band = jnp.where(drive <= mid, _clenshaw(ta, ca), _clenshaw(tb, cb))
     g = params.xx1_gain * drive
     clean_hi = g / (g + 1.0)
-    out = jnp.where(drive >= x1, clean_hi, interp)
+    out = jnp.where(drive >= x1, clean_hi, band)
     return jnp.where(drive <= x0, 0.0, out)
 
 
