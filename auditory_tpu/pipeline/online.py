@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SndEnvConfig, samples_to_msec
-from .sndenv import SndEnv, SndEnvOutputs, _tree_squeeze0
+from .sndenv import SndEnv, SndEnvOutputs
 
 __all__ = ["OnlineSndEnv"]
 
@@ -70,6 +70,7 @@ class OnlineSndEnv:
             )
         self._add_ms = add_ms
         self._fn = None
+        self._span_len_dev = None  # cached device scalar for full-span emits
 
         self._np_dtype = np.dtype(self.env.dtype)
         self._buf = np.zeros(0, dtype=self._np_dtype)
@@ -108,16 +109,36 @@ class OnlineSndEnv:
         )
         assert len(window) == self._span, (len(window), self._span)
         if self._fn is None:
-            self._fn = self.env.process_fn(self._span, self._add_ms)
+            # squeeze the [B=1, seg=1] axes INSIDE the jitted program: doing
+            # it eagerly would dispatch one tiny device op per output leaf
+            # per segment (~16 link round trips -> ~30 ms/segment on the
+            # tunneled backend; one fused call is ~2 ms)
+            inner = self.env._build(self._span, self._add_ms)
+
+            def fn(window, sig_len):
+                res = inner(window[None], sig_len[None])
+                return jax.tree_util.tree_map(
+                    lambda x: None if x is None else x[0, 0],
+                    res[0],
+                    is_leaf=lambda v: v is None,
+                )
+
+            self._fn = jax.jit(fn)
         # a step is valid while its window ends within `valid_until` (stream
         # coordinates) -- matches the offline break-on-overrun semantics
         sig_len = (
             self._span if valid_until is None
             else max(0, min(self._span, valid_until - lo))
         )
-        out, _ = self._fn(
-            jnp.asarray(window)[None], jnp.asarray([sig_len], dtype=jnp.int32)
-        )
+        if sig_len == self._span:
+            # the steady-state value: cache the device scalar (a fresh host
+            # scalar would pay a link round trip per segment)
+            if self._span_len_dev is None:
+                self._span_len_dev = jnp.asarray(self._span, dtype=jnp.int32)
+            sl = self._span_len_dev
+        else:
+            sl = jnp.asarray(sig_len, dtype=jnp.int32)
+        out = self._fn(jnp.asarray(window), sl)
         seg_idx = self._next_seg
         self._next_seg += 1
         # drop history no future segment needs
@@ -125,7 +146,7 @@ class OnlineSndEnv:
         if keep_from > 0:
             self._buf = self._buf[keep_from:]
             self._stream_pos += keep_from
-        return seg_idx, _tree_squeeze0(jax.tree_util.tree_map(lambda x: x[:, 0], out))
+        return seg_idx, out
 
     def feed(self, samples: np.ndarray) -> Iterator[Tuple[int, SndEnvOutputs]]:
         """Append samples (eagerly -- the chunk is buffered even if the
