@@ -337,7 +337,11 @@ def cmd_play(args) -> int:
     rate = args.rate if args.rate else w.sample_rate
     channels = args.channels if args.channels else w.channels
     depth_bits = 8 * args.depth if args.depth else w.source_bit_depth
-    sig = w.sound_to_tensor(dtype=np.float32)
+    # the FULL interleaved stream, normalized -- NOT sound_to_tensor, whose
+    # reference quirk keeps only the first num_frames samples (half a stereo
+    # file) and is a DSP-input convention, not a playback one
+    div = w._norm_divisor() or 1.0
+    sig = (w.data.astype(np.float64) / div).astype(np.float32)
     try:
         import sounddevice  # type: ignore
     except ImportError:

@@ -14,7 +14,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = [
-    "available", "decode_batch", "decode_batch_i16", "wav_info",
+    "available", "decode_batch", "decode_batch_i16", "has_i16", "wav_info",
     "STATUS_NAMES", "STATUS_NOT_I16",
 ]
 
@@ -34,6 +34,14 @@ STATUS_NOT_I16 = 7
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_has_i16 = False
+
+
+def has_i16() -> bool:
+    """Whether the loaded native library exposes the raw-int16 batch decode
+    (rebuild with ``make -C csrc`` if not)."""
+    _load()
+    return _has_i16
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -65,19 +73,26 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,
     ]
     lib.auditory_wav_decode_batch.restype = ctypes.c_int32
-    lib.auditory_wav_decode_batch_i16.argtypes = [
-        ctypes.c_char_p,
-        ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int16),
-        ctypes.c_int64,
-        ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int32,
-    ]
-    lib.auditory_wav_decode_batch_i16.restype = ctypes.c_int32
+    # the i16 entry point arrived later: a stale .so (built before it) must
+    # degrade to the float path, not break the whole native decoder
+    global _has_i16
+    try:
+        lib.auditory_wav_decode_batch_i16.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
+        lib.auditory_wav_decode_batch_i16.restype = ctypes.c_int32
+        _has_i16 = True
+    except AttributeError:
+        _has_i16 = False
     _lib = lib
     return lib
 
@@ -159,6 +174,11 @@ def decode_batch_i16(
     lib = _load()
     if lib is None:
         raise RuntimeError("native IO library not built (make -C csrc)")
+    if not _has_i16:
+        raise RuntimeError(
+            "native IO library predates the int16 decoder; rebuild with "
+            "make -C csrc"
+        )
     n = len(paths)
     blob = b"\0".join(p.encode() for p in paths) + b"\0"
     out = np.zeros((n, max_samples), dtype=np.int16)

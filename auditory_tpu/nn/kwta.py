@@ -45,9 +45,14 @@ import numpy as np
 
 @functools.lru_cache(maxsize=16)
 def _noisy_xx1_table(gain: float, nvar: float, n: int = 512):
-    """Host-built lookup of the noisy XX1 rate code: XX1(gain*x) = gx/(gx+1)
-    for x>0 convolved with a unit gaussian of width nvar (the same
-    construction leabra's nxx1 package uses for its table)."""
+    """Dense reference evaluation of the noisy XX1 rate code: XX1(gain*x) =
+    gx/(gx+1) for x>0 convolved with a unit gaussian of width nvar (the same
+    construction leabra's nxx1 package uses for its table).
+
+    NOT used on the hot path (the device evaluates the two-band Chebyshev
+    fit, :func:`_noisy_xx1_cheb` -- a table *gather* is pathologically slow
+    on TPU); retained as the ground truth the fit is validated against in
+    tests/test_kwta.py."""
     lo, hi = -4.0 * nvar, max(16.0 / max(gain, 1e-6), 8.0 * nvar)
     xs = np.linspace(lo, hi, n)
     # fine grid for the convolution integrand

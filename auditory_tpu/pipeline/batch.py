@@ -113,6 +113,24 @@ class PackedBatch:
         return out
 
 
+def _onoff_fold_exact(kwta) -> bool:
+    """Whether the gabor on/off fold is exact through the kWTA settle.
+
+    The fold relies on 'at most one of each (on, off) pair is nonzero'. The
+    convolution guarantees it for the raw output; the settle preserves it
+    iff a zero-drive unit stays exactly zero, i.e. the noisy-XX1 shoulder
+    (which extends 4*nvar below 0) cannot reach the *minimum* threshold
+    drive ge_thr(gi=0) = gbar_l*(thr - erev_l)/(erev_e - thr). With the
+    defaults (nvar=0.01 -> 0.04 <= 0.08) it holds; a user-raised nvar can
+    break it, in which case the pack keeps both channels."""
+    if not kwta.on:
+        return True
+    min_thr = (
+        kwta.gbar_l * (kwta.thr - kwta.erev_l) / (kwta.erev_e - kwta.thr)
+    )
+    return 4.0 * kwta.xx1_nvar <= min_thr
+
+
 def bucket_length(
     n: int,
     timing,
@@ -220,7 +238,10 @@ class BatchedSndEnv:
                     continue
                 final_shape = tuple(a.shape[2:])
                 view_shape, fold_ax = final_shape, None
-                if k in ("gabor_raw", "gabor_kwta"):
+                foldable = k == "gabor_raw" or (
+                    k == "gabor_kwta" and _onoff_fold_exact(self.env.cfg.kwta)
+                )
+                if foldable:
                     if is_4d and len(final_shape) == 4:
                         fold_ax = 2  # [py, px, 2, nf]
                     elif len(final_shape) == 2 and final_shape[0] % 2 == 0:
@@ -530,7 +551,7 @@ class CorpusRunner:
 
         results: Dict[str, Tuple] = {}
         float_paths = ok_paths
-        if self.transfer == "auto":
+        if self.transfer == "auto" and native.has_i16():
             out, lengths, srs, divs, sts = native.decode_batch_i16(
                 ok_paths, max_frames, n_threads=self.decode_threads
             )
@@ -624,9 +645,13 @@ class CorpusRunner:
 
         stats = CorpusStats()
         # per-mel-band moments accumulate ON DEVICE (float32) batch by batch
-        # and come to host once at the end -- per-batch downloads of the
-        # three tiny arrays would each pay the link's fixed round trip
+        # -- per-batch downloads of the three tiny arrays would each pay the
+        # link's fixed round trip -- and fold into a float64 host accumulator
+        # every _MOMENTS_FOLD batches so corpus-scale sums keep f64 precision
+        # (a pure-f32 running sum would saturate count past 2^24 steps)
         self._moments_dev = None
+        self._moments_host = None
+        self._moments_pending = 0
         t0 = time.perf_counter()
 
         # stage queues: decoded items in, dispatched batches out
@@ -695,6 +720,13 @@ class CorpusRunner:
             failures.append(e)
         finally:
             wq.put(_SENTINEL)
+            # the decode thread may be blocked on a full dq (e.g. when
+            # dispatch raised); drain until it exits so join() cannot hang
+            while dec_t.is_alive():
+                try:
+                    dq.get(timeout=0.05)
+                except queue.Empty:
+                    pass
             dec_t.join()
             wrt_t.join()
             for fut in write_futures:
@@ -707,12 +739,10 @@ class CorpusRunner:
         if failures:
             raise failures[0]
 
-        if self.env.feature_stats and self._moments_dev is not None:
+        self._fold_moments_to_host()
+        if self.env.feature_stats and self._moments_host is not None:
             # corpus-wide per-mel-band normalization statistics
-            moments = {
-                k: np.asarray(v, dtype=np.float64)
-                for k, v in self._moments_dev.items()
-            }
+            moments = self._moments_host
             cnt = max(float(moments["count"]), 1.0)
             mean = moments["sum"] / cnt
             var = np.maximum(moments["sumsq"] / cnt - mean**2, 0.0)
@@ -727,6 +757,28 @@ class CorpusRunner:
                 )
         stats.wall_seconds = time.perf_counter() - t0
         return stats
+
+    # batches per f32 device partial before an f64 host fold: 64 batches of
+    # <=2^18 steps each stay far below f32's 2^24 integer-precision limit
+    _MOMENTS_FOLD = 64
+
+    def _fold_moments_to_host(self):
+        """Fold the device f32 moment partial into the f64 host accumulator
+        (one tiny download per _MOMENTS_FOLD batches)."""
+        if self._moments_dev is None:
+            return
+        part = {
+            k: np.asarray(v, dtype=np.float64)
+            for k, v in self._moments_dev.items()
+        }
+        if self._moments_host is None:
+            self._moments_host = part
+        else:
+            self._moments_host = {
+                k: self._moments_host[k] + part[k] for k in part
+            }
+        self._moments_dev = None
+        self._moments_pending = 0
 
     def _dispatch(self, items, blen, add_ms):
         """Build the padded batch and *dispatch* it (asynchronously) to the
@@ -776,7 +828,8 @@ class CorpusRunner:
         _, res, items, n_segs = entry
         packed = res[0]
         if len(res) > 1 and res[1] is not None:
-            # device-side accumulation: no host copy until the end of the run
+            # device-side accumulation (no per-batch host copy), folded to
+            # the f64 host accumulator every _MOMENTS_FOLD batches
             mom = res[1]
             with manifest_lock:
                 self._moments_dev = (
@@ -786,6 +839,9 @@ class CorpusRunner:
                         jnp.add, self._moments_dev, mom
                     )
                 )
+                self._moments_pending += 1
+                if self._moments_pending >= self._MOMENTS_FOLD:
+                    self._fold_moments_to_host()
         # ONE device->host copy for the whole batch
         host = packed.unpack()
 

@@ -144,6 +144,13 @@ def render_npz(
     validation surface of the reference (gbv.go:1209-1313)."""
     if isinstance(data, str):
         data = dict(np.load(data))
+    if keys is not None:
+        keys = [k.strip() for k in keys if k.strip()]
+        unknown = [k for k in keys if k not in data]
+        if unknown:
+            raise RuntimeError(
+                f"unknown key(s) {unknown}; available: {sorted(data)}"
+            )
     os.makedirs(out_dir, exist_ok=True)
     written = []
     for k in sorted(keys if keys is not None else data):

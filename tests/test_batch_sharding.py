@@ -453,3 +453,38 @@ def test_packed_transfer_roundtrip():
             host3["mel_fbank_segment"],
             host["mel_fbank_segment"][:, :3],
         )
+
+
+def test_corpus_dispatch_failure_raises_not_hangs(tmp_path, monkeypatch):
+    """If dispatch fails while the decode queue is full, run() must raise
+    promptly -- the decode thread is drained, never left blocked on a full
+    queue (code-review finding: join() deadlock)."""
+    import threading
+
+    cfg = default_cfg_2d()
+    # more files than the decode queue bound (max(4*batch_size, 64))
+    wavs = []
+    for i in range(80):
+        p = str(tmp_path / f"x{i}.wav")
+        write_wav(p, float_to_wave(tone(500.0, 0.12, SR), SR))
+        wavs.append(p)
+    runner = CorpusRunner(cfg, SR, batch_size=1)
+    monkeypatch.setattr(
+        CorpusRunner, "_dispatch",
+        lambda self, items, blen, add_ms: (_ for _ in ()).throw(
+            RuntimeError("boom")),
+    )
+    result = {}
+
+    def go():
+        try:
+            runner.run(wavs, str(tmp_path / "out"))
+            result["outcome"] = "returned"
+        except RuntimeError as e:
+            result["outcome"] = f"raised:{e}"
+
+    th = threading.Thread(target=go, daemon=True)
+    th.start()
+    th.join(timeout=60)
+    assert not th.is_alive(), "run() hung after dispatch failure"
+    assert result["outcome"] == "raised:boom"

@@ -8,6 +8,8 @@ monotonicity in gi, and inhibition geometry.
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -178,3 +180,46 @@ def test_kwta_golden_snapshot():
     layer = np.asarray(kwta_layer(p, jnp.asarray(g["raw2"])))
     np.testing.assert_allclose(pool, g["pool"], atol=2e-3)
     np.testing.assert_allclose(layer, g["layer"], atol=2e-3)
+
+
+def test_xx1_cheb_matches_dense_convolution():
+    """The device Chebyshev evaluation must track the dense
+    gaussian-convolved reference (_noisy_xx1_table) to ~1e-5 and remain
+    monotone over the full transition band."""
+    from auditory_tpu.nn.kwta import _noisy_xx1_table
+
+    p = KWTAParams()
+    x0, x1, ys = _noisy_xx1_table(p.xx1_gain, p.xx1_nvar, n=4096)
+    xs = np.linspace(x0, x1, 4096)
+    got = np.asarray(xx1(p, jnp.asarray(xs, jnp.float32)))
+    # 2e-4: the two references use different gaussian quadratures (table:
+    # +-4sigma/257 pts; fit: +-5sigma/2049 pts) whose truncation difference
+    # is ~1.3e-4; the fit error itself is ~1e-6
+    np.testing.assert_allclose(got, ys, atol=2e-4)
+    assert np.all(np.diff(got) >= -1e-6)
+    # clean XX1 above the band, zero below
+    assert float(xx1(p, jnp.asarray(x0 - 0.01))) == 0.0
+    hi = 2.0 * x1
+    g = p.xx1_gain * hi
+    assert float(xx1(p, jnp.asarray(hi))) == pytest.approx(g / (g + 1.0), rel=1e-6)
+
+
+def test_onoff_fold_exact_guard():
+    """The packed-transfer on/off fold must be disabled exactly when the
+    noisy-XX1 shoulder can lift zero-drive units off zero
+    (VERDICT/code-review finding)."""
+    import dataclasses as dc
+
+    from auditory_tpu.pipeline.batch import _onoff_fold_exact
+
+    assert _onoff_fold_exact(KWTAParams())           # nvar=0.01: safe
+    assert _onoff_fold_exact(KWTAParams(on=False))   # kwta off: trivially
+    assert not _onoff_fold_exact(KWTAParams(xx1_nvar=0.03))
+    # and the condition matches the dynamics: zero input stays zero iff safe
+    for nvar, expect_zero in ((0.01, True), (0.05, False)):
+        p = dc.replace(KWTAParams(), xx1_nvar=nvar)
+        raw = np.zeros((1, 1, 2, 4), dtype=np.float32)
+        raw[0, 0, 0, :] = 0.35  # moderate drive so gi stays small
+        out = np.asarray(kwta_pool(p, jnp.asarray(raw)))
+        off_zero = bool(np.all(out[0, 0, 1] == 0.0))
+        assert off_zero == expect_zero, (nvar, out[0, 0, 1])

@@ -107,3 +107,36 @@ def test_cli_play_paths(tmp_path, capsys):
     assert w.channels == 1
     # same number of samples survived the re-encode
     assert w.num_frames == len(sig)
+
+
+def test_cli_play_stereo_full_duration(tmp_path):
+    """Stereo playback must use the FULL interleaved stream -- not
+    sound_to_tensor's first-num_frames quirk, which would halve the
+    duration (code-review finding)."""
+    from auditory_tpu.cli import main
+    from auditory_tpu.io.wav import Wave, load_wav, write_wav
+
+    sr = 16000
+    n = int(0.05 * sr)
+    t = np.arange(n) / sr
+    left = 0.4 * np.sin(2 * np.pi * 500.0 * t)
+    right = 0.4 * np.sin(2 * np.pi * 900.0 * t)
+    inter = np.empty(2 * n)
+    inter[0::2], inter[1::2] = left, right
+    data = np.round(inter * 0x7FFF).astype(np.int32)
+    p = str(tmp_path / "st.wav")
+    write_wav(p, Wave(data=data, sample_rate=sr, channels=2,
+                      source_bit_depth=16))
+
+    out = str(tmp_path / "re.wav")
+    rc = main(["play", p, "--out-wav", out])
+    assert rc == 0
+    w = load_wav(out)
+    assert w.channels == 2
+    # full duration survived (num_frames counts per-channel frames)
+    assert w.num_frames == n
+    # and both channels' content is intact
+    np.testing.assert_allclose(
+        w.channel_signal(0), left, atol=2e-4)
+    np.testing.assert_allclose(
+        w.channel_signal(1), right, atol=2e-4)
