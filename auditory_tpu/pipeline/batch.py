@@ -59,57 +59,101 @@ from .sndenv import SndEnv, SndEnvOutputs
 __all__ = ["BatchedSndEnv", "CorpusRunner", "PackedBatch", "bucket_length"]
 
 
+@dataclass(frozen=True)
+class PackEntry:
+    """Layout of one key inside a :class:`PackedBatch` buffer."""
+
+    key: str
+    kind: str                       # "seg" (rows = segments) | "global"
+    view_shape: Tuple[int, ...]     # per-row trailing shape (post-fold)
+    final_shape: Tuple[int, ...]    # true per-row trailing shape
+    fold_ax: Optional[int]          # on/off axis in view_shape, or None
+    rows: int                       # current row count in the buffer
+
+    @property
+    def row_cols(self) -> int:
+        n = 1
+        for d in self.view_shape:
+            n *= d
+        if self.fold_ax is not None:
+            n //= 2
+        return n
+
+    @property
+    def cols(self) -> int:
+        return self.rows * self.row_cols
+
+
 @dataclass
 class PackedBatch:
-    """One device buffer holding a whole batch's saved features:
-    [B, seg, F_total]. A single device->host copy per batch (the link pays
-    a fixed per-transfer cost, so many small copies of mel/gabor would
-    waste most of its bandwidth).
+    """One flat device buffer [B, C] holding a whole batch's saved features.
+    A single device->host copy per batch (the link pays a fixed per-transfer
+    cost, so many small copies of mel/gabor would waste most of its
+    bandwidth).
 
-    Two lossless byte reductions are applied at pack time:
+    Byte reductions applied at pack time (all lossless):
     - gabor on/off **fold**: the reference's half-rectified on/off pair
       (agabor/gabor.go:284-308) has at most one nonzero per (on, off) unit
-      -- kWTA preserves exact zeros -- so the pair is stored as one signed
-      value ``on - off`` and reconstructed exactly as (max(v,0), max(-v,0)),
-      halving the gabor payload. ``fold_axes[k]`` is the axis of the
-      size-2 on/off dimension (None = not folded).
+      -- kWTA preserves exact zeros under the `_onoff_fold_exact` condition
+      -- so the pair is stored as one signed value ``on - off`` and
+      reconstructed exactly as (max(v,0), max(-v,0)).
+    - **global-grid dedup**: a ``kind='global'`` entry (mel on the shared
+      window grid) carries each window once instead of once per overlapping
+      segment (~29% fewer mel bytes at the default 100 ms stride / 10 ms
+      step + 2 border steps); callers expand host-side via
+      ``SndEnv.global_grid``.
     - no validity column: per-file segment counts are a pure function of
       the (host-known) lengths, recomputed host-side by the caller.
     """
 
-    data: Any                                  # [B, seg, F] device array
-    keys: Tuple[str, ...]
-    feat_shapes: Tuple[Tuple[int, ...], ...]   # per-key fold-view shape
-    final_shapes: Tuple[Tuple[int, ...], ...]  # per-key true trailing shape
-    splits: Tuple[int, ...]                    # cumulative column offsets
-    fold_axes: Tuple[Optional[int], ...]       # on/off axis per key, or None
+    data: Any                       # [B, C] device array
+    entries: Tuple[PackEntry, ...]
+    sps: int                        # stride/step ratio (global-row trim)
+    steps: int                      # segment_steps (global-row trim)
+
+    def _rows_for(self, kind: str, max_seg: int) -> int:
+        if kind == "seg":
+            return max_seg
+        return (max_seg - 1) * self.sps + self.steps if max_seg > 0 else 0
 
     def trim(self, max_seg: int) -> "PackedBatch":
         """Device-side slice to the first ``max_seg`` segments (the rest are
         invalid padding for every file in the batch); shrinks the host copy."""
-        if max_seg >= self.data.shape[1]:
+        parts, new_entries, off = [], [], 0
+        changed = False
+        for e in self.entries:
+            rows = min(self._rows_for(e.kind, max_seg), e.rows)
+            parts.append(self.data[:, off : off + rows * e.row_cols])
+            new_entries.append(dataclasses.replace(e, rows=rows))
+            changed |= rows != e.rows
+            off += e.cols
+        if not changed:
             return self
-        return dataclasses.replace(self, data=self.data[:, :max_seg])
+        return dataclasses.replace(
+            self,
+            data=jnp.concatenate(parts, axis=-1),
+            entries=tuple(new_entries),
+        )
 
     def unpack(self) -> Dict[str, np.ndarray]:
-        """One host copy -> {key: [B, seg, ...]} with folds expanded."""
+        """One host copy -> {key: [B, rows, ...]} with folds expanded
+        (``global`` entries stay on the global grid)."""
         host = np.asarray(self.data)
-        b, seg = host.shape[:2]
-        out = {}
-        for key, shape, final, fold_ax, lo, hi in zip(
-            self.keys, self.feat_shapes, self.final_shapes, self.fold_axes,
-            self.splits[:-1], self.splits[1:],
-        ):
-            if fold_ax is None:
-                out[key] = host[:, :, lo:hi].reshape((b, seg) + shape)
+        b = host.shape[0]
+        out, off = {}, 0
+        for e in self.entries:
+            block = host[:, off : off + e.cols]
+            off += e.cols
+            if e.fold_ax is None:
+                out[e.key] = block.reshape((b, e.rows) + e.view_shape)
                 continue
-            folded_shape = list(shape)
-            folded_shape[fold_ax] = 1
-            v = host[:, :, lo:hi].reshape((b, seg) + tuple(folded_shape))
+            folded_shape = list(e.view_shape)
+            folded_shape[e.fold_ax] = 1
+            v = block.reshape((b, e.rows) + tuple(folded_shape))
             on = np.maximum(v, 0)
-            off = np.maximum(-v, 0)
-            full = np.concatenate([on, off], axis=2 + fold_ax)
-            out[key] = full.reshape((b, seg) + final)
+            off_ch = np.maximum(-v, 0)
+            full = np.concatenate([on, off_ch], axis=2 + e.fold_ax)
+            out[e.key] = full.reshape((b, e.rows) + e.final_shape)
         return out
 
 
@@ -223,21 +267,23 @@ class BatchedSndEnv:
                 res = (out,) + tuple(res[1:])
             if pack_keys is None:
                 return res
-            # pack the saved features into ONE [B, seg, F] buffer: a single
+            # pack the saved features into ONE flat [B, C] buffer: a single
             # device->host copy per batch. Validity is NOT shipped -- the
             # per-file segment count is a pure function of the host-known
             # length (config.DerivedTiming.seg_cnt). Gabor on/off pairs are
-            # folded into one signed channel (see PackedBatch).
+            # folded into one signed channel, and global-grid entries carry
+            # each shared window once (see PackedBatch).
             out = res[0]
             ptd = td if td is not None else dtype
             is_4d = self.env.is_4d
-            cols, keys, shapes, finals, folds, splits = [], [], [], [], [], [0]
+            cols, entries = [], []
             for k in pack_keys:
                 a = getattr(out, k)
                 if a is None:
                     continue
                 final_shape = tuple(a.shape[2:])
                 view_shape, fold_ax = final_shape, None
+                kind = "global" if k == "mel_fbank_global" else "seg"
                 foldable = k == "gabor_raw" or (
                     k == "gabor_kwta" and _onoff_fold_exact(self.env.cfg.kwta)
                 )
@@ -254,18 +300,23 @@ class BatchedSndEnv:
                     v = a.reshape(a.shape[:2] + view_shape)
                     on, off = jnp.split(v, 2, axis=2 + fold_ax)
                     a = on - off  # exact: at most one of the pair is nonzero
-                flat = a.reshape(a.shape[0], a.shape[1], -1).astype(ptd)
+                flat = a.reshape(a.shape[0], -1).astype(ptd)
                 cols.append(flat)
-                keys.append(k)
-                shapes.append(view_shape)
-                finals.append(final_shape)
-                folds.append(fold_ax)
-                splits.append(splits[-1] + flat.shape[-1])
-            pack_meta["keys"] = tuple(keys)
-            pack_meta["feat_shapes"] = tuple(shapes)
-            pack_meta["final_shapes"] = tuple(finals)
-            pack_meta["fold_axes"] = tuple(folds)
-            pack_meta["splits"] = tuple(splits)
+                entries.append(
+                    PackEntry(
+                        key=k, kind=kind, view_shape=view_shape,
+                        final_shape=final_shape, fold_ax=fold_ax,
+                        rows=a.shape[1],
+                    )
+                )
+            t = self.env.timing
+            pack_meta["entries"] = tuple(entries)
+            pack_meta["sps"] = (
+                t.stride_samples // t.step_samples
+                if t.step_samples and t.stride_samples % t.step_samples == 0
+                else 0
+            )
+            pack_meta["steps"] = t.segment_steps
             return (jnp.concatenate(cols, axis=-1),) + tuple(res[2:])
 
         if with_divisors:
@@ -466,22 +517,47 @@ class CorpusRunner:
         transfer: str = "auto",
         transfer_dtype=None,
         pipeline_depth: int = 3,
+        dedup_mel: Optional[bool] = None,
     ):
         if transfer not in ("auto", "float32"):
             raise ValueError("transfer must be 'auto' or 'float32'")
+        # mel dedup: ship the global-grid mel (each shared window once,
+        # ~29% fewer mel bytes at default geometry) and expand to the
+        # per-segment tensor host-side; requires the uniform window grid.
+        # dedup_mel=None: auto; False: force the per-segment transfer.
+        tmp_env = SndEnv(cfg, sample_rate, dtype=dtype, outputs=("energy",))
+        t = tmp_env.timing
+        self._dedup_mel = (
+            "mel_fbank_segment" in save_keys
+            and t.step_samples > 0
+            and t.stride_samples % t.step_samples == 0
+            and cfg.dft.prev_smooth == 0.0
+            and dedup_mel is not False
+        )
+        if dedup_mel is True and not self._dedup_mel:
+            raise ValueError(
+                "dedup_mel requires mel_fbank_segment in save_keys, a "
+                "stride divisible by the step, and prev_smooth == 0"
+            )
+        env_keys = tuple(
+            "mel_fbank_global"
+            if (k == "mel_fbank_segment" and self._dedup_mel)
+            else k
+            for k in save_keys
+        )
         # only materialize what gets saved (XLA DCEs the rest)
         self.env = SndEnv(
             cfg, sample_rate, dtype=dtype,
-            outputs=tuple(save_keys) + ("step_valid",),
+            outputs=env_keys + ("step_valid",),
             feature_stats=feature_stats,
         )
-        # packed transfer: one device->host copy per batch (features +
-        # validity in a single buffer; the link's per-copy cost dominates
-        # many small transfers)
+        # packed transfer: one device->host copy per batch (the link's
+        # per-copy cost dominates many small transfers)
         self.batched = BatchedSndEnv(
             self.env, mesh=mesh, transfer_dtype=transfer_dtype,
-            pack_keys=tuple(save_keys),
+            pack_keys=env_keys,
         )
+        self._grid_cache: Dict[Tuple[int, int], Tuple] = {}
         self.batch_size = batch_size
         self.save_keys = tuple(save_keys)
         self.decode_threads = decode_threads
@@ -800,13 +876,20 @@ class CorpusRunner:
         # slice shapes stay few and compile-cached) before it is downloaded
         n_segs = [max(self.env.seg_cnt(int(n)), 0) for n in lengths]
         packed = res[0]
+        seg_full = max(self.env.seg_cnt(blen), 0)
         if isinstance(packed, PackedBatch):
             max_seg = min(
-                pad_to_multiple(max(n_segs) if n_segs else 0, 4),
-                packed.data.shape[1],
+                pad_to_multiple(max(n_segs) if n_segs else 0, 4), seg_full
             )
             res = (packed.trim(max_seg),) + tuple(res[1:])
-        return ("batch", res, items, n_segs)
+        # host expansion metadata for the deduped mel (cached per bucket)
+        grid = None
+        if self._dedup_mel:
+            gkey = (blen, add_ms)
+            if gkey not in self._grid_cache:
+                self._grid_cache[gkey] = self.env.global_grid(blen, add_ms)
+            grid = self._grid_cache[gkey]
+        return ("batch", res, items, n_segs, grid)
 
     def _write_entry(
         self, entry, out_dir, manifest, manifest_lock, stats, pool,
@@ -825,7 +908,7 @@ class CorpusRunner:
                     + "\n"
                 )
             return
-        _, res, items, n_segs = entry
+        _, res, items, n_segs, grid = entry
         packed = res[0]
         if len(res) > 1 and res[1] is not None:
             # device-side accumulation (no per-batch host copy), folded to
@@ -844,6 +927,29 @@ class CorpusRunner:
                     self._fold_moments_to_host()
         # ONE device->host copy for the whole batch
         host = packed.unpack()
+        if grid is not None and "mel_fbank_global" in host:
+            # expand the deduped global-grid mel to the reference's
+            # per-segment tensor and re-apply the step/segment masks the
+            # device path would have applied (SndEnv.global_grid contract)
+            map_idx, win_ends = grid
+            mg = host.pop("mel_fbank_global")  # [B, n_flat_t, n_mel]
+            seg_t = min(
+                (mg.shape[1] - packed.steps) // packed.sps + 1
+                if mg.shape[1] >= packed.steps else 0,
+                map_idx.shape[0],
+            )
+            mi = map_idx[:seg_t]
+            # [B, seg_t, steps, n_mel] -> [B, seg_t, n_mel, steps]
+            exp = mg[:, mi].transpose(0, 1, 3, 2)
+            lens = np.asarray([len(sig) for _, sig, _ in items])
+            valid = (
+                win_ends[None, :seg_t, :] <= lens[:, None, None]
+            )  # [B, seg_t, steps]
+            # where (not multiply): the mel NaN-triangle quirk means masked
+            # values can be NaN, and NaN*0 != 0
+            host["mel_fbank_segment"] = np.where(
+                valid[:, :, None, :], exp, exp.dtype.type(0)
+            )
 
         def write_batch():
             def write_one(i_path_sig):

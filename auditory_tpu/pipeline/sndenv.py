@@ -55,6 +55,13 @@ class SndEnvOutputs:
       gabor_kwta         [.., ...]               <- GborKwta
       step_valid         [.., steps] bool        (True where the reference
                                                   would have processed the step)
+      mel_fbank_global   [.., n_flat, n_mel]     (opt-in, transfer-side form:
+                                                  the deduped global step grid
+                                                  mel_fbank_segment is gathered
+                                                  from -- UNMASKED; only
+                                                  available on the uniform
+                                                  window grid, else None. Expand
+                                                  via SndEnv.global_grid.)
     """
 
     power_segment: Any
@@ -67,6 +74,7 @@ class SndEnvOutputs:
     gabor_raw: Any
     gabor_kwta: Any
     step_valid: Any
+    mel_fbank_global: Optional[Any] = None
 
 
 def _tree_squeeze0(out):
@@ -102,6 +110,7 @@ class SndEnv:
         "gabor_raw",
         "gabor_kwta",
         "step_valid",
+        "mel_fbank_global",
     )
 
     def __init__(
@@ -215,6 +224,17 @@ class SndEnv:
 
     def seg_cnt(self, n_samples: int) -> int:
         return self.timing.seg_cnt(n_samples, self.channels)
+
+    def global_grid(self, n_samples: int, add_ms: int = 0):
+        """Host-side expansion metadata for ``mel_fbank_global``:
+        (map_idx [seg, steps] global-row index per (segment, step) or None
+        when the uniform grid is unavailable, window_ends [seg, steps]).
+        ``mel_fbank_segment[b, s, :, i] = mel_fbank_global[b, map_idx[s, i]]
+        * (window_ends[s, i] <= length_b)`` for segments ``s < seg_cnt_b``."""
+        seg = max(self.seg_cnt(n_samples), 0)
+        _, map_idx, starts_np = self._window_grid(seg, add_ms)
+        ends = starts_np + self.timing.win_samples
+        return map_idx, ends
 
     # ------------------------------------------------------------------
     # core program (natively batched: signals [B, S], lengths [B])
@@ -431,6 +451,19 @@ class SndEnv:
                 self.outputs is None or "log_power_segment" in self.outputs
             )
 
+            # transfer-side deduped form: the global-grid mel BEFORE the
+            # segment gather and BEFORE any masking (callers expand + mask
+            # host-side; see SndEnv.global_grid). Opt-in output.
+            mel_global = (
+                mel_vals
+                if (
+                    map_idx is not None
+                    and self.outputs is not None
+                    and "mel_fbank_global" in self.outputs
+                )
+                else None
+            )
+
             if map_idx is not None:
                 # materialize segments from the shared global windows: static
                 # row-gathers over the *small* spectra (wide power/log-power
@@ -554,7 +587,11 @@ class SndEnv:
             )
             out = jax.tree_util.tree_map(seg_mask, out, is_leaf=lambda x: x is None)
             out = dataclasses.replace(
-                out, step_valid=out.step_valid & seg_valid[..., None]
+                out,
+                step_valid=out.step_valid & seg_valid[..., None],
+                # the global grid has no [B, seg] leading axes: attach AFTER
+                # the seg mask (host-side expansion applies the masks)
+                mel_fbank_global=mel_global,
             )
             if self.outputs is not None:
                 out = dataclasses.replace(

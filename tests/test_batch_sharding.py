@@ -443,10 +443,9 @@ def test_packed_transfer_roundtrip():
             host["gabor_kwta"], np.asarray(out.gabor_kwta)
         )
         # the fold really halved the gabor payload in the buffer
-        gi = pb.keys.index("gabor_kwta")
-        packed_cols = pb.splits[gi + 1] - pb.splits[gi]
+        ge = next(x for x in pb.entries if x.key == "gabor_kwta")
         full_cols = int(np.prod(host["gabor_kwta"].shape[2:]))
-        assert packed_cols * 2 == full_cols
+        assert ge.row_cols * 2 == full_cols
         # trim is a pure slice
         host3 = pb.trim(3).unpack()
         np.testing.assert_array_equal(
@@ -488,3 +487,25 @@ def test_corpus_dispatch_failure_raises_not_hangs(tmp_path, monkeypatch):
     th.join(timeout=60)
     assert not th.is_alive(), "run() hung after dispatch failure"
     assert result["outcome"] == "raised:boom"
+
+
+def test_corpus_mel_dedup_exact(tmp_path):
+    """The global-grid mel transfer + host expansion must be BIT-IDENTICAL
+    to the per-segment transfer (both gather the same device-computed global
+    mel; only where the gather happens differs)."""
+    cfg = default_cfg_2d()
+    wavs = _mk_corpus(tmp_path, n=4)
+    r_on = CorpusRunner(cfg, SR, batch_size=4, transfer="float32")
+    assert r_on._dedup_mel
+    r_off = CorpusRunner(
+        cfg, SR, batch_size=4, transfer="float32", dedup_mel=False
+    )
+    assert not r_off._dedup_mel
+    r_on.run(wavs, str(tmp_path / "on"))
+    r_off.run(wavs, str(tmp_path / "off"))
+    for i in range(4):
+        a = np.load(tmp_path / "on" / f"c16_{i}.npz")
+        b = np.load(tmp_path / "off" / f"c16_{i}.npz")
+        assert set(a.files) == set(b.files)
+        for k in a.files:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"c16_{i}:{k}")
