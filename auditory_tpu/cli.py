@@ -98,6 +98,12 @@ def cmd_process(args) -> int:
         cfg, w.sample_rate, dtype=jnp.float64 if args.f64 else jnp.float32,
         channels=channels,
     )
+    if args.silence_add or args.silence_existing:
+        # SndEnv.AdjustForSilence (sndenv.go:274-294): trim/pad leading
+        # silence to the requested amount
+        sig, _off = env.adjust_for_silence(
+            sig, args.silence_add, args.silence_existing
+        )
     if args.pad:
         sig = env.pad(sig)
     out = env.process(sig)
@@ -270,6 +276,41 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_table(args) -> int:
+    """Headless sounds-table workflow: load a directory of WAVs and their
+    transcription/timing files into a filterable units table -- the
+    gaborview app's corpus-browsing surface (gbv.go:627-718
+    LoadTranscription + ConfigSoundsTable + FilterSounds)."""
+    from .speech.table import SoundsTable, load_cv_sequence, load_timit_sequence
+
+    paths = sorted(_glob.glob(args.glob))
+    if not paths:
+        print(f"no files match {args.glob}", file=sys.stderr)
+        return 1
+    table = SoundsTable()
+    for p in paths:
+        if args.corpus == "TIMIT":
+            seq = load_timit_sequence(p, fuse=args.fuse, silence=args.silence)
+        else:
+            seq = load_cv_sequence(
+                p, corpus=args.corpus, set_id=args.set_id,
+                silence=args.silence,
+            )
+        table.add_sequence(seq)
+    rows = table.filter_sound(args.filter) if args.filter else table.rows
+    if args.json:
+        print(json.dumps([dataclasses.asdict(r) for r in rows]))
+        return 0
+    print(f"{'sound':10s} {'start':>9s} {'end':>9s} {'dur':>8s}  file (dir)")
+    for r in rows:
+        print(
+            f"{r.sound:10s} {r.start:9.1f} {r.end:9.1f} {r.duration:8.1f}  "
+            f"{r.file} ({r.dir})"
+        )
+    print(f"{len(rows)} units from {len(paths)} files")
+    return 0
+
+
 def cmd_viz(args) -> int:
     """Headless PNG rendering of pipeline outputs and the gabor bank --
     the reference's tensor-grid validation surface (gbv.go:1209-1313,
@@ -390,6 +431,10 @@ def main(argv=None) -> int:
         help="de-interleave this channel for multi-channel WAVs (-1 = the "
         "reference's SoundToTensor flattening)",
     )
+    p.add_argument("--silence-add", type=float, default=0.0,
+                   help="ms of leading silence wanted (AdjustForSilence)")
+    p.add_argument("--silence-existing", type=float, default=0.0,
+                   help="ms of leading silence already in the file")
     _add_pipeline_args(p)
     p.set_defaults(fn=cmd_process)
 
@@ -457,6 +502,22 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="WAV metadata")
     p.add_argument("file")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser(
+        "table", help="browse a corpus' units table (headless gaborview)"
+    )
+    p.add_argument("--glob", required=True, help="WAV file glob")
+    p.add_argument(
+        "--corpus", default="TIMIT",
+        choices=("TIMIT", "SYNTHCVS", "GRAFESTES", "VOWELS"),
+    )
+    p.add_argument("--set-id", default="I", help="CV corpus subset id")
+    p.add_argument("--fuse", action="store_true", help="fuse stop closures")
+    p.add_argument("--silence", type=float, default=0.0,
+                   help="ms of silence adjustment (AdjSeqTimes)")
+    p.add_argument("--filter", help="only units with this sound name")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_table)
 
     p = sub.add_parser(
         "viz", help="render pipeline .npz outputs / the gabor bank to PNGs"

@@ -1,5 +1,6 @@
 """Sounds-table workflow (gaborview LoadTranscription path)."""
 
+import json
 import os
 
 from auditory_tpu.io.wav import float_to_wave, write_wav
@@ -65,3 +66,55 @@ def test_load_cv_sequence(tmp_path):
     write_wav(wav2, float_to_wave(tone(600, 0.1, 16000), 16000))
     seq2 = load_cv_sequence(wav2, "GRAFESTES")
     assert seq2.units[0].name == "unknown"
+
+
+def test_cli_table(tmp_path, capsys):
+    """cli table: the gaborview corpus-browse surface, headless."""
+    from auditory_tpu.cli import main
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+    from tests.conftest import tone
+
+    sr = 16000
+    for name, phn in (("a", "0 h#\n80 sh\n200 iy\n310 h#\n"),
+                      ("b", "0 h#\n60 ae\n180 sh\n260 h#\n")):
+        write_wav(str(tmp_path / f"{name}.wav"),
+                  float_to_wave(tone(500.0, 0.35, sr), sr))
+        (tmp_path / f"{name}.PHN.MS").write_text(phn)
+        (tmp_path / f"{name}.TXT").write_text(f"0 5600 utterance {name}\n")
+
+    rc = main(["table", "--glob", str(tmp_path / "*.wav")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sh" in out and "units from 2 files" in out
+
+    rc = main(["table", "--glob", str(tmp_path / "*.wav"),
+               "--filter", "sh", "--json"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 2
+    assert all(r["sound"] == "sh" for r in rows)
+
+    # no matches -> rc 1
+    assert main(["table", "--glob", str(tmp_path / "none*.wav")]) == 1
+
+
+def test_cli_process_silence_adjust(tmp_path):
+    """process --silence-add/--silence-existing drives AdjustForSilence."""
+    import numpy as np
+
+    from auditory_tpu.cli import main
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+    from tests.conftest import tone
+
+    sr = 16000
+    p = str(tmp_path / "t.wav")
+    write_wav(p, float_to_wave(tone(700.0, 0.2, sr), sr))
+    o1, o2 = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    assert main(["process", p, "--out", o1, "--no-kwta"]) == 0
+    assert main(["process", p, "--out", o2, "--no-kwta",
+                 "--silence-add", "100"]) == 0
+    a = np.load(o1)["power_segment"]
+    b = np.load(o2)["power_segment"]
+    # 100 ms of added leading silence = one extra (mostly silent) segment
+    assert b.shape[0] == a.shape[0] + 1
+    assert float(np.abs(b[0]).max()) < float(np.abs(a[0]).max())
