@@ -25,7 +25,7 @@ from .config import (
     samples_to_msec,
 )
 from .pipeline.batch import BatchedSndEnv, CorpusRunner
-from .pipeline.online import OnlineSndEnv
+from .pipeline.online import MultiStreamOnline, OnlineSndEnv
 from .pipeline.segments import SegmentPipeline, SegmentWindowParams
 from .pipeline.sndenv import SndEnv, SndEnvOutputs
 from .pipeline.streaming import StreamingProcessor
@@ -34,6 +34,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BatchedSndEnv",
+    "MultiStreamOnline",
     "OnlineSndEnv",
     "CorpusRunner",
     "SegmentPipeline",

@@ -128,3 +128,65 @@ def test_online_feed_eager_append():
         np.asarray(got[0].mel_fbank_segment),
         np.asarray(offline.mel_fbank_segment[0]), atol=1e-9,
     )
+
+
+def test_multistream_matches_offline():
+    """N concurrent streams through one batched program: every stream's
+    segments must equal its own offline run exactly (the single-stream
+    equivalence, preserved under batching)."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    cfg = default_cfg_2d()
+    env = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    durs = [0.33, 0.21, 0.57]
+    sigs = [tone(500.0 + 400 * i, d, SR) for i, d in enumerate(durs)]
+    offline = [env.process(env.pad(s)) for s in sigs]
+
+    ms = MultiStreamOnline(cfg, SR, n_streams=3, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    cursors = [0, 0, 0]
+    got = {i: {} for i in range(3)}
+
+    def collect(results):
+        for i, k, out in results:
+            got[i][k] = out
+
+    # interleave feeding the three streams in random chunk sizes
+    while any(c < len(s) for c, s in zip(cursors, sigs)):
+        i = int(rng.integers(0, 3))
+        if cursors[i] >= len(sigs[i]):
+            continue
+        n = int(rng.integers(200, 4000))
+        ms.feed(i, sigs[i][cursors[i] : cursors[i] + n])
+        cursors[i] += n
+        collect(ms.poll())
+    for i in range(3):
+        ms.close(i)
+    collect(list(ms.drain()))
+
+    for i in range(3):
+        n_off = offline[i].power_segment.shape[0]
+        assert len(got[i]) == n_off, (i, len(got[i]), n_off)
+        for k in range(n_off):
+            np.testing.assert_allclose(
+                got[i][k]["mel_fbank_segment"],
+                np.asarray(offline[i].mel_fbank_segment[k]),
+                atol=1e-9, err_msg=f"stream {i} segment {k}",
+            )
+            np.testing.assert_allclose(
+                got[i][k]["gabor_raw"],
+                np.asarray(offline[i].gabor_raw[k]),
+                atol=1e-5,
+            )
+
+
+def test_multistream_feed_after_close_raises():
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    ms = MultiStreamOnline(default_cfg_2d(), SR, n_streams=2)
+    ms.feed(0, np.zeros(100, np.float32))
+    ms.close(0)
+    with pytest.raises(RuntimeError):
+        ms.feed(0, np.zeros(10, np.float32))
+    # the other stream is unaffected
+    ms.feed(1, np.zeros(100, np.float32))
