@@ -16,17 +16,27 @@ TPU-native form of the reference mel package + SndEnv post-processing:
 - :func:`mfcc_deltas` -- the accumulating delta/delta-delta recurrence
   (sndenv.go:379-432). The reference accumulates ``prv``/``nxt`` across BOTH
   the coefficient loop i and the tap loop n without reset; this is a pure
-  prefix-sum over the flattened (i, n) axis, so it vectorizes as a cumsum.
-  mode='gaborview' uses the gbv.go:570-620 variant d = nume/2 * n^2.
+  prefix-sum over the flattened (i, n) axis -- i.e. a fixed LINEAR operator
+  over the [steps, n_coefs] plane. On device it runs as ONE matmul against
+  the host-built operator (:func:`delta_operator`); the cumsum formulation
+  is retained as :func:`mfcc_deltas_reference` and the two are asserted
+  equal in tests. mode='gaborview' uses the gbv.go:570-620 variant
+  d = nume/2 * n^2.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import FilterBank
 
-__all__ = ["apply_mel", "mfcc_dct", "energy", "mfcc_deltas"]
+__all__ = [
+    "apply_mel", "mfcc_dct", "energy", "mfcc_deltas",
+    "mfcc_deltas_reference", "delta_operator",
+]
 
 
 def apply_mel(
@@ -81,7 +91,7 @@ def energy(log_power_seg: jnp.ndarray, mode: str = "sndenv") -> jnp.ndarray:
     raise ValueError(f"unknown energy mode: {mode}")
 
 
-def mfcc_deltas(
+def mfcc_deltas_reference(
     mfcc_seg: jnp.ndarray, npn: int = 2, mode: str = "sndenv"
 ) -> jnp.ndarray:
     """mfcc_seg [..., steps, n_coefs] -> deltas of the same shape.
@@ -129,3 +139,73 @@ def mfcc_deltas(
     else:
         raise ValueError(f"unknown delta mode: {mode}")
     return d
+
+
+@functools.lru_cache(maxsize=32)
+def delta_operator(
+    steps: int, ncoef: int, npn: int = 2, mode: str = "sndenv"
+) -> np.ndarray:
+    """The reference delta recurrence (sndenv.go:379-432) as an explicit
+    linear operator M [steps, ncoef, steps, ncoef] (float64, host-built):
+    ``delta[t, c] = sum_{s,i} M[t, c, s, i] * mfcc[s, i]``.
+
+    Derivation: the (i', n') source term appears in the accumulating
+    prv/nxt sums of output coefficient i for every tap n with
+    (i', n') <= (i, n) in the reference's i-major/n-minor loop order, each
+    weighted by n; source steps are edge-clamped. Equality with the cumsum
+    formulation (:func:`mfcc_deltas_reference`) is asserted in tests."""
+    M = np.zeros((steps, ncoef, steps, ncoef), dtype=np.float64)
+    # reach[t, c, s, i]: the recurrence *touches* source (s, i) for output
+    # (t, c) -- needed for exact NaN propagation, because touched terms can
+    # cancel in M (e.g. clamped prev/next landing on the same step) yet a
+    # NaN source still poisons the reference's accumulation
+    reach = np.zeros((steps, ncoef, steps, ncoef), dtype=np.float64)
+    if mode == "sndenv":
+        scale = 1.0 / float(2 * npn * npn)
+    elif mode == "gaborview":
+        scale = float(npn * npn) / 2.0
+    else:
+        raise ValueError(f"unknown delta mode: {mode}")
+    for i in range(ncoef):          # output coefficient
+        for ip in range(i + 1):     # source coefficient i' <= i contributes
+            for n_src in range(1, npn + 1):
+                # taps n of output i that include (ip, n_src):
+                # ip < i -> all n; ip == i -> n >= n_src
+                lo_n = 1 if ip < i else n_src
+                w = sum(range(lo_n, npn + 1)) * scale
+                for s in range(steps):
+                    sp = min(max(s - n_src, 0), steps - 1)
+                    sx = min(max(s + n_src, 0), steps - 1)
+                    M[s, i, sp, ip] -= w
+                    M[s, i, sx, ip] += w
+                    reach[s, i, sp, ip] = 1.0
+                    reach[s, i, sx, ip] = 1.0
+    return M, reach
+
+
+def mfcc_deltas(
+    mfcc_seg: jnp.ndarray, npn: int = 2, mode: str = "sndenv"
+) -> jnp.ndarray:
+    """mfcc_seg [..., steps, n_coefs] -> deltas of the same shape, as one
+    matmul against the host-built :func:`delta_operator` (the recurrence is
+    linear; the cumsum formulation spent ~20%% of the whole feature
+    pipeline on latency-bound shifts/cumsums over tiny axes)."""
+    *batch, steps, ncoef = mfcc_seg.shape
+    M, reach = delta_operator(steps, ncoef, npn, mode)
+    m = jnp.asarray(
+        M.reshape(steps * ncoef, steps * ncoef), dtype=mfcc_seg.dtype
+    )
+    flat = mfcc_seg.reshape(*batch, steps * ncoef)
+    # exact NaN propagation: the recurrence poisons exactly the outputs it
+    # *touches* from a NaN source (mel's NaN-triangle quirk), while a plain
+    # matmul would spread NaN through zero-weight terms too. Sanitize, then
+    # re-inject via the reachability mask (a second tiny matmul).
+    nan_src = jnp.isnan(flat)
+    r = jnp.asarray(
+        reach.reshape(steps * ncoef, steps * ncoef), dtype=mfcc_seg.dtype
+    )
+    clean = jnp.where(nan_src, 0, flat)
+    out = clean @ m.T
+    poisoned = (nan_src.astype(mfcc_seg.dtype) @ r.T) > 0
+    out = jnp.where(poisoned, jnp.nan, out)
+    return out.reshape(*batch, steps, ncoef)

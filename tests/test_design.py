@@ -110,3 +110,32 @@ def test_gabor_renorm_halves():
     neg = np.where(f < 0, f, 0).sum(axis=(1, 2))
     np.testing.assert_allclose(pos, 1.0, rtol=1e-9)
     np.testing.assert_allclose(neg, -1.0, rtol=1e-9)
+
+
+def test_delta_operator_matches_cumsum_reference():
+    """The delta linear operator (one matmul) must equal the cumsum
+    formulation of the reference recurrence -- including exact NaN
+    propagation through the mel NaN-triangle quirk."""
+    import jax.numpy as jnp
+
+    from auditory_tpu.dsp.mel import mfcc_deltas, mfcc_deltas_reference
+
+    rng = np.random.default_rng(3)
+    for steps, ncoef, npn in ((14, 13, 2), (9, 7, 3), (5, 4, 1), (3, 2, 5)):
+        for mode in ("sndenv", "gaborview"):
+            x = rng.normal(size=(2, steps, ncoef))
+            a = np.asarray(mfcc_deltas(jnp.asarray(x), npn, mode))
+            b = np.asarray(mfcc_deltas_reference(jnp.asarray(x), npn, mode))
+            np.testing.assert_allclose(
+                a, b, atol=1e-11, err_msg=f"{steps},{ncoef},{npn},{mode}"
+            )
+            # NaN quirk: poison one source entry; the NaN footprint of both
+            # formulations must be IDENTICAL (matmul zero-weights must not
+            # spread it, cancelled-but-touched terms must)
+            xn = x.copy()
+            xn[0, steps // 2, ncoef // 2] = np.nan
+            an = np.asarray(mfcc_deltas(jnp.asarray(xn), npn, mode))
+            bn = np.asarray(mfcc_deltas_reference(jnp.asarray(xn), npn, mode))
+            np.testing.assert_array_equal(np.isnan(an), np.isnan(bn))
+            m = ~np.isnan(an)
+            np.testing.assert_allclose(an[m], bn[m], atol=1e-11)
