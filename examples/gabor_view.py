@@ -58,6 +58,31 @@ def main() -> None:
             f"gabor {kw.shape}, active {(kw > 0.1).mean():.3f}"
         )
 
+    # the reference app's core capability: two parameter stacks over the
+    # same phone, side by side (gbv.go:243-258 WParams/PParams/GParams 1&2)
+    from auditory_tpu.pipeline.segments import compare_segments
+
+    r = rows[0]
+    w = load_wav(r.wav_path)
+    gset_b = GaborSet(
+        size_x=8, size_y=8, stride_x=3, stride_y=3, gain=2.0,
+        specs=default_gabor_specs(phases=(0.0, 1.5708)),
+    )
+    pipe_a = pipes[w.sample_rate]
+    pipe_b = SegmentPipeline(
+        w.sample_rate, SegmentWindowParams(), gabor=gset_b
+    )
+    res = compare_segments(
+        pipe_a, pipe_b, w.sound_to_tensor(), r.start, r.end
+    )
+    print(f"\nA/B compare on [{r.sound}] {r.start:.0f}-{r.end:.0f} ms:")
+    for key in ("mel_fbank_segment", "gabor_kwta"):
+        d = res["diff"][key]
+        print(
+            f"  {key}: A {d['a']['shape']} active {d['a']['active_frac']:.3f}"
+            f" | B {d['b']['shape']} active {d['b']['active_frac']:.3f}"
+        )
+
 
 if __name__ == "__main__":
     main()
