@@ -144,10 +144,12 @@ def mfcc_deltas_reference(
 @functools.lru_cache(maxsize=32)
 def delta_operator(
     steps: int, ncoef: int, npn: int = 2, mode: str = "sndenv"
-) -> np.ndarray:
+):
     """The reference delta recurrence (sndenv.go:379-432) as an explicit
-    linear operator M [steps, ncoef, steps, ncoef] (float64, host-built):
-    ``delta[t, c] = sum_{s,i} M[t, c, s, i] * mfcc[s, i]``.
+    linear operator: returns ``(M, reach)``, both
+    [steps, ncoef, steps, ncoef] float64 host arrays, with
+    ``delta[t, c] = sum_{s,i} M[t, c, s, i] * mfcc[s, i]`` and ``reach``
+    marking which sources the recurrence touches (NaN propagation).
 
     Derivation: the (i', n') source term appears in the accumulating
     prv/nxt sums of output coefficient i for every tap n with
@@ -204,8 +206,13 @@ def mfcc_deltas(
     r = jnp.asarray(
         reach.reshape(steps * ncoef, steps * ncoef), dtype=mfcc_seg.dtype
     )
+    # precision='highest': TPU's DEFAULT matmul precision rounds f32 inputs
+    # to bf16, which would regress delta accuracy vs the exact-f32 cumsum
+    # formulation; the operator is 182x182, so full precision is free
     clean = jnp.where(nan_src, 0, flat)
-    out = clean @ m.T
-    poisoned = (nan_src.astype(mfcc_seg.dtype) @ r.T) > 0
+    out = jnp.matmul(clean, m.T, precision="highest")
+    poisoned = jnp.matmul(
+        nan_src.astype(mfcc_seg.dtype), r.T, precision="highest"
+    ) > 0
     out = jnp.where(poisoned, jnp.nan, out)
     return out.reshape(*batch, steps, ncoef)

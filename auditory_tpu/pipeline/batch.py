@@ -525,8 +525,7 @@ class CorpusRunner:
         # ~29% fewer mel bytes at default geometry) and expand to the
         # per-segment tensor host-side; requires the uniform window grid.
         # dedup_mel=None: auto; False: force the per-segment transfer.
-        tmp_env = SndEnv(cfg, sample_rate, dtype=dtype, outputs=("energy",))
-        t = tmp_env.timing
+        t = cfg.params.derive(sample_rate)
         self._dedup_mel = (
             "mel_fbank_segment" in save_keys
             and t.step_samples > 0

@@ -193,6 +193,20 @@ class OnlineSndEnv:
             yield self._emit(valid_until=padded_end)
 
 
+class _StreamState:
+    """Host-side rolling-buffer state for one stream (the device pipeline is
+    shared; only these few fields are per-stream)."""
+
+    __slots__ = ("buf", "stream_pos", "next_seg", "closed", "padded_end")
+
+    def __init__(self, np_dtype):
+        self.buf = np.zeros(0, dtype=np_dtype)
+        self.stream_pos = 0
+        self.next_seg = 0
+        self.closed = False
+        self.padded_end = None
+
+
 class MultiStreamOnline:
     """N concurrent audio streams through ONE jitted [N, span] program --
     the production serving form: per-poll device cost is ~one single-stream
@@ -223,28 +237,28 @@ class MultiStreamOnline:
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
         self.n_streams = n_streams
-        # one template stream provides the shared span/add geometry; per-
-        # stream buffer state reuses OnlineSndEnv's host machinery verbatim
-        self._streams = [
-            OnlineSndEnv(cfg, sample_rate, dtype=dtype, outputs=outputs,
-                         **env_kw)
-            for _ in range(n_streams)
-        ]
-        s0 = self._streams[0]
-        self.env = s0.env
-        self._span = s0._span
-        self._add_ms = s0._add_ms
-        self._np_dtype = s0._np_dtype
+        # ONE shared pipeline (filter design etc. built once); per-stream
+        # state is just the rolling buffer bookkeeping
+        tpl = OnlineSndEnv(cfg, sample_rate, dtype=dtype, outputs=outputs,
+                           **env_kw)
+        self.env = tpl.env
+        self._pre = tpl._pre
+        self._post = tpl._post
+        self._span = tpl._span
+        self._add_ms = tpl._add_ms
+        self._np_dtype = tpl._np_dtype
         self._fn = None
-        self._padded_end = [None] * n_streams  # set by close()
+        self._streams = [
+            _StreamState(self._np_dtype) for _ in range(n_streams)
+        ]
 
     def feed(self, stream: int, samples: np.ndarray) -> None:
         """Buffer samples for one stream (no device work until poll)."""
         st = self._streams[stream]
-        if st._closed:
+        if st.closed:
             raise RuntimeError(f"stream {stream} is closed")
-        st._buf = np.concatenate(
-            [st._buf, np.asarray(samples, dtype=self._np_dtype)]
+        st.buf = np.concatenate(
+            [st.buf, np.asarray(samples, dtype=self._np_dtype)]
         )
 
     def close(self, stream: int) -> None:
@@ -253,31 +267,27 @@ class MultiStreamOnline:
         from ..dsp.frame import pad_len
 
         st = self._streams[stream]
-        if st._closed:
+        if st.closed:
             return
-        st._closed = True
-        t = st.env.timing
-        stream_end = st._stream_pos + len(st._buf)
-        padded_end = stream_end + pad_len(stream_end, t)
-        self._padded_end[stream] = padded_end
-        need = padded_end - stream_end
-        # buffer the zero tail now; poll() masks steps past padded_end
-        if need > 0:
-            st._buf = np.concatenate(
-                [st._buf, np.zeros(need, dtype=self._np_dtype)]
-            )
+        st.closed = True
+        t = self.env.timing
+        stream_end = st.stream_pos + len(st.buf)
+        st.padded_end = stream_end + pad_len(stream_end, t)
 
     def _stream_ready(self, i: int) -> bool:
         st = self._streams[i]
-        t = st.env.timing
-        if st._closed:
+        t = self.env.timing
+        if st.closed:
             # drain exactly the segments the offline padded run would
             # produce (poll() extends the zero tail for border windows)
             return (
-                st._next_seg * t.stride_samples + t.segment_samples
-                <= self._padded_end[i]
+                st.next_seg * t.stride_samples + t.segment_samples
+                <= st.padded_end
             )
-        return st._ready()
+        return (
+            st.stream_pos + len(st.buf)
+            >= st.next_seg * t.stride_samples + self._post
+        )
 
     def _build_fn(self):
         inner = self.env._build(self._span, self._add_ms)
@@ -305,50 +315,45 @@ class MultiStreamOnline:
     def poll(self):
         """Run ONE batched device call covering every stream with a
         complete segment pending; returns a list of
-        (stream, seg_idx, {key: np.ndarray}) with host arrays."""
+        (stream, seg_idx, {key: np.ndarray}) with host arrays.
+
+        Per-stream state advances only AFTER the device call returns, so a
+        failed dispatch (e.g. a flaky remote compile) loses nothing: the
+        next poll retries the same segments."""
         ready = [i for i in range(self.n_streams) if self._stream_ready(i)]
         if not ready:
             return []
         t = self.env.timing
         windows = np.zeros((self.n_streams, self._span), self._np_dtype)
         sig_lens = np.zeros(self.n_streams, np.int32)
-        seg_idxs = {}
         for i in ready:
             st = self._streams[i]
-            seg_start = st._next_seg * t.stride_samples
-            lo = seg_start - st._pre
-            if st._closed:
+            seg_start = st.next_seg * t.stride_samples
+            lo = seg_start - self._pre
+            if st.closed:
                 # border windows of the final segments read past the padded
                 # end; extend the zero tail on demand (OnlineSndEnv.flush
                 # does the same)
-                need = (seg_start + st._post) - (
-                    st._stream_pos + len(st._buf)
+                need = (seg_start + self._post) - (
+                    st.stream_pos + len(st.buf)
                 )
                 if need > 0:
-                    st._buf = np.concatenate(
-                        [st._buf, np.zeros(need, self._np_dtype)]
+                    st.buf = np.concatenate(
+                        [st.buf, np.zeros(need, self._np_dtype)]
                     )
             pad_left = max(0, -lo)
-            buf_lo = max(0, lo - st._stream_pos)
-            buf_hi = seg_start + st._post - st._stream_pos
+            buf_lo = max(0, lo - st.stream_pos)
+            buf_hi = seg_start + self._post - st.stream_pos
             w = np.concatenate(
-                [np.zeros(pad_left, self._np_dtype), st._buf[buf_lo:buf_hi]]
+                [np.zeros(pad_left, self._np_dtype), st.buf[buf_lo:buf_hi]]
             )
             assert len(w) == self._span
             windows[i] = w
             sig_lens[i] = (
                 self._span
-                if not st._closed
-                else max(0, min(self._span, self._padded_end[i] - lo))
+                if not st.closed
+                else max(0, min(self._span, st.padded_end - lo))
             )
-            seg_idxs[i] = st._next_seg
-            st._next_seg += 1
-            keep_from = (
-                st._next_seg * t.stride_samples - st._pre
-            ) - st._stream_pos
-            if keep_from > 0:
-                st._buf = st._buf[keep_from:]
-                st._stream_pos += keep_from
         if self._fn is None:
             self._fn, self._layout = self._build_fn()
         packed = self._fn(
@@ -362,10 +367,21 @@ class MultiStreamOnline:
         }
         if "step_valid" in host:
             host["step_valid"] = host["step_valid"] > 0.5
-        return [
-            (i, seg_idxs[i], {k: v[i] for k, v in host.items()})
-            for i in ready
-        ]
+        # the call succeeded: NOW advance stream cursors and trim history
+        results = []
+        for i in ready:
+            st = self._streams[i]
+            results.append(
+                (i, st.next_seg, {k: v[i] for k, v in host.items()})
+            )
+            st.next_seg += 1
+            keep_from = (
+                st.next_seg * t.stride_samples - self._pre
+            ) - st.stream_pos
+            if keep_from > 0:
+                st.buf = st.buf[keep_from:]
+                st.stream_pos += keep_from
+        return results
 
     def drain(self):
         """Poll until no stream has pending segments (e.g. after close)."""

@@ -58,6 +58,9 @@ def main() -> None:
             f"gabor {kw.shape}, active {(kw > 0.1).mean():.3f}"
         )
 
+    if not rows:
+        print(f"no rows match sound {want!r}")
+        return
     # the reference app's core capability: two parameter stacks over the
     # same phone, side by side (gbv.go:243-258 WParams/PParams/GParams 1&2)
     from auditory_tpu.pipeline.segments import compare_segments
