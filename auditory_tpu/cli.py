@@ -520,7 +520,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_table)
 
     p = sub.add_parser(
-        "viz", help="render pipeline .npz outputs / the gabor bank to PNGs"
+        "viz", help="render pipeline .npz outputs / the gabor bank to PNGs "
+        "(a `segment --compare` npz renders as side-by-side A/B figures)"
     )
     p.add_argument("npz", nargs="?", help="pipeline output .npz to render")
     p.add_argument("--out", default="viz", help="output directory")

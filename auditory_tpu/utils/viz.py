@@ -24,7 +24,7 @@ from typing import Dict, List, Mapping, Optional, Union
 
 import numpy as np
 
-__all__ = ["render_npz", "render_gabor_bank", "render_array"]
+__all__ = ["render_npz", "render_gabor_bank", "render_array", "render_compare"]
 
 _SEQ_CMAP = "magma"  # luminance-monotonic sequential (magnitude)
 _DIV_CMAP = "RdBu_r"  # two hues + neutral midpoint (polarity)
@@ -133,6 +133,106 @@ def render_array(
     return path
 
 
+def _compare_pairs(data: Mapping[str, np.ndarray]) -> List[str]:
+    """Base keys present on both sides of a ``cli segment --compare`` npz
+    (``a_<key>`` + ``b_<key>``)."""
+    return sorted(
+        k[2:] for k in data if k.startswith("a_") and ("b_" + k[2:]) in data
+    )
+
+
+def _as_2d(arr: np.ndarray) -> np.ndarray:
+    """Collapse leading axes so a tensor fits one comparison heatmap."""
+    if arr.ndim <= 2:
+        return arr
+    return arr.reshape(-1, arr.shape[-1])
+
+
+def render_compare(
+    data: Union[str, Mapping[str, np.ndarray]],
+    out_dir: str,
+    keys: Optional[List[str]] = None,
+) -> List[str]:
+    """Side-by-side A/B rendering of a ``cli segment --compare`` output —
+    the visual half of the reference explorer's dual-parameter capability
+    (gaborview's two result tab sets, gbv.go:243-258, 1209-1313).
+
+    For every base key ``X`` present as both ``a_X`` and ``b_X``: 1-D arrays
+    plot as two labeled lines on one axes; 2-D arrays render as A | B
+    heatmaps on one shared color scale, plus a diverging B−A difference
+    panel when the shapes match. Writes ``out_dir/compare_<X>.png`` per key
+    and returns the paths.
+    """
+    plt = _require_mpl()
+    if isinstance(data, str):
+        data = dict(np.load(data))
+    pairs = _compare_pairs(data)
+    if keys is not None:
+        keys = [k.strip() for k in keys if k.strip()]
+        unknown = [k for k in keys if k not in pairs]
+        if unknown:
+            raise RuntimeError(
+                f"no a_/b_ pair for key(s) {unknown}; paired: {pairs}"
+            )
+        pairs = [k for k in pairs if k in keys]
+    os.makedirs(out_dir, exist_ok=True)
+    written: List[str] = []
+    for k in pairs:
+        a = np.asarray(data["a_" + k])
+        b = np.asarray(data["b_" + k])
+        if a.size == 0 or b.size == 0:
+            continue
+        if a.dtype == bool:
+            a = a.astype(np.float64)
+        if b.dtype == bool:
+            b = b.astype(np.float64)
+        path = os.path.join(out_dir, f"compare_{k}.png")
+        if a.ndim == 1 and b.ndim == 1:
+            fig, ax = plt.subplots(figsize=(6, 2.5))
+            ax.plot(a, lw=2, color="#2a6fdb", label="A")
+            ax.plot(b, lw=2, color="#d1495b", label="B")
+            ax.set_xlabel("step")
+            ax.set_title(k, fontsize=10)
+            ax.legend(fontsize=8)
+            ax.grid(alpha=0.25, lw=0.5)
+        else:
+            a2, b2 = _as_2d(a), _as_2d(b)
+            same = a2.shape == b2.shape
+            ncols = 3 if same else 2
+            width = max(3.0, max(a2.shape[1], b2.shape[1]) / 8)
+            height = max(2.5, max(a2.shape[0], b2.shape[0]) / 8)
+            fig, axes = plt.subplots(
+                1, ncols, figsize=(width * ncols, height), squeeze=False
+            )
+            # one shared scale across both sides, so differences read true
+            both = np.concatenate([a2.ravel(), b2.ravel()])
+            cmap, vmin, vmax = _cmap_and_norm(both)
+            im = None
+            for ax, arr, side in zip(axes[0], (a2, b2), ("A", "B")):
+                im = ax.imshow(
+                    arr, aspect="auto", origin="lower",
+                    cmap=cmap, vmin=vmin, vmax=vmax,
+                )
+                ax.set_title(f"{side}  {arr.shape}", fontsize=9)
+                ax.set_xlabel("step")
+            fig.colorbar(im, ax=list(axes[0][:2]), shrink=0.85)
+            if same:
+                d = b2 - a2
+                bound = float(np.max(np.abs(d))) or 1.0
+                imd = axes[0][2].imshow(
+                    d, aspect="auto", origin="lower",
+                    cmap=_DIV_CMAP, vmin=-bound, vmax=bound,
+                )
+                axes[0][2].set_title("B − A", fontsize=9)
+                axes[0][2].set_xlabel("step")
+                fig.colorbar(imd, ax=axes[0][2], shrink=0.85)
+            fig.suptitle(k, fontsize=10, y=1.06)
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        written.append(path)
+    return written
+
+
 def render_npz(
     data: Union[str, Mapping[str, np.ndarray]],
     out_dir: str,
@@ -141,7 +241,13 @@ def render_npz(
 ) -> List[str]:
     """Render every array of a pipeline ``.npz`` (or dict) to
     ``out_dir/<key>.png``; returns the written paths. The de-facto
-    validation surface of the reference (gbv.go:1209-1313)."""
+    validation surface of the reference (gbv.go:1209-1313).
+
+    A ``cli segment --compare`` npz (paired ``a_*``/``b_*`` keys) is
+    detected automatically when ``keys`` is not given: each pair renders as
+    one side-by-side :func:`render_compare` figure instead of two separate
+    files. Passing explicit ``keys`` always renders exactly those arrays.
+    """
     if isinstance(data, str):
         data = dict(np.load(data))
     if keys is not None:
@@ -153,7 +259,15 @@ def render_npz(
             )
     os.makedirs(out_dir, exist_ok=True)
     written = []
+    paired: set = set()
+    if keys is None:
+        pairs = _compare_pairs(data)
+        if pairs:
+            written += render_compare(data, out_dir, keys=pairs)
+            paired = {p + "_" + k for p in ("a", "b") for k in pairs}
     for k in sorted(keys if keys is not None else data):
+        if k in paired:
+            continue
         arr = np.asarray(data[k])
         if arr.size == 0:
             continue

@@ -44,6 +44,53 @@ def test_render_npz_file_and_keys(tmp_path):
     _png_ok(written[0])
 
 
+def test_render_compare(tmp_path):
+    rng = np.random.default_rng(3)
+    data = {
+        "a_mel_fbank_segment": rng.random((32, 10)),
+        "b_mel_fbank_segment": rng.random((32, 10)),   # same shape -> diff panel
+        "a_gabor_kwta": rng.random((16, 24)),
+        "b_gabor_kwta": rng.random((16, 30)),          # shape mismatch -> no diff
+        "a_energy": rng.random(10),
+        "b_energy": rng.random(10),                    # 1-D -> two lines
+        "a_step_valid": np.ones(10, dtype=bool),
+        "b_step_valid": np.ones(10, dtype=bool),
+        "a_only": rng.random((4, 4)),                  # unpaired -> flat render
+    }
+    written = viz.render_compare(data, str(tmp_path / "c"))
+    names = {p.split("/")[-1] for p in written}
+    assert names == {
+        "compare_mel_fbank_segment.png", "compare_gabor_kwta.png",
+        "compare_energy.png", "compare_step_valid.png",
+    }
+    for p in written:
+        _png_ok(p)
+
+    # key filter validates against paired base keys
+    written = viz.render_compare(data, str(tmp_path / "c2"), keys=["energy"])
+    assert len(written) == 1 and written[0].endswith("compare_energy.png")
+    with pytest.raises(RuntimeError):
+        viz.render_compare(data, str(tmp_path / "c3"), keys=["a_only"])
+
+
+def test_render_npz_autodetects_compare(tmp_path):
+    rng = np.random.default_rng(4)
+    data = {
+        "a_mel_fbank_segment": rng.random((8, 6)),
+        "b_mel_fbank_segment": rng.random((8, 6)),
+        "a_only": rng.random((4, 4)),
+    }
+    written = viz.render_npz(data, str(tmp_path / "v"))
+    names = {p.split("/")[-1] for p in written}
+    assert names == {"compare_mel_fbank_segment.png", "a_only.png"}
+
+    # explicit keys bypass pairing
+    written = viz.render_npz(
+        data, str(tmp_path / "v2"), keys=["a_mel_fbank_segment"]
+    )
+    assert len(written) == 1 and written[0].endswith("a_mel_fbank_segment.png")
+
+
 def test_render_gabor_bank(tmp_path):
     gset = GaborSet(
         size_x=9, size_y=9,
