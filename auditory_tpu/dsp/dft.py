@@ -85,6 +85,11 @@ def power_spectrum_conv(
         window_strides=(step_samples,),
         padding=[(pad_l, pad_r)],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        # exact f32: TPU's default conv precision rounds f32 operands to
+        # bf16 (~2.5e-3 rel error on the power spectrum, measured); the MXU
+        # 6-pass f32 decomposition costs only ~35% more here because this
+        # conv is data-movement-bound, not FLOP-bound
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=signals.dtype,
     )  # [B, 2K, n_out]
     out = out[:, :, :n_windows]
@@ -111,8 +116,14 @@ def power_spectrum(
             sin_m = jnp.asarray(sin_m, dtype=windows.dtype)
         else:
             cos_m, sin_m = basis
-        re = jnp.matmul(windows, cos_m, preferred_element_type=windows.dtype)
-        im = jnp.matmul(windows, sin_m, preferred_element_type=windows.dtype)
+        re = jnp.matmul(
+            windows, cos_m, precision="highest",
+            preferred_element_type=windows.dtype,
+        )
+        im = jnp.matmul(
+            windows, sin_m, precision="highest",
+            preferred_element_type=windows.dtype,
+        )
         return re * re + im * im
     raise ValueError(f"unknown spectrum method: {method}")
 

@@ -88,6 +88,8 @@ def convolve(
         window_strides=(gset.stride_y, gset.stride_x),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # exact f32 (TPU default conv precision is bf16 operands)
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=x.dtype,
     )  # [B, nf, outY, outX]
     # A 4-D out_pools larger than the valid conv range would make the

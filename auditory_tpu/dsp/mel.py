@@ -42,8 +42,16 @@ __all__ = [
 def apply_mel(
     power: jnp.ndarray, mel_weights: jnp.ndarray, fbank: FilterBank
 ) -> jnp.ndarray:
-    """power [..., n_bins] -> log-mel [..., n_filters]."""
-    s = jnp.matmul(power, mel_weights.T, preferred_element_type=power.dtype)
+    """power [..., n_bins] -> log-mel [..., n_filters].
+
+    precision='highest': TPU's default matmul precision rounds f32 operands
+    to bf16 (~2.5e-3 relative error), which would silently break the f32
+    device path's CPU-equivalence (see tools/tpu_parity_check.py).
+    """
+    s = jnp.matmul(
+        power, mel_weights.T, precision="highest",
+        preferred_element_type=power.dtype,
+    )
     s = s + jnp.asarray(fbank.log_off, dtype=power.dtype)
     safe = jnp.where(s == 0, 1.0, s)
     val = jnp.where(
@@ -57,7 +65,10 @@ def apply_mel(
 
 def mfcc_dct(mel_vals: jnp.ndarray, dct_mat: jnp.ndarray, n_coefs: int) -> jnp.ndarray:
     """log-mel [..., n_filters] -> MFCC [..., n_coefs] (mel/mel.go:192-212)."""
-    out = jnp.matmul(mel_vals, dct_mat.T, preferred_element_type=mel_vals.dtype)
+    out = jnp.matmul(
+        mel_vals, dct_mat.T, precision="highest",
+        preferred_element_type=mel_vals.dtype,
+    )
     c0 = out[..., 0]
     out = out.at[..., 0].set(jnp.log(1.0 + c0 * c0))
     return out[..., :n_coefs]

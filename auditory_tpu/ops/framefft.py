@@ -122,11 +122,15 @@ def _make_kernel(
                 aligned = pl.multiple_of(dyn + stat_aligned[u], 128)
                 rows.append(signal_ref[0, 0, pl.ds(aligned, chunk)])
             group = jnp.stack(rows)  # [block/period, chunk]
+            # precision='highest': the MXU's default f32 dot rounds operands
+            # to bf16 (same pinning as the XLA conv frontend)
             re_groups.append(
-                jnp.dot(group, cos_ref[v], preferred_element_type=jnp.float32)
+                jnp.dot(group, cos_ref[v], precision="highest",
+                        preferred_element_type=jnp.float32)
             )
             im_groups.append(
-                jnp.dot(group, sin_ref[v], preferred_element_type=jnp.float32)
+                jnp.dot(group, sin_ref[v], precision="highest",
+                        preferred_element_type=jnp.float32)
             )
         re = jnp.concatenate(re_groups, axis=0)  # [block, k_pad] grouped order
         im = jnp.concatenate(im_groups, axis=0)
@@ -142,7 +146,8 @@ def _make_kernel(
             logp_ref[0] = jnp.zeros_like(power)
 
         mel_sum = (
-            jnp.dot(power, melw_ref[:, :], preferred_element_type=jnp.float32)
+            jnp.dot(power, melw_ref[:, :], precision="highest",
+                    preferred_element_type=jnp.float32)
             + mel_log_off
         )
         mel_ref[0] = jnp.where(

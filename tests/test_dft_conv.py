@@ -1,0 +1,95 @@
+"""The strided-conv DFT frontend must agree with the explicit gather +
+DFT-matmul formulation for every geometry: even / odd window lengths,
+negative window-0 offsets (left zero fill, sndenv.go:455-478), positive
+offsets, and windows overrunning the signal."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auditory_tpu.dsp.design import dft_matrices
+from auditory_tpu.dsp.dft import power_spectrum, power_spectrum_conv
+from auditory_tpu.dsp.frame import extract_windows
+
+
+def _reference_power(signals, w, step, offset0, n_windows, basis):
+    starts = (np.arange(n_windows, dtype=np.int32) * step + offset0)[None, :]
+    windows, valid = extract_windows(
+        jnp.asarray(signals), jnp.asarray(starts), w, signals.shape[-1]
+    )
+    p = power_spectrum(windows, method="matmul", basis=basis)
+    # the pipeline masks overrun windows downstream (step-break semantics);
+    # the conv path computes them over the zero-extension instead, so only
+    # the masked values are comparable
+    return np.asarray(p)[:, 0], np.asarray(valid)[0]  # [B, n_win, K], [n_win]
+
+
+@pytest.mark.parametrize(
+    "w,step,offset0",
+    [
+        (400, 160, -320),   # default 16 kHz geometry incl. border windows
+        (400, 160, 0),
+        (400, 160, 137),    # positive offset
+        (1102, 441, -882),  # 44.1 kHz geometry
+        (64, 64, 0),        # non-overlapping
+        (101, 40, -80),     # odd W
+        (6, 2, -4),         # tiny, heavy overlap
+    ],
+)
+def test_conv_matches_gather_matmul(w, step, offset0):
+    rng = np.random.default_rng(hash((w, step, offset0)) % 2**31)
+    b = 3
+    n_windows = 9
+    s = (n_windows - 2) * step + offset0 + w  # last windows overrun -> zeros
+    s = max(s, w // 2 + 1)
+    signals = rng.standard_normal((b, s))
+    cos_m, sin_m = dft_matrices(w)
+    basis = (jnp.asarray(cos_m), jnp.asarray(sin_m))
+
+    got = np.asarray(
+        power_spectrum_conv(jnp.asarray(signals), basis, step, offset0, n_windows)
+    )
+    want, valid = _reference_power(signals, w, step, offset0, n_windows, basis)
+    assert got.shape == want.shape == (b, n_windows, w // 2 + 1)
+    assert valid.any() and not valid.all()  # both regimes exercised
+    got = got * valid[None, :, None]
+    scale = np.abs(want).max() or 1.0
+    np.testing.assert_allclose(got / scale, want / scale, atol=1e-12)
+
+
+def test_windowed_basis():
+    """An analysis window folded into the basis rows (the opt-in window_fn
+    extension) must pass through the conv frontend unchanged."""
+    rng = np.random.default_rng(11)
+    w, step, offset0, n_windows, b = 400, 160, -320, 9, 2
+    s = (n_windows - 2) * step + offset0 + w
+    signals = rng.standard_normal((b, s))
+    cos_m, sin_m = dft_matrices(w)
+    ham = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(w) / (w - 1))
+    basis = (jnp.asarray(cos_m * ham[:, None]), jnp.asarray(sin_m * ham[:, None]))
+
+    got = np.asarray(
+        power_spectrum_conv(jnp.asarray(signals), basis, step, offset0, n_windows)
+    )
+    want, valid = _reference_power(signals, w, step, offset0, n_windows, basis)
+    got = got * valid[None, :, None]
+    scale = np.abs(want).max() or 1.0
+    np.testing.assert_allclose(got / scale, want / scale, atol=1e-12)
+
+
+def test_parseval():
+    """Energy check: sum of DFT power over all W bins equals W * signal
+    energy (Parseval for the unnormalized DFT); the one-sided [0, W/2]
+    spectrum double-counts interior bins."""
+    rng = np.random.default_rng(7)
+    w, step = 400, 160
+    sig = rng.standard_normal((1, w))
+    cos_m, sin_m = dft_matrices(w)
+    p = np.asarray(
+        power_spectrum_conv(
+            jnp.asarray(sig), (jnp.asarray(cos_m), jnp.asarray(sin_m)),
+            step, 0, 1,
+        )
+    )[0, 0]
+    total = p[0] + p[-1] + 2 * p[1:-1].sum()
+    np.testing.assert_allclose(total, w * (sig**2).sum(), rtol=1e-10)
