@@ -569,5 +569,10 @@ def main(argv=None) -> int:
         return 1
 
 
-if __name__ == "__main__":
+def entry() -> None:
+    """console_scripts entry point (pyproject [project.scripts])."""
     raise SystemExit(main())
+
+
+if __name__ == "__main__":
+    entry()
