@@ -1,0 +1,82 @@
+"""Serving-latency benchmark: single-stream OnlineSndEnv per-segment latency
+and MultiStreamOnline aggregate throughput on the current backend.
+
+    tools/tpu_run.sh /tmp/online.log tools/bench_online.py
+
+Prints one JSON line per scenario.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--chunks", type=int, default=50, help="100 ms chunks fed")
+    ap.add_argument("--warmup", type=int, default=10)
+    args = ap.parse_args()
+
+    from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
+    from auditory_tpu.pipeline.online import MultiStreamOnline, OnlineSndEnv
+    from auditory_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    sr = 16000
+    chunk_n = sr // 10  # 100 ms
+    cfg = SndEnvConfig(
+        gabor=GaborSet(
+            size_x=9, size_y=9, stride_x=3, stride_y=3, gain=2.0,
+            specs=default_gabor_specs(phases=(0.0, 1.5708)),
+        )
+    )
+    rng = np.random.default_rng(0)
+
+    # single stream: per-100ms-chunk wall latency once steady-state
+    online = OnlineSndEnv(cfg, sr)
+    lat = []
+    for i in range(args.warmup + args.chunks):
+        chunk = (0.1 * rng.standard_normal(chunk_n)).astype(np.float32)
+        t0 = time.perf_counter()
+        n_out = sum(1 for _ in online.feed(chunk))
+        dt = time.perf_counter() - t0
+        if i >= args.warmup and n_out:
+            lat.append(dt)
+    print(json.dumps({
+        "metric": "online_single_stream_latency_ms_per_100ms_chunk",
+        "value": round(float(np.median(lat)) * 1e3, 2),
+        "p90_ms": round(float(np.quantile(lat, 0.9)) * 1e3, 2),
+        "segments": len(lat),
+    }))
+
+    # multi-stream: aggregate real-time factor over one poll cycle
+    ms = MultiStreamOnline(cfg, sr, n_streams=args.streams)
+    # steady state: everyone buffered past the first segment
+    for _ in range(args.warmup):
+        for s in range(args.streams):
+            ms.feed(s, (0.1 * rng.standard_normal(chunk_n)).astype(np.float32))
+        list(ms.poll())
+    t0 = time.perf_counter()
+    n_seg = 0
+    for _ in range(args.chunks):
+        for s in range(args.streams):
+            ms.feed(s, (0.1 * rng.standard_normal(chunk_n)).astype(np.float32))
+        n_seg += sum(1 for _ in ms.poll())
+    dt = time.perf_counter() - t0
+    audio_sec = args.chunks * args.streams * 0.1
+    print(json.dumps({
+        "metric": "multistream_aggregate",
+        "streams": args.streams,
+        "ms_per_segment": round(dt / max(n_seg, 1) * 1e3, 2),
+        "aggregate_rtf": round(audio_sec / dt, 1),
+        "segments": n_seg,
+    }))
+
+
+if __name__ == "__main__":
+    main()
