@@ -28,6 +28,17 @@ Semantics preserved (dft/dft.go:62-85, mel/mel.go:120-153):
 Caller contract: signal pre-padded so every window start is >= 0 and
 start + chunk <= len(signal_padded); invalid steps are masked by the caller
 (they read zero padding here). prev_smooth > 0 uses the XLA path.
+
+PRECISION: the kernel's MXU dots run at the hardware's native f32 dot
+precision -- bf16-rounded operands (~2.5e-3 relative on the power spectrum;
+quiet log-mel bins, whose true sums sit far below the dot's absolute error
+floor, can deviate by O(1) in the log domain). The in-kernel `precision=`
+argument does not replicate XLA's exact 6-pass f32 decomposition on this
+backend (measured: unchanged deviation, 2.4x slower). The default conv
+frontend (dsp/dft.py) IS exact f32 -- this kernel is the opt-in
+reduced-precision/fused alternative (measured 4.33 ms vs the exact conv's
+4.86 ms for mel-only at B=512 x 3 s; correctness of the algorithm itself is
+asserted in interpret mode, tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -122,15 +133,19 @@ def _make_kernel(
                 aligned = pl.multiple_of(dyn + stat_aligned[u], 128)
                 rows.append(signal_ref[0, 0, pl.ds(aligned, chunk)])
             group = jnp.stack(rows)  # [block/period, chunk]
-            # precision='highest': the MXU's default f32 dot rounds operands
-            # to bf16 (same pinning as the XLA conv frontend)
+            # NOTE on precision: these dots run at the MXU's native f32
+            # precision, i.e. bf16-rounded operands. Passing
+            # precision='highest' here does NOT make the on-chip kernel
+            # match the exact-f32 conv path (measured: same ~bf16-grade
+            # deviation at quiet mel bins) and costs ~2.4x -- the exact
+            # 6-pass decomposition is an XLA-level rewrite Mosaic does not
+            # replicate. The kernel is therefore documented as the
+            # reduced-precision frontend; the default conv path is exact.
             re_groups.append(
-                jnp.dot(group, cos_ref[v], precision="highest",
-                        preferred_element_type=jnp.float32)
+                jnp.dot(group, cos_ref[v], preferred_element_type=jnp.float32)
             )
             im_groups.append(
-                jnp.dot(group, sin_ref[v], precision="highest",
-                        preferred_element_type=jnp.float32)
+                jnp.dot(group, sin_ref[v], preferred_element_type=jnp.float32)
             )
         re = jnp.concatenate(re_groups, axis=0)  # [block, k_pad] grouped order
         im = jnp.concatenate(im_groups, axis=0)
@@ -146,8 +161,7 @@ def _make_kernel(
             logp_ref[0] = jnp.zeros_like(power)
 
         mel_sum = (
-            jnp.dot(power, melw_ref[:, :], precision="highest",
-                    preferred_element_type=jnp.float32)
+            jnp.dot(power, melw_ref[:, :], preferred_element_type=jnp.float32)
             + mel_log_off
         )
         mel_ref[0] = jnp.where(

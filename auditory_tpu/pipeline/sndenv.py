@@ -158,12 +158,14 @@ class SndEnv:
             and cfg.dft.prev_smooth == 0.0
         )
         if use_pallas is None:
-            # default OFF: the strided-conv frontend (power_spectrum_conv) is
-            # the fast path. The fused kernel compiles and matches on real
-            # TPUs (power <=2.4e-5 rel) but the Mosaic aligned-load
-            # constraints force a masked multi-basis formulation that runs
-            # ~2x slower than the conv lowering (11.8ms vs 6.2ms at
-            # B=512 x 3s); keep it as an explicit opt-in.
+            # default OFF: the strided-conv frontend (power_spectrum_conv,
+            # exact f32 via precision=HIGHEST) is the production path. The
+            # fused kernel's MXU dots run at the hardware's native bf16
+            # operand precision (Mosaic cannot replicate XLA's exact 6-pass
+            # f32 decomposition), so on chip it is a REDUCED-PRECISION
+            # alternative: ~11% faster for mel-only (4.33 vs 4.86 ms at
+            # B=512 x 3 s) but ~2.5e-3 rel power error and O(1) log-domain
+            # deviation at quiet mel bins. See ops/framefft.py PRECISION.
             use_pallas = False
         elif use_pallas and not pallas_ok:
             raise ValueError(
