@@ -42,6 +42,7 @@ def power_spectrum_conv(
     step_samples: int,
     offset0: int,
     n_windows: int,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """DFT power of uniformly-strided windows as ONE strided convolution.
 
@@ -85,11 +86,13 @@ def power_spectrum_conv(
         window_strides=(step_samples,),
         padding=[(pad_l, pad_r)],
         dimension_numbers=("NCH", "OIH", "NCH"),
-        # exact f32: TPU's default conv precision rounds f32 operands to
-        # bf16 (~2.5e-3 rel error on the power spectrum, measured); the MXU
-        # 6-pass f32 decomposition costs only ~35% more here because this
-        # conv is data-movement-bound, not FLOP-bound
-        precision=jax.lax.Precision.HIGHEST,
+        # default 'highest' = exact f32: TPU's default conv precision rounds
+        # f32 operands to bf16 (~2.5e-3 rel error on the power spectrum,
+        # measured); the MXU 6-pass f32 decomposition costs only ~35% more
+        # here because this conv is data-movement-bound, not FLOP-bound.
+        # 'default' is the opt-in fast/reduced-precision mode
+        # (SndEnv(matmul_precision='default')).
+        precision=precision,
         preferred_element_type=signals.dtype,
     )  # [B, 2K, n_out]
     out = out[:, :, :n_windows]
@@ -103,6 +106,7 @@ def power_spectrum(
     windows: jnp.ndarray,
     method: str = "matmul",
     basis: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """[..., W] windows -> [..., W//2+1] DFT power."""
     w = windows.shape[-1]
@@ -117,11 +121,11 @@ def power_spectrum(
         else:
             cos_m, sin_m = basis
         re = jnp.matmul(
-            windows, cos_m, precision="highest",
+            windows, cos_m, precision=precision,
             preferred_element_type=windows.dtype,
         )
         im = jnp.matmul(
-            windows, sin_m, precision="highest",
+            windows, sin_m, precision=precision,
             preferred_element_type=windows.dtype,
         )
         return re * re + im * im
@@ -176,11 +180,12 @@ def dft_power_pipeline(
     method: str = "matmul",
     basis: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     analysis_window: Optional[jnp.ndarray] = None,
+    precision: str = "highest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """windows [..., steps, W] -> (power, log_power) [..., steps, W//2+1]."""
     if analysis_window is not None:
         windows = windows * analysis_window
-    p = power_spectrum(windows, method=method, basis=basis)
+    p = power_spectrum(windows, method=method, basis=basis, precision=precision)
     p = smooth_power(p, dft)
     lp = log_power(p, dft) if dft.comp_log_pow else jnp.zeros_like(p)
     return p, lp

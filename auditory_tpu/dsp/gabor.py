@@ -62,6 +62,7 @@ def convolve(
     filters: jnp.ndarray,
     gset: GaborSet,
     out_pools: Optional[Tuple[int, int]] = None,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """mel_seg [..., n_freq, n_steps] -> gabor activations
     [..., f_count, t_count, 2, n_filters] (float32).
@@ -88,8 +89,9 @@ def convolve(
         window_strides=(gset.stride_y, gset.stride_x),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        # exact f32 (TPU default conv precision is bf16 operands)
-        precision=jax.lax.Precision.HIGHEST,
+        # default 'highest' = exact f32 (TPU default conv precision is bf16
+        # operands); 'default' is the opt-in fast mode
+        precision=precision,
         preferred_element_type=x.dtype,
     )  # [B, nf, outY, outX]
     # A 4-D out_pools larger than the valid conv range would make the

@@ -40,16 +40,18 @@ __all__ = [
 
 
 def apply_mel(
-    power: jnp.ndarray, mel_weights: jnp.ndarray, fbank: FilterBank
+    power: jnp.ndarray, mel_weights: jnp.ndarray, fbank: FilterBank,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """power [..., n_bins] -> log-mel [..., n_filters].
 
-    precision='highest': TPU's default matmul precision rounds f32 operands
-    to bf16 (~2.5e-3 relative error), which would silently break the f32
-    device path's CPU-equivalence (see tools/tpu_parity_check.py).
+    Default precision='highest': TPU's default matmul precision rounds f32
+    operands to bf16 (~2.5e-3 relative error), which would silently break
+    the f32 device path's CPU-equivalence (see tools/tpu_parity_check.py).
+    'default' is the opt-in fast mode (SndEnv(matmul_precision='default')).
     """
     s = jnp.matmul(
-        power, mel_weights.T, precision="highest",
+        power, mel_weights.T, precision=precision,
         preferred_element_type=power.dtype,
     )
     s = s + jnp.asarray(fbank.log_off, dtype=power.dtype)
@@ -63,10 +65,13 @@ def apply_mel(
     return val
 
 
-def mfcc_dct(mel_vals: jnp.ndarray, dct_mat: jnp.ndarray, n_coefs: int) -> jnp.ndarray:
+def mfcc_dct(
+    mel_vals: jnp.ndarray, dct_mat: jnp.ndarray, n_coefs: int,
+    precision: str = "highest",
+) -> jnp.ndarray:
     """log-mel [..., n_filters] -> MFCC [..., n_coefs] (mel/mel.go:192-212)."""
     out = jnp.matmul(
-        mel_vals, dct_mat.T, precision="highest",
+        mel_vals, dct_mat.T, precision=precision,
         preferred_element_type=mel_vals.dtype,
     )
     c0 = out[..., 0]

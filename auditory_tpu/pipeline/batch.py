@@ -518,6 +518,7 @@ class CorpusRunner:
         transfer_dtype=None,
         pipeline_depth: int = 3,
         dedup_mel: Optional[bool] = None,
+        matmul_precision: str = "highest",
     ):
         if transfer not in ("auto", "float32"):
             raise ValueError("transfer must be 'auto' or 'float32'")
@@ -549,6 +550,7 @@ class CorpusRunner:
             cfg, sample_rate, dtype=dtype,
             outputs=env_keys + ("step_valid",),
             feature_stats=feature_stats,
+            matmul_precision=matmul_precision,
         )
         # packed transfer: one device->host copy per batch (the link's
         # per-copy cost dominates many small transfers)

@@ -123,6 +123,7 @@ class SndEnv:
         outputs: Optional[Tuple[str, ...]] = None,
         channels: int = 1,
         feature_stats: bool = False,
+        matmul_precision: str = "highest",
     ):
         """``feature_stats``: additionally return per-mel-band moment
         accumulators (sum, sumsq, count over all valid steps) for corpus
@@ -137,7 +138,16 @@ class SndEnv:
         Dropping fields lets XLA dead-code-eliminate their materialization --
         e.g. the reference's PowerSegment/LogPowerSegment are visualization
         tensors ("more useful for visualization", dft/dft.go:17) that corpus
-        extraction rarely needs."""
+        extraction rarely needs.
+
+        ``matmul_precision``: contraction precision for the device pipeline.
+        'highest' (default) = exact f32 -- required for the TPU-vs-CPU f32
+        equivalence contract (tools/tpu_parity_check.py). 'default' = the
+        MXU's native bf16-operand dots: ~40% faster end-to-end on TPU but
+        ~2.5e-3 relative power error (O(1) log-domain deviation at quiet mel
+        bins); CPU results are unaffected by this knob. 'high' = the 3-pass
+        middle ground (~1.5e-5 rel). The MFCC delta operator always runs at
+        'highest' (its NaN-reachability formulation is precision-critical)."""
         self.cfg = cfg
         self.sample_rate = sample_rate
         self.channels = int(channels)
@@ -147,6 +157,12 @@ class SndEnv:
             if unknown:
                 raise ValueError(f"unknown outputs: {sorted(unknown)}")
         self.outputs = tuple(outputs) if outputs is not None else None
+        if matmul_precision not in ("highest", "high", "default"):
+            raise ValueError(
+                "matmul_precision must be 'highest', 'high' or 'default', "
+                f"got {matmul_precision!r}"
+            )
+        self.matmul_precision = matmul_precision
         self.dtype = jnp.dtype(dtype)
         self.timing = cfg.params.derive(sample_rate)
         if spectrum_method is None:
@@ -296,6 +312,7 @@ class SndEnv:
             method=self.spectrum_method,
             basis=basis,
             analysis_window=awin if self.spectrum_method == "fft" else None,
+            precision=self.matmul_precision,
         )
         return power, logp
 
@@ -404,6 +421,7 @@ class SndEnv:
                     t.step_samples,
                     int(flat_starts_np[0]),
                     int(flat_starts_np.shape[0]),
+                    precision=self.matmul_precision,
                 )
                 need_full_logp = (
                     self.outputs is None or "log_power_segment" in self.outputs
@@ -414,7 +432,7 @@ class SndEnv:
                     logp = jnp.zeros_like(power)
                 else:
                     logp = None  # energy uses the narrow slice below
-                mel_vals = apply_mel(power, mel_w, cfg.mel.fbank)
+                mel_vals = apply_mel(power, mel_w, cfg.mel.fbank, precision=self.matmul_precision)
             else:
                 starts2d = (
                     flat_starts_np[None, :] if map_idx is not None else starts_np
@@ -422,7 +440,7 @@ class SndEnv:
                 power, logp = self._frontend_xla(
                     signals, jnp.asarray(starts2d), lengths, basis, awin
                 )
-                mel_vals = apply_mel(power, mel_w, cfg.mel.fbank)
+                mel_vals = apply_mel(power, mel_w, cfg.mel.fbank, precision=self.matmul_precision)
                 if map_idx is not None:  # [B, 1, n_flat, k] -> [B, n_flat, k]
                     power, logp, mel_vals = (
                         power[:, 0], logp[:, 0], mel_vals[:, 0]
@@ -498,7 +516,7 @@ class SndEnv:
 
             mfcc = deltas = ddeltas = None
             if cfg.mel.mfcc:
-                mfcc = mfcc_dct(mel_vals, dct_m, cfg.mel.n_coefs)
+                mfcc = mfcc_dct(mel_vals, dct_m, cfg.mel.n_coefs, precision=self.matmul_precision)
                 mfcc = jnp.where(vmask, mfcc, 0)
                 # coef0 <- Energy for ALL steps (sndenv.go:368-372; runs after
                 # the step loop regardless of step validity)
@@ -509,7 +527,7 @@ class SndEnv:
 
             # gabor over the [n_mel, steps] mel matrix (sndenv.go:481-497)
             mel_fs = jnp.swapaxes(mel_vals, -1, -2)  # [B, seg, n_mel, steps]
-            gab4 = convolve(mel_fs, gab, cfg.gabor, out_pools=pools)
+            gab4 = convolve(mel_fs, gab, cfg.gabor, out_pools=pools, precision=self.matmul_precision)
             # [B, seg, fc, tc, 2, nf]
 
             if self.is_4d:

@@ -39,6 +39,12 @@ def main() -> None:
         "(what training consumers read); melgabor = mel+gabor only",
     )
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument(
+        "--fast", action="store_true",
+        help="matmul_precision='default' (MXU-native bf16 operand dots, "
+        "~40%% faster, ~2.5e-3 rel power error) instead of exact f32; "
+        "reported with a _fast metric suffix, never as the headline",
+    )
     args = ap.parse_args()
 
     import jax
@@ -75,6 +81,7 @@ def main() -> None:
     env = SndEnv(
         cfg, sr, dtype=jnp.float64 if args.f64 else jnp.float32,
         outputs=outputs,
+        matmul_precision="default" if args.fast else "highest",
     )
     benv = BatchedSndEnv(env)
 
@@ -113,7 +120,8 @@ def main() -> None:
             {
                 "metric": "timit16k_mel_gabor_rtf"
                 + ("_kwta" if args.kwta else "")
-                + ("" if args.outputs == "features" else f"_{args.outputs}"),
+                + ("" if args.outputs == "features" else f"_{args.outputs}")
+                + ("_fast" if args.fast else ""),
                 "value": round(rtf, 1),
                 "unit": "audio_sec_per_sec_per_chip",
                 "vs_baseline": round(rtf / baseline, 3),

@@ -93,3 +93,23 @@ def test_parseval():
     )[0, 0]
     total = p[0] + p[-1] + 2 * p[1:-1].sum()
     np.testing.assert_allclose(total, w * (sig**2).sum(), rtol=1e-10)
+
+
+def test_matmul_precision_knob():
+    """SndEnv(matmul_precision=...) plumbing: valid values run (identical on
+    CPU, where the knob is a numeric no-op), invalid values raise."""
+    import pytest as _pytest
+
+    from auditory_tpu.pipeline.sndenv import SndEnv
+    from tests.conftest import default_cfg_2d, tone
+
+    sig = tone(900.0, 0.25, 16000).astype(np.float32)
+    outs = {}
+    for prec in ("highest", "high", "default"):
+        env = SndEnv(default_cfg_2d(), 16000, dtype=jnp.float32,
+                     matmul_precision=prec)
+        outs[prec] = np.asarray(env.process(env.pad(sig)).mel_fbank_segment)
+    np.testing.assert_array_equal(outs["highest"], outs["default"])
+    np.testing.assert_array_equal(outs["highest"], outs["high"])
+    with _pytest.raises(ValueError, match="matmul_precision"):
+        SndEnv(default_cfg_2d(), 16000, matmul_precision="fast")
