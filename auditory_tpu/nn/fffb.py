@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..config import FFFBParams
 
-__all__ = ["FFFBState", "fffb_init", "fffb_step"]
+__all__ = ["FFFBState", "fffb_init", "fffb_step", "fffb_ffi", "fffb_fb_step"]
 
 
 class FFFBState(NamedTuple):
@@ -33,6 +33,33 @@ class FFFBState(NamedTuple):
 def fffb_init(shape=(), dtype=jnp.float32) -> FFFBState:
     z = jnp.zeros(shape, dtype=dtype)
     return FFFBState(fbi=z, gi=z)
+
+
+def fffb_ffi(
+    params: FFFBParams, netin_avg: jnp.ndarray, netin_max: jnp.ndarray
+) -> jnp.ndarray:
+    """Feedforward inhibition term. Depends only on the (fixed) excitatory
+    input statistics, so settle loops compute it ONCE outside the iteration
+    (the netin is constant across FFFB settle steps; recomputing its
+    reductions per iteration was pure waste)."""
+    ff_netin = netin_avg + params.max_vs_avg * (netin_max - netin_avg)
+    return params.ff * jnp.maximum(ff_netin - params.ff0, 0.0)
+
+
+def fffb_fb_step(
+    params: FFFBParams,
+    state: FFFBState,
+    ffi: jnp.ndarray,
+    act_avg: jnp.ndarray,
+) -> FFFBState:
+    """The per-iteration part of the inhibition update: time-integrated
+    feedback from the current average activation, combined with the
+    precomputed feedforward term."""
+    if not params.on:
+        return FFFBState(fbi=state.fbi, gi=jnp.zeros_like(state.gi))
+    fbi = state.fbi + params.fb_dt * (params.fb * act_avg - state.fbi)
+    gi = params.gi * (ffi + fbi)
+    return FFFBState(fbi=fbi, gi=gi)
 
 
 def fffb_step(
@@ -46,8 +73,6 @@ def fffb_step(
     group's average/max excitatory input and average activation."""
     if not params.on:
         return FFFBState(fbi=state.fbi, gi=jnp.zeros_like(state.gi))
-    ff_netin = netin_avg + params.max_vs_avg * (netin_max - netin_avg)
-    ffi = params.ff * jnp.maximum(ff_netin - params.ff0, 0.0)
-    fbi = state.fbi + params.fb_dt * (params.fb * act_avg - state.fbi)
-    gi = params.gi * (ffi + fbi)
-    return FFFBState(fbi=fbi, gi=gi)
+    return fffb_fb_step(
+        params, state, fffb_ffi(params, netin_avg, netin_max), act_avg
+    )

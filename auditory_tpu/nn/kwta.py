@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import KWTAParams
-from .fffb import fffb_init, fffb_step
+from .fffb import fffb_fb_step, fffb_ffi, fffb_init
 
 __all__ = ["xx1", "kwta_layer", "kwta_pool"]
 
@@ -161,18 +161,27 @@ def _settle(
     else:
         pool_state = fffb_init((), dtype)
 
+    # ge is constant across the settle: its (layer and pool) statistics and
+    # the resulting feedforward inhibition terms are loop-invariant -- compute
+    # them ONCE here instead of 4 full-tensor reductions per iteration
+    # (XLA does not hoist out of while-loop bodies).
+    lay_ffi = fffb_ffi(params.lay_fffb, jnp.mean(ge), jnp.max(ge))
+    if use_pool:
+        pool_ffi = fffb_ffi(
+            params.pool_fffb,
+            jnp.mean(ge, axis=pool_axes, keepdims=True),
+            jnp.max(ge, axis=pool_axes, keepdims=True),
+        )
+
     def body(carry, _):
         act, lay_st, pool_st = carry
-        lay_st = fffb_step(
-            params.lay_fffb, lay_st, jnp.mean(ge), jnp.max(ge), jnp.mean(act)
-        )
+        lay_st = fffb_fb_step(params.lay_fffb, lay_st, lay_ffi, jnp.mean(act))
         gi = lay_st.gi
         if use_pool:
-            pool_st = fffb_step(
+            pool_st = fffb_fb_step(
                 params.pool_fffb,
                 pool_st,
-                jnp.mean(ge, axis=pool_axes, keepdims=True),
-                jnp.max(ge, axis=pool_axes, keepdims=True),
+                pool_ffi,
                 jnp.mean(act, axis=pool_axes, keepdims=True),
             )
             gi = jnp.maximum(gi, pool_st.gi)
