@@ -1,0 +1,139 @@
+"""Learnable gabor frontend: backpropagate through the feature extractor.
+
+The reference's gabor bank is a fixed, hand-designed prior (agabor.Filter
+specs rendered once, agabor/gabor.go:89-221). Because this rebuild is
+functional JAX, the SAME convolution stage (dsp.gabor.convolve) is
+differentiable with respect to its filter tensor -- so the filter bank can be
+*trained* jointly with a classifier head, initialised from the biological
+prior. This is a capability the scalar Go pipeline cannot express; see
+tests/test_grad.py for the gradient contracts.
+
+Pipeline here: signal -> (frozen) frame+DFT+mel via SndEnv -> learnable
+gabor convolve -> mean-pooled features -> linear head. The mel features are
+precomputed once (no gradient flows above the gabor stage), then filters and
+head train jointly with optax.
+
+Usage: python examples/learnable_frontend.py [--steps 300] [--cpu]
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from train_phone_classifier import synth_token  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--n-per-class", type=int, default=40)
+    ap.add_argument("--classes", type=int, default=6)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
+    from auditory_tpu.dsp.design import gabor_filters
+    from auditory_tpu.dsp.gabor import convolve
+    from auditory_tpu.pipeline.batch import BatchedSndEnv, bucket_length
+    from auditory_tpu.pipeline.sndenv import SndEnv
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+
+    gset = GaborSet(
+        size_x=9, size_y=9, stride_x=3, stride_y=3, gain=2.0,
+        specs=default_gabor_specs(phases=(0.0, 1.5708)),
+    )
+    cfg = SndEnvConfig(gabor=gset)
+    env = SndEnv(cfg, sr, outputs=("mel_fbank_segment", "step_valid"))
+    benv = BatchedSndEnv(env)
+
+    # ---- data: synthetic CV tokens -> frozen mel features ----------------
+    n_total = args.classes * args.n_per_class
+    labels = np.repeat(np.arange(args.classes), args.n_per_class)
+    sigs = [env.pad(synth_token(c, rng, sr)) for c in labels]
+    n_pad = bucket_length(max(len(s) for s in sigs), env.timing)
+    batch = np.zeros((n_total, n_pad), np.float32)
+    for i, s in enumerate(sigs):
+        batch[i, : len(s)] = s
+    lengths = np.array([len(s) for s in sigs], np.int32)
+
+    out, _ = benv.process(batch, lengths)
+    # mel_fbank_segment is [N, seg, n_mel, steps] -- exactly the [freq, time]
+    # plane dsp.gabor.convolve consumes
+    mel = np.asarray(out.mel_fbank_segment)
+    print(f"mel features: {mel.shape}")
+
+    perm = rng.permutation(n_total)
+    split = int(0.8 * n_total)
+    mel_d = jnp.asarray(mel)
+    labels_d = jnp.asarray(labels)
+    tr, te = perm[:split], perm[split:]
+
+    # ---- model: learnable gabor bank (prior init) + linear head ----------
+    filters0 = jnp.asarray(gabor_filters(gset), jnp.float32)  # [nf, sy, sx]
+    nf = filters0.shape[0]
+
+    def featurize(filters, mel_batch):
+        g = convolve(mel_batch, filters, gset)  # [N, seg, fI, tI, 2, nf]
+        # mean-pool over segments and positions -> [N, 2*nf] summary
+        return jnp.mean(g, axis=(1, 2, 3)).reshape(mel_batch.shape[0], -1)
+
+    din, dout = 2 * nf, args.classes
+    k0 = jax.random.PRNGKey(0)
+    params = {
+        "filters": filters0,
+        "w": jax.random.normal(k0, (din, dout)) * (2.0 / din) ** 0.5,
+        "b": jnp.zeros(dout),
+    }
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, x, y):
+        z = featurize(p["filters"], x)
+        logits = z @ p["w"] + p["b"]
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y
+        ).mean()
+
+    @jax.jit
+    def step(p, s, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y)
+        updates, s = opt.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    def accuracy(p, idx):
+        z = featurize(p["filters"], mel_d[idx])
+        pred = jnp.argmax(z @ p["w"] + p["b"], -1)
+        return float((pred == labels_d[idx]).mean())
+
+    xtr, ytr = mel_d[tr], labels_d[tr]
+    first_loss = None
+    for i in range(args.steps):
+        params, opt_state, loss = step(params, opt_state, xtr, ytr)
+        if first_loss is None:
+            first_loss = float(loss)
+        if i % 50 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss {float(loss):.4f} "
+                  f"test acc {accuracy(params, te):.3f}")
+
+    drift = float(jnp.linalg.norm(params["filters"] - filters0)
+                  / jnp.linalg.norm(filters0))
+    print(f"filter drift from prior: {drift:.4f} (relative L2)")
+    print(f"loss: {first_loss:.4f} -> {float(loss):.4f}")
+    print(f"final test accuracy: {accuracy(params, te):.3f} "
+          f"({args.classes} classes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,3 +35,22 @@ def test_gabor_view_example(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-1500:]
     assert "[sh]" in out.stdout
+
+
+def test_learnable_frontend_learns():
+    """Backprop into the gabor filter bank: loss must drop and the filters
+    must move away from the hand-designed prior."""
+    out = subprocess.run(
+        [sys.executable, "examples/learnable_frontend.py", "--cpu",
+         "--steps", "60", "--n-per-class", "10"],
+        capture_output=True, text=True, timeout=300, cwd=".",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    loss_line = [l for l in out.stdout.splitlines() if l.startswith("loss:")]
+    assert loss_line, out.stdout
+    first, last = (float(x) for x in
+                   loss_line[0].split(":")[1].split("->"))
+    assert last < 0.7 * first, f"frontend failed to train: {loss_line[0]}"
+    drift_line = [l for l in out.stdout.splitlines()
+                  if l.startswith("filter drift")]
+    assert drift_line and float(drift_line[0].split()[-3]) > 0.01
