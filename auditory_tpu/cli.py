@@ -132,6 +132,10 @@ def cmd_corpus(args) -> int:
         print(f"no files match {args.glob}", file=sys.stderr)
         return 1
     cfg = _build_cfg(args)
+    if args.f16_features and args.int8_features:
+        print("error: --f16-features and --int8-features are exclusive",
+              file=sys.stderr)
+        return 2
     mesh = make_mesh() if args.mesh else None
     runner = CorpusRunner(
         cfg,
@@ -140,7 +144,10 @@ def cmd_corpus(args) -> int:
         dtype=jnp.float64 if args.f64 else jnp.float32,
         mesh=mesh,
         transfer=args.transfer,
-        transfer_dtype=jnp.float16 if args.f16_features else None,
+        transfer_dtype=(
+            jnp.int8 if args.int8_features
+            else jnp.float16 if args.f16_features else None
+        ),
         pipeline_depth=args.pipeline_depth,
     )
     stats = runner.run(paths, args.out, resume=not args.no_resume)
@@ -455,6 +462,13 @@ def main(argv=None) -> int:
         "--f16-features", action="store_true",
         help="cast saved features to float16 on device (half the download "
         "bytes and npz size)",
+    )
+    p.add_argument(
+        "--int8-features", action="store_true",
+        help="quantize saved features to int8 on device with per-channel "
+        "ranges (quarter the download bytes; lossy -- error <= half a "
+        "quantization step per mel band / gabor filter; exact zeros and "
+        "NaNs preserved)",
     )
     p.add_argument("--pipeline-depth", type=int, default=3,
                    help="max dispatched-but-unwritten batches in flight")

@@ -33,6 +33,11 @@ not device compute):
 - ``transfer_dtype=jnp.float16`` (opt-in) casts the saved feature tensors to
   half precision on device before the device->host copy, halving download
   bytes; features feeding NN training are insensitive at this scale.
+- ``transfer_dtype='int8'`` (opt-in, lossy) quantizes the packed features to
+  int8 with per-channel ranges computed on device -- quarter the download
+  bytes of float32. Error <= half a quantization step per channel (see
+  :class:`PackedBatch`); exact zeros/sign of the gabor fold and NaN
+  positions are preserved.
 """
 
 from __future__ import annotations
@@ -65,10 +70,13 @@ class PackEntry:
 
     key: str
     kind: str                       # "seg" (rows = segments) | "global"
+                                    # | "meta" (row count never trimmed)
     view_shape: Tuple[int, ...]     # per-row trailing shape (post-fold)
     final_shape: Tuple[int, ...]    # true per-row trailing shape
     fold_ax: Optional[int]          # on/off axis in view_shape, or None
     rows: int                       # current row count in the buffer
+    qchan_ax: Optional[int] = None  # int8 mode: channel axis in view_shape
+    n_chan: int = 0                 # int8 mode: channels (0 = unquantized)
 
     @property
     def row_cols(self) -> int:
@@ -104,7 +112,18 @@ class PackedBatch:
       ``SndEnv.global_grid``.
     - no validity column: per-file segment counts are a pure function of
       the (host-known) lengths, recomputed host-side by the caller.
-    """
+
+    Opt-in LOSSY reduction (``transfer_dtype='int8'``): every float entry is
+    quantized on device to int8 with per-channel ranges -- affine over
+    [min, max] for spectral tensors (mel bands, MFCC coefficients, ...),
+    symmetric around zero for the signed gabor fold so exact zeros and
+    on/off routing survive quantization bit-for-bit. NaN (the mel
+    triangle quirk can emit them) is preserved via the reserved code -128.
+    The (scale, offset) pairs ride INSIDE the same single device->host copy
+    as a trailing ``__qmeta__`` block of bitcast float32 bytes, so the
+    one-copy-per-batch property is kept. Worst-case per-element error is
+    half a quantization step: (max-min)/508 per channel (affine) or
+    max|x|/254 (symmetric)."""
 
     data: Any                       # [B, C] device array
     entries: Tuple[PackEntry, ...]
@@ -114,6 +133,8 @@ class PackedBatch:
     def _rows_for(self, kind: str, max_seg: int) -> int:
         if kind == "seg":
             return max_seg
+        if kind == "meta":
+            return 1 << 62  # never trimmed (trim min()s against e.rows)
         return (max_seg - 1) * self.sps + self.steps if max_seg > 0 else 0
 
     def trim(self, max_seg: int) -> "PackedBatch":
@@ -137,24 +158,95 @@ class PackedBatch:
 
     def unpack(self) -> Dict[str, np.ndarray]:
         """One host copy -> {key: [B, rows, ...]} with folds expanded
-        (``global`` entries stay on the global grid)."""
+        (``global`` entries stay on the global grid) and, in int8 mode,
+        values dequantized back to float32 (NaN code restored)."""
         host = np.asarray(self.data)
         b = host.shape[0]
-        out, off = {}, 0
+        qscales = None
+        if host.dtype == np.int8 and self.entries and (
+            self.entries[-1].key == "__qmeta__"
+        ):
+            meta = self.entries[-1]
+            tail = np.ascontiguousarray(host[0, host.shape[1] - meta.cols:])
+            qscales = tail.view(np.float32)  # per entry: scale[n], off[n]
+        out, off, qoff = {}, 0, 0
         for e in self.entries:
+            if e.key == "__qmeta__":
+                continue
             block = host[:, off : off + e.cols]
             off += e.cols
-            if e.fold_ax is None:
-                out[e.key] = block.reshape((b, e.rows) + e.view_shape)
-                continue
             folded_shape = list(e.view_shape)
-            folded_shape[e.fold_ax] = 1
+            if e.fold_ax is not None:
+                folded_shape[e.fold_ax] = 1
             v = block.reshape((b, e.rows) + tuple(folded_shape))
+            if qscales is not None and e.n_chan:
+                scale = qscales[qoff : qoff + e.n_chan]
+                qo = qscales[qoff + e.n_chan : qoff + 2 * e.n_chan]
+                qoff += 2 * e.n_chan
+                if e.qchan_ax is not None:
+                    bshape = [1] * v.ndim
+                    bshape[2 + e.qchan_ax] = e.n_chan
+                    scale = scale.reshape(bshape)
+                    qo = qo.reshape(bshape)
+                x = v.astype(np.float32) * scale + qo
+                v = np.where(v == -128, np.float32(np.nan), x)
+            if e.fold_ax is None:
+                out[e.key] = v.reshape((b, e.rows) + e.view_shape)
+                continue
             on = np.maximum(v, 0)
             off_ch = np.maximum(-v, 0)
             full = np.concatenate([on, off_ch], axis=2 + e.fold_ax)
             out[e.key] = full.reshape((b, e.rows) + e.final_shape)
         return out
+
+
+def _quant_chan_axis(
+    key: str, view_shape: Tuple[int, ...], fold_ax: Optional[int]
+) -> Optional[int]:
+    """int8 mode: which axis of the per-row view indexes feature channels
+    (each channel gets its own quantization range). Gabor layouts quantize
+    per filter (4-D) / per freq row (2-D); spectral [C, steps] tensors per
+    band/coefficient; mel_fbank_global rows are [n_mel] vectors; a 1-D
+    [steps] row (energy) is one channel."""
+    if fold_ax is not None:
+        return 3 if len(view_shape) == 4 else 0
+    if len(view_shape) >= 2 or key == "mel_fbank_global":
+        return 0
+    return None
+
+
+def _quantize_int8(a: jnp.ndarray, chan_ax: Optional[int], symmetric: bool):
+    """Quantize [B, rows, *view] to int8 with per-channel ranges computed
+    over the whole batch on device. Returns (q int8, scale f32 [n_chan],
+    offset f32 [n_chan]); dequantization is ``q * scale + offset`` with the
+    reserved code -128 restoring non-finite values as NaN. ``symmetric``
+    centers the grid on zero (q=0 <-> exactly 0.0), used for the signed
+    gabor fold so sparsity and on/off routing survive."""
+    a = a.astype(jnp.float32)
+    red = tuple(
+        i for i in range(a.ndim) if chan_ax is None or i != 2 + chan_ax
+    )
+    finite = jnp.isfinite(a)
+    amax = jnp.max(jnp.where(finite, a, -jnp.inf), axis=red, keepdims=True)
+    amin = jnp.min(jnp.where(finite, a, jnp.inf), axis=red, keepdims=True)
+    empty = amin > amax  # channel with no finite values
+    amax = jnp.where(empty, 0.0, amax)
+    amin = jnp.where(empty, 0.0, amin)
+    if symmetric:
+        scale = jnp.maximum(jnp.abs(amax), jnp.abs(amin)) / 127.0
+        offv = jnp.zeros_like(scale)
+    else:
+        scale = (amax - amin) / 254.0
+        offv = amin + 127.0 * scale
+    safe = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round((a - offv) / safe), -127.0, 127.0)
+    q = jnp.where(scale == 0, 0.0, q)
+    q = jnp.where(finite, q, -128.0).astype(jnp.int8)
+    return (
+        q,
+        scale.reshape(-1).astype(jnp.float32),
+        offv.reshape(-1).astype(jnp.float32),
+    )
 
 
 def _onoff_fold_exact(kwta) -> bool:
@@ -215,7 +307,9 @@ class BatchedSndEnv:
     equivalent.
 
     ``transfer_dtype``: cast floating outputs to this dtype on device before
-    they leave the program (halves device->host bytes with float16).
+    they leave the program (halves device->host bytes with float16), or
+    ``'int8'`` for per-channel quantized transfer (quarter bytes, lossy,
+    packed mode only; see :class:`PackedBatch`).
     """
 
     def __init__(
@@ -243,6 +337,13 @@ class BatchedSndEnv:
             jnp.dtype(transfer_dtype) if transfer_dtype is not None else None
         )
         self.pack_keys = tuple(pack_keys) if pack_keys is not None else None
+        self.quantize = self.transfer_dtype == jnp.dtype(jnp.int8)
+        if self.quantize and self.pack_keys is None:
+            raise ValueError(
+                "transfer_dtype='int8' (quantized transfer) requires the "
+                "packed mode (pack_keys); the unpacked API returns the true "
+                "float tensors"
+            )
         self._jit_cache: Dict[Tuple[int, int, bool], Any] = {}
 
     def _build(self, n_samples: int, add_ms: int, with_divisors: bool):
@@ -254,8 +355,10 @@ class BatchedSndEnv:
         pack_keys = self.pack_keys
         pack_meta: Dict[str, Any] = {}
 
+        quantize = self.quantize
+
         def cast_out(res):
-            if td is not None:
+            if td is not None and not quantize:
                 cast = lambda x: (
                     x.astype(td)
                     if x is not None and jnp.issubdtype(x.dtype, jnp.floating)
@@ -276,7 +379,7 @@ class BatchedSndEnv:
             out = res[0]
             ptd = td if td is not None else dtype
             is_4d = self.env.is_4d
-            cols, entries = [], []
+            cols, entries, qscales = [], [], []
             for k in pack_keys:
                 a = getattr(out, k)
                 if a is None:
@@ -300,13 +403,45 @@ class BatchedSndEnv:
                     v = a.reshape(a.shape[:2] + view_shape)
                     on, off = jnp.split(v, 2, axis=2 + fold_ax)
                     a = on - off  # exact: at most one of the pair is nonzero
-                flat = a.reshape(a.shape[0], -1).astype(ptd)
+                qchan_ax, n_chan = None, 0
+                if quantize:
+                    if not jnp.issubdtype(a.dtype, jnp.floating):
+                        raise ValueError(
+                            f"int8 quantized transfer: key {k!r} is "
+                            f"{a.dtype}, not float"
+                        )
+                    qchan_ax = _quant_chan_axis(k, view_shape, fold_ax)
+                    n_chan = 1 if qchan_ax is None else view_shape[qchan_ax]
+                    a, scale, offv = _quantize_int8(
+                        a, qchan_ax, symmetric=fold_ax is not None
+                    )
+                    qscales += [scale, offv]
+                    flat = a.reshape(a.shape[0], -1)
+                else:
+                    flat = a.reshape(a.shape[0], -1).astype(ptd)
                 cols.append(flat)
                 entries.append(
                     PackEntry(
                         key=k, kind=kind, view_shape=view_shape,
                         final_shape=final_shape, fold_ax=fold_ax,
-                        rows=a.shape[1],
+                        rows=a.shape[1], qchan_ax=qchan_ax, n_chan=n_chan,
+                    )
+                )
+            if quantize:
+                svec = jnp.concatenate(qscales)
+                sbytes = jax.lax.bitcast_convert_type(
+                    svec, jnp.int8
+                ).reshape(-1)  # little-endian f32 bytes
+                bsz = cols[0].shape[0]
+                cols.append(
+                    jnp.broadcast_to(sbytes[None], (bsz, sbytes.shape[0]))
+                )
+                entries.append(
+                    PackEntry(
+                        key="__qmeta__", kind="meta",
+                        view_shape=(int(sbytes.shape[0]),),
+                        final_shape=(int(sbytes.shape[0]),),
+                        fold_ax=None, rows=1,
                     )
                 )
             t = self.env.timing

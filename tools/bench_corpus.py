@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--transfer", choices=("auto", "float32"), default="auto")
     ap.add_argument("--f16", action="store_true",
                     help="cast saved features to float16 on device")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 per-channel quantized transfer (lossy)")
     ap.add_argument("--stages", action="store_true",
                     help="also time the stages serialized (no overlap)")
     ap.add_argument("--runs", type=int, default=2,
@@ -90,7 +92,10 @@ def main():
         return CorpusRunner(
             cfg, args.rate, batch_size=args.batch_size,
             transfer=args.transfer,
-            transfer_dtype=jnp.float16 if args.f16 else None,
+            transfer_dtype=(
+                jnp.int8 if args.int8
+                else jnp.float16 if args.f16 else None
+            ),
         )
 
     results = {}
