@@ -121,6 +121,18 @@ def cmd_process(args) -> int:
     return 0
 
 
+def cmd_corpus_merge(args) -> int:
+    from .pipeline.batch import CorpusRunner
+
+    try:
+        summary = CorpusRunner.merge_shards(args.out)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_corpus(args) -> int:
     import jax.numpy as jnp
 
@@ -150,7 +162,17 @@ def cmd_corpus(args) -> int:
         ),
         pipeline_depth=args.pipeline_depth,
     )
-    stats = runner.run(paths, args.out, resume=not args.no_resume)
+    shard_index, num_shards = 0, 1
+    if args.shard:
+        try:
+            si, ns = args.shard.split("/")
+            shard_index, num_shards = int(si), int(ns)
+        except ValueError:
+            print(f"error: --shard must be I/N, got {args.shard!r}",
+                  file=sys.stderr)
+            return 2
+    stats = runner.run(paths, args.out, resume=not args.no_resume,
+                       shard_index=shard_index, num_shards=num_shards)
     print(
         json.dumps(
             {
@@ -425,6 +447,14 @@ def cmd_play(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("AUDITORY_TPU_CPU"):
+        # must run before any jax op; the JAX_PLATFORMS env var is ignored
+        # under the axon sitecustomize
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser(prog="auditory_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -472,8 +502,21 @@ def main(argv=None) -> int:
     )
     p.add_argument("--pipeline-depth", type=int, default=3,
                    help="max dispatched-but-unwritten batches in flight")
+    p.add_argument(
+        "--shard", default="",
+        help="I/N multi-host scale-out: this host processes the "
+        "deterministic slice paths[I::N] with per-shard manifest/stats "
+        "(pass the SAME glob on every host; combine with corpus-merge)",
+    )
     _add_pipeline_args(p)
     p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser(
+        "corpus-merge",
+        help="combine per-shard corpus outputs (manifest + feature stats)",
+    )
+    p.add_argument("out", help="the shared --out directory the shards wrote")
+    p.set_defaults(fn=cmd_corpus_merge)
 
     p = sub.add_parser(
         "segment", help="process one phone/time-slice (headless gaborview)"

@@ -839,10 +839,37 @@ class CorpusRunner:
         out_dir: str,
         resume: bool = True,
         add_ms: int = 0,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ) -> CorpusStats:
+        """Extract features for ``wav_paths`` into ``out_dir``.
+
+        Multi-host scale-out (``num_shards > 1``): the corpus is
+        embarrassingly parallel (the pipeline is pointwise per utterance,
+        SURVEY.md section 5), so hosts need no collectives -- each host runs
+        its own runner over the deterministic interleaved slice
+        ``wav_paths[shard_index::num_shards]`` with per-shard manifest and
+        feature-stats files, and :meth:`merge_shards` combines them (moment
+        sums add exactly). All hosts must pass the SAME full ``wav_paths``
+        list (output stems are disambiguated against the full list so
+        basename collisions stay collision-free across shards)."""
+        if not 0 <= shard_index < num_shards:
+            raise ValueError(
+                f"shard_index {shard_index} out of range for "
+                f"{num_shards} shards"
+            )
         os.makedirs(out_dir, exist_ok=True)
+        # stems from the FULL list: deterministic + collision-free across
+        # shards, regardless of which slice this host processes
         self._stems = self._out_names(list(wav_paths))
-        manifest_path = os.path.join(out_dir, "manifest.jsonl")
+        suffix = (
+            f".shard{shard_index}of{num_shards}" if num_shards > 1 else ""
+        )
+        wav_paths = list(wav_paths)[shard_index::num_shards]
+        self._stats_path = os.path.join(
+            out_dir, f"feature_stats{suffix}.json"
+        )
+        manifest_path = os.path.join(out_dir, f"manifest{suffix}.jsonl")
         done = set()
         if resume and os.path.exists(manifest_path):
             with open(manifest_path) as f:
@@ -958,17 +985,91 @@ class CorpusRunner:
             cnt = max(float(moments["count"]), 1.0)
             mean = moments["sum"] / cnt
             var = np.maximum(moments["sumsq"] / cnt - mean**2, 0.0)
-            with open(os.path.join(out_dir, "feature_stats.json"), "w") as f:
+            with open(self._stats_path, "w") as f:
                 json.dump(
                     {
                         "mel_mean": mean.tolist(),
                         "mel_std": np.sqrt(var).tolist(),
                         "count_steps": cnt,
+                        # raw f64 moments so shard files merge exactly
+                        "mel_sum": moments["sum"].tolist(),
+                        "mel_sumsq": moments["sumsq"].tolist(),
                     },
                     f,
                 )
         stats.wall_seconds = time.perf_counter() - t0
         return stats
+
+    @staticmethod
+    def merge_shards(out_dir: str) -> Dict[str, Any]:
+        """Combine per-shard outputs of a multi-host run (see :meth:`run`)
+        into the single-run artifacts: concatenates ``manifest.shard*``
+        records into ``manifest.jsonl`` and sums the shards' raw f64 moment
+        vectors into ``feature_stats.json`` (exact -- moments are additive).
+        Returns a summary dict."""
+        import glob as _glob
+
+        man_shards = sorted(
+            _glob.glob(os.path.join(out_dir, "manifest.shard*.jsonl"))
+        )
+        if not man_shards:
+            raise FileNotFoundError(
+                f"no manifest.shard*.jsonl files in {out_dir}"
+            )
+        n_ok = n_err = 0
+        with open(os.path.join(out_dir, "manifest.jsonl"), "w") as out:
+            for mp in man_shards:
+                with open(mp) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            rec = json.loads(line)
+                        except json.JSONDecodeError:
+                            continue
+                        n_ok += rec.get("status") == "ok"
+                        n_err += rec.get("status") == "error"
+                        out.write(line + "\n")
+
+        stat_shards = sorted(
+            _glob.glob(os.path.join(out_dir, "feature_stats.shard*.json"))
+        )
+        merged_stats = None
+        if stat_shards:
+            tot_sum = tot_sq = None
+            tot_cnt = 0.0
+            for sp in stat_shards:
+                with open(sp) as f:
+                    s = json.load(f)
+                if "mel_sum" not in s:
+                    raise ValueError(
+                        f"{sp} lacks raw moments (mel_sum); re-run the "
+                        "shard with this version to enable merging"
+                    )
+                ssum = np.asarray(s["mel_sum"], dtype=np.float64)
+                ssq = np.asarray(s["mel_sumsq"], dtype=np.float64)
+                tot_sum = ssum if tot_sum is None else tot_sum + ssum
+                tot_sq = ssq if tot_sq is None else tot_sq + ssq
+                tot_cnt += float(s["count_steps"])
+            cnt = max(tot_cnt, 1.0)
+            mean = tot_sum / cnt
+            var = np.maximum(tot_sq / cnt - mean**2, 0.0)
+            merged_stats = {
+                "mel_mean": mean.tolist(),
+                "mel_std": np.sqrt(var).tolist(),
+                "count_steps": cnt,
+                "mel_sum": tot_sum.tolist(),
+                "mel_sumsq": tot_sq.tolist(),
+            }
+            with open(os.path.join(out_dir, "feature_stats.json"), "w") as f:
+                json.dump(merged_stats, f)
+        return {
+            "manifest_shards": len(man_shards),
+            "stats_shards": len(stat_shards),
+            "files_ok": n_ok,
+            "files_failed": n_err,
+        }
 
     # batches per f32 device partial before an f64 host fold: 64 batches of
     # <=2^18 steps each stay far below f32's 2^24 integer-precision limit

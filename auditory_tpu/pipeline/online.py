@@ -232,11 +232,23 @@ class MultiStreamOnline:
         n_streams: int,
         dtype=jnp.float32,
         outputs: Optional[Tuple[str, ...]] = None,
+        transfer_dtype=None,
         **env_kw,
     ):
+        """``transfer_dtype``: dtype of the per-poll packed host copy.
+        None ships the pipeline dtype; ``float16`` halves poll bytes (cast);
+        ``'int8'`` quarters them via per-channel quantized transfer (lossy,
+        same scheme as the corpus :class:`..pipeline.batch.PackedBatch`).
+        The poll copy is the serving path's bandwidth bottleneck -- its
+        bytes scale with n_streams -- so this knob directly sets the
+        sustainable concurrent-stream capacity on a byte-bound link."""
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
         self.n_streams = n_streams
+        self.transfer_dtype = (
+            jnp.dtype(transfer_dtype) if transfer_dtype is not None else None
+        )
+        self._quantize = self.transfer_dtype == jnp.dtype(jnp.int8)
         # ONE shared pipeline (filter design etc. built once); per-stream
         # state is just the rolling buffer bookkeeping
         tpl = OnlineSndEnv(cfg, sample_rate, dtype=dtype, outputs=outputs,
@@ -290,24 +302,62 @@ class MultiStreamOnline:
         )
 
     def _build_fn(self):
+        from .batch import _quant_chan_axis, _quantize_int8
+
         inner = self.env._build(self._span, self._add_ms)
-        layout = {}  # key -> (trailing shape, col range); filled at trace
+        quantize = self._quantize
+        # key -> (trailing shape, col range, n_chan, chan_ax); filled at trace
+        layout = {}
 
         def fn(windows, sig_lens):
             res = inner(windows, sig_lens)
             # squeeze the seg=1 axis and pack every leaf into ONE flat
             # [N, C] buffer: per-leaf host copies would each pay the link's
             # fixed round trip per poll
-            pack_dtype = self.env.dtype
-            cols, off = [], 0
+            pack_dtype = (
+                self.transfer_dtype
+                if self.transfer_dtype is not None and not quantize
+                else self.env.dtype
+            )
+            cols, off, qscales = [], 0, []
             for f, x in dataclasses.asdict(res[0]).items():
                 if x is None:
                     continue
                 x = x[:, 0]
-                flat = x.reshape(x.shape[0], -1).astype(pack_dtype)
-                layout[f] = (tuple(x.shape[1:]), off, off + flat.shape[-1])
+                n_chan, chan_ax = 0, None
+                if quantize and jnp.issubdtype(x.dtype, jnp.floating):
+                    chan_ax = _quant_chan_axis(f, tuple(x.shape[1:]), None)
+                    n_chan = (
+                        1 if chan_ax is None else x.shape[1 + chan_ax]
+                    )
+                    q, sc, ofv = _quantize_int8(
+                        x[:, None], chan_ax, symmetric=False
+                    )
+                    qscales += [sc, ofv]
+                    flat = q[:, 0].reshape(x.shape[0], -1)
+                elif quantize:
+                    # bool/int leaves (step_valid) ship as raw int8
+                    flat = x.reshape(x.shape[0], -1).astype(jnp.int8)
+                else:
+                    flat = x.reshape(x.shape[0], -1).astype(pack_dtype)
+                layout[f] = (
+                    tuple(x.shape[1:]), off, off + flat.shape[-1],
+                    n_chan, chan_ax,
+                )
                 cols.append(flat)
                 off += flat.shape[-1]
+            if quantize:
+                svec = jnp.concatenate(qscales)
+                sbytes = jax.lax.bitcast_convert_type(
+                    svec, jnp.int8
+                ).reshape(-1)
+                layout["__qmeta__"] = (
+                    (int(sbytes.shape[0]),), off,
+                    off + int(sbytes.shape[0]), 0, None,
+                )
+                cols.append(jnp.broadcast_to(
+                    sbytes[None], (cols[0].shape[0], sbytes.shape[0])
+                ))
             return jnp.concatenate(cols, axis=-1)
 
         return jax.jit(fn), layout
@@ -361,10 +411,27 @@ class MultiStreamOnline:
         )
         # ONE host copy for the whole batch, split per key host-side
         buf = np.asarray(packed)
-        host = {
-            f: buf[:, lo:hi].reshape((buf.shape[0],) + shape)
-            for f, (shape, lo, hi) in self._layout.items()
-        }
+        qscales = None
+        if self._quantize and "__qmeta__" in self._layout:
+            _, qlo, qhi, _, _ = self._layout["__qmeta__"]
+            qscales = np.ascontiguousarray(buf[0, qlo:qhi]).view(np.float32)
+        host, qoff = {}, 0
+        for f, (shape, lo, hi, n_chan, chan_ax) in self._layout.items():
+            if f == "__qmeta__":
+                continue
+            v = buf[:, lo:hi].reshape((buf.shape[0],) + shape)
+            if qscales is not None and n_chan:
+                sc = qscales[qoff : qoff + n_chan]
+                ofv = qscales[qoff + n_chan : qoff + 2 * n_chan]
+                qoff += 2 * n_chan
+                if chan_ax is not None:
+                    bshape = [1] * v.ndim
+                    bshape[1 + chan_ax] = n_chan
+                    sc = sc.reshape(bshape)
+                    ofv = ofv.reshape(bshape)
+                x = v.astype(np.float32) * sc + ofv
+                v = np.where(v == -128, np.float32(np.nan), x)
+            host[f] = v
         if "step_valid" in host:
             host["step_valid"] = host["step_valid"] > 0.5
         # the call succeeded: NOW advance stream cursors and trim history

@@ -1,0 +1,117 @@
+"""Multi-host corpus sharding: deterministic interleaved slices, per-shard
+manifests/stats, exact merge equal to the single-run artifacts."""
+
+import json
+import os
+import numpy as np
+
+from auditory_tpu.pipeline.batch import CorpusRunner
+from tests.conftest import default_cfg_2d, tone
+
+SR = 16000
+
+
+def _make_wavs(d, n=5):
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+
+    d.mkdir(exist_ok=True)
+    paths = []
+    for i in range(n):
+        p = str(d / f"u{i}.wav")
+        write_wav(p, float_to_wave(tone(400.0 + 180 * i, 0.4, SR), SR))
+        paths.append(p)
+    return paths
+
+
+def test_sharded_run_merge_matches_full(tmp_path):
+    cfg = default_cfg_2d()
+    paths = _make_wavs(tmp_path / "wavs")
+
+    full_dir = tmp_path / "full"
+    r = CorpusRunner(cfg, SR, batch_size=2)
+    fstats = r.run(paths, str(full_dir))
+    assert fstats.files_done == len(paths)
+
+    shard_dir = tmp_path / "sharded"
+    done = 0
+    for i in range(2):  # "two hosts", run sequentially here
+        r = CorpusRunner(cfg, SR, batch_size=2)
+        s = r.run(paths, str(shard_dir), shard_index=i, num_shards=2)
+        done += s.files_done
+        assert os.path.exists(shard_dir / f"manifest.shard{i}of2.jsonl")
+        assert os.path.exists(shard_dir / f"feature_stats.shard{i}of2.json")
+    assert done == len(paths)
+
+    summary = CorpusRunner.merge_shards(str(shard_dir))
+    assert summary["files_ok"] == len(paths)
+    assert summary["manifest_shards"] == 2
+
+    # identical npz artifact set with identical contents
+    full_npz = sorted(f for f in os.listdir(full_dir) if f.endswith(".npz"))
+    shard_npz = sorted(
+        f for f in os.listdir(shard_dir) if f.endswith(".npz")
+    )
+    assert shard_npz == full_npz and len(full_npz) == len(paths)
+    for f in full_npz:
+        a = dict(np.load(full_dir / f))
+        b = dict(np.load(shard_dir / f))
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=(f, k))
+
+    # merged manifest covers every path exactly once
+    recs = [
+        json.loads(l)
+        for l in (shard_dir / "manifest.jsonl").read_text().splitlines()
+    ]
+    assert sorted(r["path"] for r in recs) == sorted(paths)
+
+    # merged feature stats equal the single-run stats. The merge of the
+    # shard moment files is exact (f64 adds); shard-vs-full differ only by
+    # the per-batch f32 device accumulation under different batch
+    # compositions (~1e-6 rel)
+    fs = json.loads((full_dir / "feature_stats.json").read_text())
+    ms = json.loads((shard_dir / "feature_stats.json").read_text())
+    assert ms["count_steps"] == fs["count_steps"]
+    np.testing.assert_allclose(ms["mel_mean"], fs["mel_mean"], rtol=1e-4)
+    np.testing.assert_allclose(ms["mel_std"], fs["mel_std"], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_shard_validation_and_resume(tmp_path):
+    cfg = default_cfg_2d()
+    paths = _make_wavs(tmp_path / "wavs", n=3)
+    r = CorpusRunner(cfg, SR, batch_size=2)
+    try:
+        r.run(paths, str(tmp_path / "o"), shard_index=2, num_shards=2)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # resume is per shard: a rerun of the same shard does nothing new
+    out = tmp_path / "o2"
+    r = CorpusRunner(cfg, SR, batch_size=2)
+    s1 = r.run(paths, str(out), shard_index=0, num_shards=2)
+    r = CorpusRunner(cfg, SR, batch_size=2)
+    s2 = r.run(paths, str(out), shard_index=0, num_shards=2)
+    assert s1.files_done == 2 and s2.files_done == 0
+
+
+def test_cli_corpus_shard_and_merge(tmp_path, capsys):
+    from auditory_tpu.cli import main
+
+    _make_wavs(tmp_path / "wavs", n=4)
+    out = tmp_path / "out"
+    for i in range(2):
+        rc = main(["corpus", "--glob", str(tmp_path / "wavs" / "*.wav"),
+                   "--out", str(out), "--batch-size", "2",
+                   "--shard", f"{i}/2"])
+        assert rc == 0
+    rc = main(["corpus-merge", str(out)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["files_ok"] == 4
+    assert (out / "manifest.jsonl").exists()
+    assert (out / "feature_stats.json").exists()
+    # bad shard spec is a clean rc=2
+    assert main(["corpus", "--glob", str(tmp_path / "wavs" / "*.wav"),
+                 "--out", str(out), "--shard", "nope"]) == 2

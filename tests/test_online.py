@@ -190,3 +190,46 @@ def test_multistream_feed_after_close_raises():
         ms.feed(0, np.zeros(10, np.float32))
     # the other stream is unaffected
     ms.feed(1, np.zeros(100, np.float32))
+
+
+@pytest.mark.parametrize("td", ["float16", "int8"])
+def test_multistream_transfer_tiers(td):
+    """Serving transfer tiers: f16 / int8 poll copies stay within their
+    documented error of the f32 poll, stream state semantics unchanged."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    cfg = default_cfg_2d()
+    keys = ("mel_fbank_segment", "gabor_kwta", "step_valid")
+    sig = tone(900.0, 0.5, SR).astype(np.float32)
+
+    def run(transfer):
+        ms = MultiStreamOnline(cfg, SR, n_streams=2, outputs=keys,
+                               transfer_dtype=transfer)
+        for s in range(2):
+            ms.feed(s, sig * (1.0 if s == 0 else 0.5))
+        got = {}
+        for s in range(2):
+            ms.close(s)
+        for i, k, out in ms.drain():
+            got[(i, k)] = out
+        return got
+
+    ref = run(None)
+    tier = run(td)
+    assert set(tier) == set(ref)
+    for sk, rout in ref.items():
+        tout = tier[sk]
+        np.testing.assert_array_equal(tout["step_valid"], rout["step_valid"])
+        for key in ("mel_fbank_segment", "gabor_kwta"):
+            a, b = tout[key], rout[key]
+            assert a.shape == b.shape
+            rng_ = float(np.nanmax(b) - np.nanmin(b)) if b.size else 0.0
+            if td == "float16":
+                tol = max(1e-3 * float(np.nanmax(np.abs(b)) or 1.0), 1e-6)
+            else:
+                tol = max(rng_ / 254.0, 1e-6)
+            fin = np.isfinite(b)
+            assert np.array_equal(np.isfinite(a), fin)
+            assert np.max(np.abs(a[fin] - b[fin]), initial=0.0) <= tol, (
+                sk, key,
+            )

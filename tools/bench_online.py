@@ -20,6 +20,15 @@ def main() -> None:
     ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--chunks", type=int, default=50, help="100 ms chunks fed")
     ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument(
+        "--outputs", choices=("all", "features"), default="all",
+        help="features = mel+gabor+step_valid only (the serving workload; "
+        "XLA DCEs the rest and the poll copy shrinks ~10x)",
+    )
+    ap.add_argument("--f16", action="store_true",
+                    help="float16 poll copies (multi-stream)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 quantized poll copies (multi-stream, lossy)")
     args = ap.parse_args()
 
     from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
@@ -55,7 +64,15 @@ def main() -> None:
     }))
 
     # multi-stream: aggregate real-time factor over one poll cycle
-    ms = MultiStreamOnline(cfg, sr, n_streams=args.streams)
+    import jax.numpy as jnp
+
+    outputs = (
+        None if args.outputs == "all"
+        else ("mel_fbank_segment", "gabor_kwta", "step_valid")
+    )
+    td = jnp.int8 if args.int8 else jnp.float16 if args.f16 else None
+    ms = MultiStreamOnline(cfg, sr, n_streams=args.streams, outputs=outputs,
+                           transfer_dtype=td)
     # steady state: everyone buffered past the first segment
     for _ in range(args.warmup):
         for s in range(args.streams):
@@ -72,6 +89,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "multistream_aggregate",
         "streams": args.streams,
+        "outputs": args.outputs,
+        "transfer": "int8" if args.int8 else "f16" if args.f16 else "f32",
         "ms_per_segment": round(dt / max(n_seg, 1) * 1e3, 2),
         "aggregate_rtf": round(audio_sec / dt, 1),
         "segments": n_seg,
