@@ -25,6 +25,7 @@ from .config import (
     samples_to_msec,
 )
 from .pipeline.batch import BatchedSndEnv, CorpusRunner
+from .pipeline.dataset import FeatureDataset
 from .pipeline.online import MultiStreamOnline, OnlineSndEnv
 from .pipeline.segments import SegmentPipeline, SegmentWindowParams
 from .pipeline.sndenv import SndEnv, SndEnvOutputs
@@ -37,6 +38,7 @@ __all__ = [
     "MultiStreamOnline",
     "OnlineSndEnv",
     "CorpusRunner",
+    "FeatureDataset",
     "SegmentPipeline",
     "SegmentWindowParams",
     "StreamingProcessor",
