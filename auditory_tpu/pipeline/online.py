@@ -233,6 +233,8 @@ class MultiStreamOnline:
         dtype=jnp.float32,
         outputs: Optional[Tuple[str, ...]] = None,
         transfer_dtype=None,
+        mesh=None,
+        axis_name: str = "data",
         **env_kw,
     ):
         """``transfer_dtype``: dtype of the per-poll packed host copy.
@@ -241,10 +243,22 @@ class MultiStreamOnline:
         same scheme as the corpus :class:`..pipeline.batch.PackedBatch`).
         The poll copy is the serving path's bandwidth bottleneck -- its
         bytes scale with n_streams -- so this knob directly sets the
-        sustainable concurrent-stream capacity on a byte-bound link."""
+        sustainable concurrent-stream capacity on a byte-bound link.
+
+        ``mesh``: shard the stream axis over a device mesh (DP over streams;
+        the pipeline is pointwise per stream, so polls need no collectives).
+        ``n_streams`` must divide evenly over the mesh devices."""
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
+        if mesh is not None and n_streams % mesh.devices.size != 0:
+            raise ValueError(
+                f"n_streams ({n_streams}) must be a multiple of the mesh "
+                f"size ({mesh.devices.size}): every poll runs the full "
+                "fixed-shape stream batch"
+            )
         self.n_streams = n_streams
+        self.mesh = mesh
+        self.axis_name = axis_name
         self.transfer_dtype = (
             jnp.dtype(transfer_dtype) if transfer_dtype is not None else None
         )
@@ -360,6 +374,14 @@ class MultiStreamOnline:
                 ))
             return jnp.concatenate(cols, axis=-1)
 
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            shardings = (
+                batch_sharding(self.mesh, 2, self.axis_name),  # windows
+                batch_sharding(self.mesh, 1, self.axis_name),  # sig_lens
+            )
+            return jax.jit(fn, in_shardings=shardings), layout
         return jax.jit(fn), layout
 
     def poll(self):

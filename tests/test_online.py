@@ -233,3 +233,43 @@ def test_multistream_transfer_tiers(td):
             assert np.max(np.abs(a[fin] - b[fin]), initial=0.0) <= tol, (
                 sk, key,
             )
+
+
+def test_multistream_mesh_sharded():
+    """Stream-axis DP over the virtual mesh: identical results to the
+    unsharded run; batch-multiple validation enforced."""
+    import pytest as _pytest
+
+    from auditory_tpu.parallel.mesh import make_mesh
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    assert n_dev == 8  # conftest forces the 8-device CPU mesh
+    cfg = default_cfg_2d()
+    keys = ("mel_fbank_segment", "gabor_raw", "step_valid")
+    sigs = [tone(400.0 + 130 * i, 0.4, SR).astype(np.float32)
+            for i in range(n_dev)]
+
+    def run(mesh_arg):
+        # f64: the SPMD-partitioned conv reassociates at ulp level, which
+        # quiet log-mel bins amplify (same property as
+        # test_batch_sharding.test_sharded_matches_unsharded)
+        ms = MultiStreamOnline(cfg, SR, n_streams=n_dev, outputs=keys,
+                               dtype=jnp.float64, mesh=mesh_arg)
+        for s in range(n_dev):
+            ms.feed(s, sigs[s])
+            ms.close(s)
+        return {(i, k): out for i, k, out in ms.drain()}
+
+    ref, shd = run(None), run(mesh)
+    assert set(ref) == set(shd) and len(ref) > 0
+    for sk in ref:
+        np.testing.assert_array_equal(shd[sk]["step_valid"],
+                                      ref[sk]["step_valid"])
+        for key in ("mel_fbank_segment", "gabor_raw"):
+            np.testing.assert_allclose(shd[sk][key], ref[sk][key],
+                                       atol=1e-9, err_msg=f"{sk} {key}")
+
+    with _pytest.raises(ValueError, match="multiple of the mesh"):
+        MultiStreamOnline(cfg, SR, n_streams=n_dev + 1, mesh=mesh)
