@@ -168,8 +168,10 @@ def cmd_corpus(args) -> int:
             si, ns = args.shard.split("/")
             shard_index, num_shards = int(si), int(ns)
         except ValueError:
-            print(f"error: --shard must be I/N, got {args.shard!r}",
-                  file=sys.stderr)
+            shard_index, num_shards = -1, 0
+        if not 0 <= shard_index < num_shards:
+            print(f"error: --shard must be I/N with 0 <= I < N, got "
+                  f"{args.shard!r}", file=sys.stderr)
             return 2
     stats = runner.run(paths, args.out, resume=not args.no_resume,
                        shard_index=shard_index, num_shards=num_shards)
@@ -497,8 +499,8 @@ def main(argv=None) -> int:
         "--int8-features", action="store_true",
         help="quantize saved features to int8 on device with per-channel "
         "ranges (quarter the download bytes; lossy -- error <= half a "
-        "quantization step per mel band / gabor filter; exact zeros and "
-        "NaNs preserved)",
+        "quantization step per mel band / gabor filter; NaNs preserved; "
+        "exact zeros/sign preserved for the gabor fold channels)",
     )
     p.add_argument("--pipeline-depth", type=int, default=3,
                    help="max dispatched-but-unwritten batches in flight")

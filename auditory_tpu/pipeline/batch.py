@@ -114,16 +114,18 @@ class PackedBatch:
       the (host-known) lengths, recomputed host-side by the caller.
 
     Opt-in LOSSY reduction (``transfer_dtype='int8'``): every float entry is
-    quantized on device to int8 with per-channel ranges -- affine over
-    [min, max] for spectral tensors (mel bands, MFCC coefficients, ...),
-    symmetric around zero for the signed gabor fold so exact zeros and
-    on/off routing survive quantization bit-for-bit. NaN (the mel
-    triangle quirk can emit them) is preserved via the reserved code -128.
-    The (scale, offset) pairs ride INSIDE the same single device->host copy
-    as a trailing ``__qmeta__`` block of bitcast float32 bytes, so the
-    one-copy-per-batch property is kept. Worst-case per-element error is
-    half a quantization step: (max-min)/508 per channel (affine) or
-    max|x|/254 (symmetric)."""
+    quantized on device to int8 with per-ROW (utterance), per-channel
+    ranges -- affine over [min, max] for spectral tensors (mel bands, MFCC
+    coefficients, ...), symmetric around zero for the signed gabor fold so
+    exact zeros and on/off routing survive quantization bit-for-bit. Each
+    utterance gets its own scales, so a quiet file co-batched with a loud
+    one keeps its own precision and outputs never depend on batch
+    co-tenants. NaN (the mel triangle quirk can emit them) is preserved via
+    the reserved code -128. The (scale, offset) pairs ride INSIDE the same
+    single device->host copy as each row's trailing ``__qmeta__`` bitcast
+    float32 bytes, so the one-copy-per-batch property is kept. Worst-case
+    per-element error is half a quantization step: (max-min)/508 per
+    row-channel (affine) or max|x|/254 (symmetric)."""
 
     data: Any                       # [B, C] device array
     entries: Tuple[PackEntry, ...]
@@ -167,8 +169,9 @@ class PackedBatch:
             self.entries[-1].key == "__qmeta__"
         ):
             meta = self.entries[-1]
-            tail = np.ascontiguousarray(host[0, host.shape[1] - meta.cols:])
-            qscales = tail.view(np.float32)  # per entry: scale[n], off[n]
+            tail = np.ascontiguousarray(host[:, host.shape[1] - meta.cols:])
+            # [B, n_floats]; per entry: scale[B, n], off[B, n]
+            qscales = tail.view(np.float32)
         out, off, qoff = {}, 0, 0
         for e in self.entries:
             if e.key == "__qmeta__":
@@ -180,14 +183,14 @@ class PackedBatch:
                 folded_shape[e.fold_ax] = 1
             v = block.reshape((b, e.rows) + tuple(folded_shape))
             if qscales is not None and e.n_chan:
-                scale = qscales[qoff : qoff + e.n_chan]
-                qo = qscales[qoff + e.n_chan : qoff + 2 * e.n_chan]
+                scale = qscales[:, qoff : qoff + e.n_chan]
+                qo = qscales[:, qoff + e.n_chan : qoff + 2 * e.n_chan]
                 qoff += 2 * e.n_chan
+                bshape = [b] + [1] * (v.ndim - 1)
                 if e.qchan_ax is not None:
-                    bshape = [1] * v.ndim
                     bshape[2 + e.qchan_ax] = e.n_chan
-                    scale = scale.reshape(bshape)
-                    qo = qo.reshape(bshape)
+                scale = scale.reshape(bshape)
+                qo = qo.reshape(bshape)
                 x = v.astype(np.float32) * scale + qo
                 v = np.where(v == -128, np.float32(np.nan), x)
             if e.fold_ax is None:
@@ -215,16 +218,25 @@ def _quant_chan_axis(
     return None
 
 
-def _quantize_int8(a: jnp.ndarray, chan_ax: Optional[int], symmetric: bool):
-    """Quantize [B, rows, *view] to int8 with per-channel ranges computed
-    over the whole batch on device. Returns (q int8, scale f32 [n_chan],
-    offset f32 [n_chan]); dequantization is ``q * scale + offset`` with the
-    reserved code -128 restoring non-finite values as NaN. ``symmetric``
-    centers the grid on zero (q=0 <-> exactly 0.0), used for the signed
-    gabor fold so sparsity and on/off routing survive."""
+def _quantize_int8(
+    a: jnp.ndarray,
+    chan_ax: Optional[int],
+    symmetric: bool,
+    per_row: bool = False,
+):
+    """Quantize [B, rows, *view] to int8 with per-channel ranges computed on
+    device. Returns (q int8, scale f32, offset f32); dequantization is
+    ``q * scale + offset`` with the reserved code -128 restoring non-finite
+    values as NaN. ``symmetric`` centers the grid on zero (q=0 <-> exactly
+    0.0), used for the signed gabor fold so sparsity and on/off routing
+    survive. ``per_row`` keeps axis 0 (the utterance/stream axis) out of the
+    range reductions -- each row gets its own scales (returned [B, n_chan]
+    instead of [n_chan]) so a quiet row co-batched with a loud one keeps
+    its own precision and its outputs do not depend on co-tenants."""
     a = a.astype(jnp.float32)
     red = tuple(
-        i for i in range(a.ndim) if chan_ax is None or i != 2 + chan_ax
+        i for i in range(a.ndim)
+        if (chan_ax is None or i != 2 + chan_ax) and (i != 0 or not per_row)
     )
     finite = jnp.isfinite(a)
     amax = jnp.max(jnp.where(finite, a, -jnp.inf), axis=red, keepdims=True)
@@ -242,10 +254,11 @@ def _quantize_int8(a: jnp.ndarray, chan_ax: Optional[int], symmetric: bool):
     q = jnp.clip(jnp.round((a - offv) / safe), -127.0, 127.0)
     q = jnp.where(scale == 0, 0.0, q)
     q = jnp.where(finite, q, -128.0).astype(jnp.int8)
+    sshape = (a.shape[0], -1) if per_row else (-1,)
     return (
         q,
-        scale.reshape(-1).astype(jnp.float32),
-        offv.reshape(-1).astype(jnp.float32),
+        scale.reshape(sshape).astype(jnp.float32),
+        offv.reshape(sshape).astype(jnp.float32),
     )
 
 
@@ -413,9 +426,10 @@ class BatchedSndEnv:
                     qchan_ax = _quant_chan_axis(k, view_shape, fold_ax)
                     n_chan = 1 if qchan_ax is None else view_shape[qchan_ax]
                     a, scale, offv = _quantize_int8(
-                        a, qchan_ax, symmetric=fold_ax is not None
+                        a, qchan_ax, symmetric=fold_ax is not None,
+                        per_row=True,
                     )
-                    qscales += [scale, offv]
+                    qscales += [scale, offv]  # each [B, n_chan]
                     flat = a.reshape(a.shape[0], -1)
                 else:
                     flat = a.reshape(a.shape[0], -1).astype(ptd)
@@ -428,19 +442,18 @@ class BatchedSndEnv:
                     )
                 )
             if quantize:
-                svec = jnp.concatenate(qscales)
+                # per-ROW trailer: each row carries its own f32 scale/offset
+                # bytes, so the copy ships exactly one set per utterance
+                svec = jnp.concatenate(qscales, axis=1)  # [B, n_floats]
                 sbytes = jax.lax.bitcast_convert_type(
                     svec, jnp.int8
-                ).reshape(-1)  # little-endian f32 bytes
-                bsz = cols[0].shape[0]
-                cols.append(
-                    jnp.broadcast_to(sbytes[None], (bsz, sbytes.shape[0]))
-                )
+                ).reshape(svec.shape[0], -1)  # little-endian f32 bytes
+                cols.append(sbytes)
                 entries.append(
                     PackEntry(
                         key="__qmeta__", kind="meta",
-                        view_shape=(int(sbytes.shape[0]),),
-                        final_shape=(int(sbytes.shape[0]),),
+                        view_shape=(int(sbytes.shape[1]),),
+                        final_shape=(int(sbytes.shape[1]),),
                         fold_ax=None, rows=1,
                     )
                 )
@@ -1008,33 +1021,77 @@ class CorpusRunner:
         vectors into ``feature_stats.json`` (exact -- moments are additive).
         Returns a summary dict."""
         import glob as _glob
+        import re
 
-        man_shards = sorted(
-            _glob.glob(os.path.join(out_dir, "manifest.shard*.jsonl"))
+        def shard_set(pattern, regex):
+            """Collect {index: path}, enforcing ONE complete 0..N-1 set --
+            a stale mixed-generation file (different N) or a missing shard
+            would silently corrupt the merged stats otherwise."""
+            found = {}
+            ns = set()
+            for p in sorted(_glob.glob(os.path.join(out_dir, pattern))):
+                m = re.fullmatch(regex, os.path.basename(p))
+                if not m:
+                    continue
+                i, n = int(m.group(1)), int(m.group(2))
+                ns.add(n)
+                found[i] = p  # (i, n) is unique: it IS the filename
+            if not found:
+                return None, {}
+            if len(ns) != 1:
+                raise ValueError(
+                    f"mixed shard generations in {out_dir}: found files "
+                    f"for N in {sorted(ns)}; remove the stale set first"
+                )
+            n = ns.pop()
+            missing = set(range(n)) - set(found)
+            if missing:
+                raise ValueError(
+                    f"incomplete shard set in {out_dir}: missing shard "
+                    f"indices {sorted(missing)} of {n} (is a host still "
+                    "running?)"
+                )
+            return n, found
+
+        n_man, man_shards = shard_set(
+            "manifest.shard*.jsonl", r"manifest\.shard(\d+)of(\d+)\.jsonl"
         )
         if not man_shards:
             raise FileNotFoundError(
                 f"no manifest.shard*.jsonl files in {out_dir}"
             )
+        # last record per path wins (a resumed shard appends duplicates)
+        by_path: Dict[str, str] = {}
+        for i in sorted(man_shards):
+            with open(man_shards[i]) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if "path" in rec:
+                        by_path[rec["path"]] = line
         n_ok = n_err = 0
         with open(os.path.join(out_dir, "manifest.jsonl"), "w") as out:
-            for mp in man_shards:
-                with open(mp) as f:
-                    for line in f:
-                        line = line.strip()
-                        if not line:
-                            continue
-                        try:
-                            rec = json.loads(line)
-                        except json.JSONDecodeError:
-                            continue
-                        n_ok += rec.get("status") == "ok"
-                        n_err += rec.get("status") == "error"
-                        out.write(line + "\n")
+            for line in by_path.values():
+                rec = json.loads(line)
+                n_ok += rec.get("status") == "ok"
+                n_err += rec.get("status") == "error"
+                out.write(line + "\n")
 
-        stat_shards = sorted(
-            _glob.glob(os.path.join(out_dir, "feature_stats.shard*.json"))
+        n_stat, stat_map = shard_set(
+            "feature_stats.shard*.json",
+            r"feature_stats\.shard(\d+)of(\d+)\.json",
         )
+        if stat_map and n_stat != n_man:
+            raise ValueError(
+                f"feature_stats shard count ({n_stat}) does not match the "
+                f"manifest shard count ({n_man})"
+            )
+        stat_shards = [stat_map[i] for i in sorted(stat_map)]
         merged_stats = None
         if stat_shards:
             tot_sum = tot_sq = None

@@ -65,10 +65,14 @@ class FeatureDataset:
     def __len__(self) -> int:
         return len(self.stems)
 
-    def load(self, stem: str) -> Dict[str, np.ndarray]:
-        """One utterance's feature dict (per-file [n_seg, ...] arrays)."""
+    def load(
+        self, stem: str, keys: Optional[Sequence[str]] = None
+    ) -> Dict[str, np.ndarray]:
+        """One utterance's feature dict (per-file [n_seg, ...] arrays).
+        ``keys`` restricts which npz members are read (npz members are lazy,
+        so unrequested arrays never leave disk); None reads all."""
         with np.load(os.path.join(self.out_dir, stem + ".npz")) as z:
-            return {k: z[k] for k in z.files}
+            return {k: z[k] for k in (keys if keys is not None else z.files)}
 
     def normalizer(self) -> Tuple[np.ndarray, np.ndarray]:
         """(mean, std) per mel band from the corpus feature_stats.json
@@ -115,7 +119,7 @@ class FeatureDataset:
             if drop_remainder and len(idx) < batch_size:
                 return
             stems = [self.stems[i] for i in idx]
-            recs = [self.load(s) for s in stems]
+            recs = [self.load(s, self.keys) for s in stems]
             n_segs = np.array([r[self.keys[0]].shape[0] for r in recs],
                               dtype=np.int32)
             max_seg = int(n_segs.max()) if len(n_segs) else 0

@@ -344,10 +344,12 @@ class MultiStreamOnline:
                     n_chan = (
                         1 if chan_ax is None else x.shape[1 + chan_ax]
                     )
+                    # per_row: every stream gets its own scales, so one
+                    # stream's precision never depends on co-polled tenants
                     q, sc, ofv = _quantize_int8(
-                        x[:, None], chan_ax, symmetric=False
+                        x[:, None], chan_ax, symmetric=False, per_row=True
                     )
-                    qscales += [sc, ofv]
+                    qscales += [sc, ofv]  # each [N, n_chan]
                     flat = q[:, 0].reshape(x.shape[0], -1)
                 elif quantize:
                     # bool/int leaves (step_valid) ship as raw int8
@@ -361,17 +363,16 @@ class MultiStreamOnline:
                 cols.append(flat)
                 off += flat.shape[-1]
             if quantize:
-                svec = jnp.concatenate(qscales)
+                # per-row trailer: each stream's scales in its own row
+                svec = jnp.concatenate(qscales, axis=1)  # [N, n_floats]
                 sbytes = jax.lax.bitcast_convert_type(
                     svec, jnp.int8
-                ).reshape(-1)
+                ).reshape(svec.shape[0], -1)
                 layout["__qmeta__"] = (
-                    (int(sbytes.shape[0]),), off,
-                    off + int(sbytes.shape[0]), 0, None,
+                    (int(sbytes.shape[1]),), off,
+                    off + int(sbytes.shape[1]), 0, None,
                 )
-                cols.append(jnp.broadcast_to(
-                    sbytes[None], (cols[0].shape[0], sbytes.shape[0])
-                ))
+                cols.append(sbytes)
             return jnp.concatenate(cols, axis=-1)
 
         if self.mesh is not None:
@@ -436,21 +437,22 @@ class MultiStreamOnline:
         qscales = None
         if self._quantize and "__qmeta__" in self._layout:
             _, qlo, qhi, _, _ = self._layout["__qmeta__"]
-            qscales = np.ascontiguousarray(buf[0, qlo:qhi]).view(np.float32)
+            # [N, n_floats]; per key: scale[N, n], off[N, n]
+            qscales = np.ascontiguousarray(buf[:, qlo:qhi]).view(np.float32)
         host, qoff = {}, 0
         for f, (shape, lo, hi, n_chan, chan_ax) in self._layout.items():
             if f == "__qmeta__":
                 continue
             v = buf[:, lo:hi].reshape((buf.shape[0],) + shape)
             if qscales is not None and n_chan:
-                sc = qscales[qoff : qoff + n_chan]
-                ofv = qscales[qoff + n_chan : qoff + 2 * n_chan]
+                sc = qscales[:, qoff : qoff + n_chan]
+                ofv = qscales[:, qoff + n_chan : qoff + 2 * n_chan]
                 qoff += 2 * n_chan
+                bshape = [v.shape[0]] + [1] * (v.ndim - 1)
                 if chan_ax is not None:
-                    bshape = [1] * v.ndim
                     bshape[1 + chan_ax] = n_chan
-                    sc = sc.reshape(bshape)
-                    ofv = ofv.reshape(bshape)
+                sc = sc.reshape(bshape)
+                ofv = ofv.reshape(bshape)
                 x = v.astype(np.float32) * sc + ofv
                 v = np.where(v == -128, np.float32(np.nan), x)
             host[f] = v

@@ -170,3 +170,52 @@ def test_corpus_runner_int8(tmp_path):
             assert np.max(np.abs(qv[fin] - fv[fin]), initial=0.0) <= tol, (
                 fname, k,
             )
+
+
+def test_per_row_scales_isolate_cotenants():
+    """A near-silent utterance batched with a loud one must keep ITS OWN
+    quantization precision (per-row scales): error bounded by the quiet
+    row's range, not the batch range."""
+    cfg = default_cfg_2d()
+    keys = ("mel_fbank_segment",)
+    env = SndEnv(cfg, SR, outputs=keys + ("step_valid",))
+    loud = env.pad(tone(800.0, 0.4, SR, amp=0.9).astype(np.float32))
+    quiet = env.pad(
+        (tone(800.0, 0.4, SR, amp=0.9) * 1e-3).astype(np.float32)
+    )
+    blen = bucket_length(len(loud), env.timing)
+    batch = np.zeros((2, blen), np.float32)
+    batch[0, : len(loud)] = loud
+    batch[1, : len(quiet)] = quiet
+    lengths = np.array([len(loud), len(quiet)], np.int32)
+
+    def unpacked(td):
+        b = BatchedSndEnv(env, transfer_dtype=td, pack_keys=keys)
+        packed, *_ = b.process(batch, lengths)
+        return packed.unpack()["mel_fbank_segment"]
+
+    q, f = unpacked(jnp.int8), unpacked(None)
+    for i in range(2):
+        fin = np.isfinite(f[i])
+        own_range = np.nanmax(f[i]) - np.nanmin(f[i])
+        tol = max(own_range / 254.0, 1e-6)
+        assert np.max(np.abs(q[i][fin] - f[i][fin])) <= tol, i
+
+
+def test_merge_guard_rails(tmp_path):
+    """merge_shards refuses mixed-generation and incomplete shard sets and
+    dedups re-appended records."""
+    d = tmp_path
+    rec = lambda p: json.dumps({"path": p, "status": "ok"}) + "\n"
+    (d / "manifest.shard0of2.jsonl").write_text(rec("a") + rec("a"))
+    with pytest.raises(ValueError, match="missing shard"):
+        CorpusRunner.merge_shards(str(d))
+    (d / "manifest.shard1of2.jsonl").write_text(rec("b"))
+    (d / "manifest.shard0of3.jsonl").write_text(rec("c"))
+    with pytest.raises(ValueError, match="mixed shard generations"):
+        CorpusRunner.merge_shards(str(d))
+    (d / "manifest.shard0of3.jsonl").unlink()
+    summary = CorpusRunner.merge_shards(str(d))
+    assert summary["files_ok"] == 2  # 'a' deduped to one record
+    lines = (d / "manifest.jsonl").read_text().splitlines()
+    assert len(lines) == 2
