@@ -54,3 +54,13 @@ def test_learnable_frontend_learns():
     drift_line = [l for l in out.stdout.splitlines()
                   if l.startswith("filter drift")]
     assert drift_line and float(drift_line[0].split()[-3]) > 0.01
+
+
+def test_serve_streams_example():
+    out = subprocess.run(
+        [sys.executable, "examples/serve_streams.py", "--cpu",
+         "--streams", "4", "--seconds", "1.2", "--f16"],
+        capture_output=True, text=True, timeout=300, cwd=".",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SERVE_OK" in out.stdout
