@@ -481,7 +481,9 @@ def main(argv=None) -> int:
     p.add_argument("--glob", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--rate", type=int, default=16000)
-    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=128,
+                   help="utterances per device batch (larger batches "
+                   "amortize the link's fixed per-copy cost)")
     p.add_argument("--mesh", action="store_true", help="shard over all devices")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
