@@ -699,7 +699,9 @@ class CorpusRunner:
         # only materialize what gets saved (XLA DCEs the rest)
         self.env = SndEnv(
             cfg, sample_rate, dtype=dtype,
-            outputs=env_keys + ("step_valid",),
+            # validity is never shipped: per-file counts/masks are pure
+            # functions of the host-known lengths (see PackedBatch)
+            outputs=env_keys,
             feature_stats=feature_stats,
             matmul_precision=matmul_precision,
         )
@@ -767,7 +769,12 @@ class CorpusRunner:
                     sr, ch, bd, nf = native.wav_info(p)
                     metas[p] = (sr, nf)
                     max_frames = max(max_frames, nf)
-                except IOError as e:
+                except Exception as e:  # noqa: BLE001 - never-fatal per file
+                    # broad on purpose: the pure-Python fallback records ANY
+                    # per-file exception as a manifest error; the native
+                    # path must not be stricter (e.g. a UnicodeEncodeError
+                    # from an un-encodable filename would otherwise kill
+                    # the decode thread and the whole run)
                     metas[p] = e
             ok_paths = [p for p in group if not isinstance(metas[p], Exception)]
             yield from self._native_decode_group(
@@ -907,6 +914,32 @@ class CorpusRunner:
         self._moments_dev = None
         self._moments_host = None
         self._moments_pending = 0
+        # resume correctness for the corpus-wide stats: the moments of the
+        # already-done files live only in the previously written stats file.
+        # Seed the accumulator from its raw f64 moments; if files are done
+        # but no usable stats exist (e.g. the prior run crashed before
+        # writing them), the rewritten stats would cover only this run's
+        # files -- mark them partial so consumers can't mistake them for
+        # corpus-wide statistics.
+        self._stats_partial = False
+        if done and self.env.feature_stats:
+            prior = None
+            if os.path.exists(self._stats_path):
+                try:
+                    with open(self._stats_path) as f:
+                        prior = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    prior = None
+            if prior and "mel_sum" in prior and not prior.get("partial"):
+                self._moments_host = {
+                    "sum": np.asarray(prior["mel_sum"], dtype=np.float64),
+                    "sumsq": np.asarray(
+                        prior["mel_sumsq"], dtype=np.float64
+                    ),
+                    "count": np.float64(prior["count_steps"]),
+                }
+            else:
+                self._stats_partial = True
         t0 = time.perf_counter()
 
         # stage queues: decoded items in, dispatched batches out
@@ -958,6 +991,12 @@ class CorpusRunner:
                 rec = dq.get()
                 if rec is _SENTINEL:
                     break
+                if failures:
+                    # a downstream stage (writer/download) already failed:
+                    # stop dispatching NOW instead of burning device compute
+                    # and decode on the whole remaining corpus just to
+                    # discard it when the error finally re-raises
+                    break
                 path, sig, div, err = rec
                 if err is not None:
                     wq.put(("error", path, err))
@@ -969,8 +1008,9 @@ class CorpusRunner:
                 buckets.setdefault(key, []).append((path, sig, div))
                 if len(buckets[key]) >= self.batch_size:
                     wq.put(self._dispatch(buckets.pop(key), blen, add_ms))
-            for (blen, _), items in list(buckets.items()):
-                wq.put(self._dispatch(items, blen, add_ms))
+            if not failures:
+                for (blen, _), items in list(buckets.items()):
+                    wq.put(self._dispatch(items, blen, add_ms))
         except BaseException as e:  # noqa: BLE001
             failures.append(e)
         finally:
@@ -1001,18 +1041,20 @@ class CorpusRunner:
             cnt = max(float(moments["count"]), 1.0)
             mean = moments["sum"] / cnt
             var = np.maximum(moments["sumsq"] / cnt - mean**2, 0.0)
+            payload = {
+                "mel_mean": mean.tolist(),
+                "mel_std": np.sqrt(var).tolist(),
+                "count_steps": cnt,
+                # raw f64 moments so shard files merge exactly (and so a
+                # resumed run can seed its accumulator)
+                "mel_sum": moments["sum"].tolist(),
+                "mel_sumsq": moments["sumsq"].tolist(),
+            }
+            if self._stats_partial:
+                payload["partial"] = True  # resumed without prior moments:
+                # covers only this run's files, NOT the whole corpus
             with open(self._stats_path, "w") as f:
-                json.dump(
-                    {
-                        "mel_mean": mean.tolist(),
-                        "mel_std": np.sqrt(var).tolist(),
-                        "count_steps": cnt,
-                        # raw f64 moments so shard files merge exactly
-                        "mel_sum": moments["sum"].tolist(),
-                        "mel_sumsq": moments["sumsq"].tolist(),
-                    },
-                    f,
-                )
+                json.dump(payload, f)
         stats.wall_seconds = time.perf_counter() - t0
         return stats
 
@@ -1106,6 +1148,12 @@ class CorpusRunner:
                     raise ValueError(
                         f"{sp} lacks raw moments (mel_sum); re-run the "
                         "shard with this version to enable merging"
+                    )
+                if s.get("partial"):
+                    raise ValueError(
+                        f"{sp} is marked partial (a resumed run without "
+                        "prior moments); re-run that shard without resume "
+                        "to get corpus-wide statistics"
                     )
                 ssum = np.asarray(s["mel_sum"], dtype=np.float64)
                 ssq = np.asarray(s["mel_sumsq"], dtype=np.float64)

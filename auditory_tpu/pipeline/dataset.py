@@ -82,6 +82,12 @@ class FeatureDataset:
                 f"{self.out_dir}/feature_stats.json not found (run the "
                 "corpus with feature_stats=True, or merge shards first)"
             )
+        if self._stats.get("partial"):
+            raise ValueError(
+                f"{self.out_dir}/feature_stats.json is marked partial (a "
+                "resumed run without prior moments); its statistics cover "
+                "only that run's files -- re-run the corpus without resume"
+            )
         mean = np.asarray(self._stats["mel_mean"], dtype=np.float32)
         std = np.maximum(
             np.asarray(self._stats["mel_std"], dtype=np.float32), 1e-6

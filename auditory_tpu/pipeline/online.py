@@ -52,6 +52,12 @@ class OnlineSndEnv:
         outputs: Optional[Tuple[str, ...]] = None,
         **env_kw,
     ):
+        if outputs is not None and "mel_fbank_global" in outputs:
+            raise ValueError(
+                "mel_fbank_global is a corpus-transfer optimization on the "
+                "shared window grid; the online paths emit per-segment "
+                "tensors -- request mel_fbank_segment instead"
+            )
         self.env = SndEnv(
             cfg, sample_rate, dtype=dtype, outputs=outputs, **env_kw
         )
@@ -181,9 +187,12 @@ class OnlineSndEnv:
         t = self.env.timing
         stream_end = self._stream_pos + len(self._buf)  # real audio end, fixed
         padded_end = stream_end + pad_len(stream_end, t)
-        # offline SegCnt on the padded signal: segments with
-        # k*stride + SegmentSamples <= padded_end (sndenv.go:263-265)
-        while self._next_seg * t.stride_samples + t.segment_samples <= padded_end:
+        # offline SegCnt on the padded signal (sndenv.go:263-265) -- use the
+        # quirk-preserving seg_cnt, NOT `k*stride + SegmentSamples <=
+        # padded_end`: Go's truncation-toward-zero yields ONE (fully masked)
+        # segment even when the padded signal is shorter than a segment, and
+        # the offline pipeline emits it
+        while self._next_seg < max(self.env.seg_cnt(padded_end), 0):
             buf_end = self._stream_pos + len(self._buf)
             need = self._next_seg * t.stride_samples + self._post - buf_end
             if need > 0:
@@ -305,11 +314,10 @@ class MultiStreamOnline:
         t = self.env.timing
         if st.closed:
             # drain exactly the segments the offline padded run would
-            # produce (poll() extends the zero tail for border windows)
-            return (
-                st.next_seg * t.stride_samples + t.segment_samples
-                <= st.padded_end
-            )
+            # produce (poll() extends the zero tail for border windows);
+            # seg_cnt's Go truncation-toward-zero quirk yields one masked
+            # segment even for streams shorter than a segment
+            return st.next_seg < max(self.env.seg_cnt(st.padded_end), 0)
         return (
             st.stream_pos + len(st.buf)
             >= st.next_seg * t.stride_samples + self._post

@@ -115,3 +115,37 @@ def test_cli_corpus_shard_and_merge(tmp_path, capsys):
     # bad shard spec is a clean rc=2
     assert main(["corpus", "--glob", str(tmp_path / "wavs" / "*.wav"),
                  "--out", str(out), "--shard", "nope"]) == 2
+
+
+def test_resume_seeds_feature_stats(tmp_path):
+    """A resumed run must produce the SAME corpus-wide stats as a single
+    run (seeded from the prior file's raw moments), and a resume without
+    prior moments must mark its stats partial."""
+    cfg = default_cfg_2d()
+    paths = _make_wavs(tmp_path / "wavs", n=4)
+
+    full = tmp_path / "full"
+    CorpusRunner(cfg, SR, batch_size=2).run(paths, str(full))
+    fs = json.loads((full / "feature_stats.json").read_text())
+
+    # two-stage run: first half, then resume with all paths
+    part = tmp_path / "part"
+    CorpusRunner(cfg, SR, batch_size=2).run(paths[:2], str(part))
+    CorpusRunner(cfg, SR, batch_size=2).run(paths, str(part), resume=True)
+    rs = json.loads((part / "feature_stats.json").read_text())
+    assert "partial" not in rs
+    assert rs["count_steps"] == fs["count_steps"]
+    np.testing.assert_allclose(rs["mel_mean"], fs["mel_mean"], rtol=1e-4)
+
+    # crash-style resume: manifest says files are done but no stats exist
+    crash = tmp_path / "crash"
+    CorpusRunner(cfg, SR, batch_size=2).run(paths[:2], str(crash))
+    (crash / "feature_stats.json").unlink()
+    CorpusRunner(cfg, SR, batch_size=2).run(paths, str(crash), resume=True)
+    cs = json.loads((crash / "feature_stats.json").read_text())
+    assert cs.get("partial") is True
+    assert cs["count_steps"] < fs["count_steps"]
+    from auditory_tpu.pipeline.dataset import FeatureDataset
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="partial"):
+        FeatureDataset(str(crash)).normalizer()

@@ -273,3 +273,46 @@ def test_multistream_mesh_sharded():
 
     with _pytest.raises(ValueError, match="multiple of the mesh"):
         MultiStreamOnline(cfg, SR, n_streams=n_dev + 1, mesh=mesh)
+
+
+def test_online_short_stream_matches_offline():
+    """Streams shorter than one segment (including empty) must emit exactly
+    the offline pipeline's segments on the padded signal -- the SegCnt
+    Go-truncation quirk yields ONE masked segment, not zero."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline, OnlineSndEnv
+
+    cfg = default_cfg_2d()
+    env = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    for n in (0, 100, 1500):
+        sig = tone(700.0, 1.0, SR)[:n]
+        offline = env.process(env.pad(sig))
+        n_off = offline.mel_fbank_segment.shape[0]
+
+        online = OnlineSndEnv(cfg, SR, dtype=jnp.float64,
+                              spectrum_method="fft")
+        if n:
+            assert sum(1 for _ in online.feed(sig)) == 0
+        got = list(online.flush())
+        assert len(got) == n_off, (n, len(got), n_off)
+        for k, (seg_idx, out) in enumerate(got):
+            np.testing.assert_allclose(
+                np.asarray(out.mel_fbank_segment),
+                np.asarray(offline.mel_fbank_segment[k]), atol=1e-9,
+                err_msg=f"n={n} seg {k}",
+            )
+
+        ms = MultiStreamOnline(cfg, SR, n_streams=1, dtype=jnp.float64,
+                               spectrum_method="fft")
+        if n:
+            ms.feed(0, sig)
+        ms.close(0)
+        drained = list(ms.drain())
+        assert len(drained) == n_off, (n, len(drained), n_off)
+
+
+def test_online_rejects_mel_fbank_global():
+    from auditory_tpu.pipeline.online import OnlineSndEnv
+
+    with pytest.raises(ValueError, match="mel_fbank_global"):
+        OnlineSndEnv(default_cfg_2d(), SR,
+                     outputs=("mel_fbank_global", "step_valid"))
