@@ -65,6 +65,16 @@ def mel_design(fbank: FilterBank, win_samples: int, sample_rate: int) -> MelDesi
             f"mel HiHz={fbank.hi_hz} maps to bin {bins[-1]} >= n_bins={n_bins}; "
             "HiHz must be <= sample_rate/2"
         )
+    # the Go reference sizes each filter's weight row to NFilters+2 bins
+    # (mel/mel.go:96-116) and panics (index out of range) when a triangle
+    # spans more: Go panic -> ValueError, mirroring refemu.goref.init_filters
+    widest = int(np.max(bins[2:] - bins[:-2])) + 1
+    if widest > nf + 2:
+        raise ValueError(
+            f"mel filter spans {widest} bins > NFilters+2={nf + 2}: the "
+            "reference would panic on this config (mel/mel.go:96-116); "
+            "raise n_filters or lower hi_hz"
+        )
 
     b = np.arange(n_bins, dtype=np.float64)[None, :]
     bmin = bins[:-2, None].astype(np.float64)

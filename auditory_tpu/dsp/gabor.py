@@ -72,9 +72,16 @@ def convolve(
     """
     n_freq, n_time = mel_seg.shape[-2], mel_seg.shape[-1]
     if n_time < gset.size_x:
+        # DOCUMENTED DEVIATION: the reference silently leaves its (caller
+        # pre-zeroed) output tensor all-zero when the mel matrix is narrower
+        # than the filter (agabor/gabor.go:231-236 computes no columns).
+        # Silent all-zero features are a footgun; we raise instead. The
+        # production segment path never hits this (pipeline/segments.py
+        # Resize widens the segment to fit the gabor grid, gbv.go:456-479).
         raise ValueError(
             "gabor filter width cannot exceed the mel matrix width "
-            f"({gset.size_x} > {n_time})"
+            f"({gset.size_x} > {n_time}); the reference would silently "
+            "produce all-zero gabor output here"
         )
     f_count, t_count = gabor_out_counts((n_freq, n_time), gset, out_pools)
 

@@ -34,7 +34,7 @@ import numpy as np
 from ..config import FilterBank
 
 __all__ = [
-    "apply_mel", "mfcc_dct", "energy", "mfcc_deltas",
+    "apply_mel", "mel_renorm", "mfcc_dct", "energy", "mfcc_deltas",
     "mfcc_deltas_reference", "delta_operator",
 ]
 
@@ -60,9 +60,16 @@ def apply_mel(
         s == 0, jnp.asarray(fbank.log_min, dtype=power.dtype), jnp.log(safe)
     )
     if fbank.renorm_effective:
-        val = (val - fbank.renorm_min) * fbank.renorm_scale
-        val = jnp.clip(val, 0.0, 1.0)
+        val = mel_renorm(val, fbank)
     return val
+
+
+def mel_renorm(val: jnp.ndarray, fbank: FilterBank) -> jnp.ndarray:
+    """The reference's renorm clamp (mel/mel.go:144-149): scale into
+    [renorm_min, renorm_max] and clip to [0, 1]. One source of truth for
+    both the XLA and Pallas frontends."""
+    val = (val - fbank.renorm_min) * fbank.renorm_scale
+    return jnp.clip(val, 0.0, 1.0)
 
 
 def mfcc_dct(

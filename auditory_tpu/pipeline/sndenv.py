@@ -157,6 +157,16 @@ class SndEnv:
             if unknown:
                 raise ValueError(f"unknown outputs: {sorted(unknown)}")
         self.outputs = tuple(outputs) if outputs is not None else None
+        if cfg.gabor.n_filters == 0:
+            gabor_keys = {"gabor_raw", "gabor_kwta"}
+            requested = set(self.outputs) if self.outputs else gabor_keys
+            if requested & gabor_keys:
+                raise ValueError(
+                    "cfg.gabor has no active specs (empty or all Off) but "
+                    "gabor outputs are requested; pass outputs=(...) "
+                    "without gabor_raw/gabor_kwta for a mel/MFCC-only "
+                    "pipeline, or provide gabor specs"
+                )
         if matmul_precision not in ("highest", "high", "default"):
             raise ValueError(
                 "matmul_precision must be 'highest', 'high' or 'default', "
@@ -247,8 +257,15 @@ class SndEnv:
         """Host-side expansion metadata for ``mel_fbank_global``:
         (map_idx [seg, steps] global-row index per (segment, step) or None
         when the uniform grid is unavailable, window_ends [seg, steps]).
-        ``mel_fbank_segment[b, s, :, i] = mel_fbank_global[b, map_idx[s, i]]
-        * (window_ends[s, i] <= length_b)`` for segments ``s < seg_cnt_b``."""
+        Expansion contract (for segments ``s < seg_cnt_b``)::
+
+            valid = window_ends[s, i] <= length_b
+            mel_fbank_segment[b, s, :, i] =
+                where(valid, mel_fbank_global[b, map_idx[s, i]], 0)
+
+        Use where/select, NOT multiplication by the mask: the mel NaN
+        triangle quirk means gathered values can be NaN, and NaN * 0 != 0
+        (see CorpusRunner._write_entry)."""
         seg = max(self.seg_cnt(n_samples), 0)
         _, map_idx, starts_np = self._window_grid(seg, add_ms)
         ends = starts_np + self.timing.win_samples
@@ -309,14 +326,19 @@ class SndEnv:
         power, logp = dft_power_pipeline(
             windows,
             self.cfg.dft,
-            method=self.spectrum_method,
+            # 'conv' exists only on the uniform window grid; off-grid the
+            # identical math runs as the windows @ basis matmul
+            method=(
+                "matmul" if self.spectrum_method == "conv"
+                else self.spectrum_method
+            ),
             basis=basis,
             analysis_window=awin if self.spectrum_method == "fft" else None,
             precision=self.matmul_precision,
         )
         return power, logp
 
-    def _frontend_pallas(self, signals, flat_starts_np, mel_w):
+    def _frontend_pallas(self, signals, flat_starts_np):
         """Fused Pallas frame+DFT+power+log+mel (ops/framefft.py) on the
         uniform window grid. Returns power, logp [B, n_flat, n_bins],
         mel [B, n_flat, n_mel]."""
@@ -401,15 +423,15 @@ class SndEnv:
             signals = signals.astype(self.dtype)
             lengths = jnp.asarray(lengths)
             if use_pallas:
-                # fused kernel on the flat window grid
+                # fused kernel on the flat window grid (builds its own
+                # padded f32 basis from mel_des; mel_w is the XLA path's)
                 power, logp, mel_vals = self._frontend_pallas(
-                    signals, flat_starts_np, mel_w
+                    signals, flat_starts_np
                 )
                 if cfg.mel.fbank.renorm_effective:
-                    fb = cfg.mel.fbank
-                    mel_vals = jnp.clip(
-                        (mel_vals - fb.renorm_min) * fb.renorm_scale, 0.0, 1.0
-                    )
+                    from ..dsp.mel import mel_renorm
+
+                    mel_vals = mel_renorm(mel_vals, cfg.mel.fbank)
             elif map_idx is not None and self.spectrum_method in ("matmul", "conv"):
                 # uniform window grid: frame+DFT as ONE strided conv (no
                 # gather, no materialized windows; see power_spectrum_conv)
@@ -527,10 +549,18 @@ class SndEnv:
 
             # gabor over the [n_mel, steps] mel matrix (sndenv.go:481-497)
             mel_fs = jnp.swapaxes(mel_vals, -1, -2)  # [B, seg, n_mel, steps]
-            gab4 = convolve(mel_fs, gab, cfg.gabor, out_pools=pools, precision=self.matmul_precision)
-            # [B, seg, fc, tc, 2, nf]
-
-            if self.is_4d:
+            if cfg.gabor.n_filters == 0:
+                # mel/MFCC-only configuration (no active gabor specs):
+                # __init__ guarantees no gabor outputs were requested
+                gabor_raw = gabor_kwta = None
+                gab4 = None
+            else:
+                gab4 = convolve(mel_fs, gab, cfg.gabor, out_pools=pools,
+                                precision=self.matmul_precision)
+                # [B, seg, fc, tc, 2, nf]
+            if gab4 is None:
+                pass
+            elif self.is_4d:
                 py, px = pools
                 fc, tc = gab4.shape[-4], gab4.shape[-3]
                 gabor_raw = jnp.zeros(

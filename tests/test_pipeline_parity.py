@@ -354,3 +354,64 @@ def test_mixed_pools_rejected():
     cfg = dc.replace(default_cfg_2d(), gbor_out_pools_y=4, gbor_out_pools_x=0)
     with pytest.raises(ValueError):
         SndEnv(cfg, SR)
+
+
+def test_conv_method_off_grid_falls_back_to_matmul():
+    """spectrum_method='conv' must work when the uniform window grid is
+    unavailable (prev_smooth recurrence): identical math via the matmul
+    basis, not a ValueError."""
+    import dataclasses
+
+    from tests.conftest import default_cfg_2d, tone
+
+    cfg = default_cfg_2d()
+    cfg = dataclasses.replace(
+        cfg, dft=dataclasses.replace(cfg.dft, prev_smooth=0.5)
+    )
+    sig = tone(800.0, 0.3, 16000)
+    outs = {}
+    for m in ("conv", "matmul"):
+        env = SndEnv(cfg, 16000, dtype=jnp.float64, spectrum_method=m)
+        outs[m] = np.asarray(
+            env.process(env.pad(sig)).mel_fbank_segment
+        )
+    np.testing.assert_array_equal(outs["conv"], outs["matmul"])
+
+
+def test_mel_only_no_gabor_specs():
+    """Empty gabor specs = a valid mel/MFCC-only pipeline when no gabor
+    outputs are requested; requesting them raises a clear error."""
+    import pytest as _pytest
+
+    from auditory_tpu.config import SndEnvConfig
+    from tests.conftest import tone
+
+    cfg = SndEnvConfig()  # default: gabor.specs=()
+    with _pytest.raises(ValueError, match="no active specs"):
+        SndEnv(cfg, 16000)
+    env = SndEnv(cfg, 16000, dtype=jnp.float64,
+                 outputs=("mel_fbank_segment", "mfcc_segment", "step_valid"))
+    out = env.process(env.pad(tone(900.0, 0.3, 16000)))
+    assert out.mel_fbank_segment.shape[-2] == 32
+    assert out.gabor_raw is None and out.gabor_kwta is None
+
+
+def test_mel_span_guard_matches_oracle():
+    """mel_design raises for triangles spanning more than NFilters+2 bins,
+    exactly when the oracle (Go panic) does."""
+    import pytest as _pytest
+
+    from auditory_tpu.config import FilterBank
+    from auditory_tpu.dsp.design import mel_design
+    from auditory_tpu.refemu import goref
+
+    fb = FilterBank(n_filters=8)
+    with _pytest.raises(ValueError, match="NFilters\\+2"):
+        mel_design(fb, 400, 16000)
+    with _pytest.raises(ValueError):
+        goref.init_filters(fb, 400.0, 16000.0)
+    # and a config the oracle accepts still designs fine
+    ok = FilterBank(n_filters=32)
+    w = mel_design(ok, 400, 16000).weights
+    goref.init_filters(ok, 400.0, 16000.0)
+    assert w.shape == (32, 201)

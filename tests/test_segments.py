@@ -160,17 +160,20 @@ def test_compare_segments_api():
         size_x=8, size_y=8, stride_x=6, stride_y=3, gain=3.0,
         specs=default_gabor_specs(phases=(0.0,)),
     )
+    # 40 mel filters (26 would make the widest triangle span more than
+    # NFilters+2 bins -- a config the Go reference panics on, now guarded
+    # by mel_design like the oracle)
     pipe_b = SegmentPipeline(
         SR, SegmentWindowParams(),
         mel=MelParams(fbank=dataclasses.replace(
-            MelParams().fbank, n_filters=26)),
+            MelParams().fbank, n_filters=40)),
         gabor=gset_b, dtype=jnp.float64, spectrum_method="fft",
     )
     res = compare_segments(pipe_a, pipe_b, sig, 50.0, 330.0)
     a, b, diff = res["a"], res["b"], res["diff"]
     # differing mel filter count -> differing mel shape
     assert np.asarray(a["mel_fbank_segment"]).shape[0] == 32
-    assert np.asarray(b["mel_fbank_segment"]).shape[0] == 26
+    assert np.asarray(b["mel_fbank_segment"]).shape[0] == 40
     assert "max_abs_diff" not in diff["mel_fbank_segment"]
     # differing mel height -> differing gabor output height
     ga = np.asarray(a["gabor_raw"])
