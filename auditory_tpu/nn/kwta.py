@@ -113,7 +113,12 @@ def xx1(params: KWTAParams, drive: jnp.ndarray) -> jnp.ndarray:
     a gaussian of width nvar (leabra nxx1 semantics). The transition band is
     a host-fit two-band Chebyshev polynomial evaluated on device (Clenshaw
     recurrence, elementwise -- no gathers); above the band the clean XX1 is
-    exact, below it the activation is 0."""
+    exact, below it the activation is 0. ``xx1_nvar <= 0`` is the
+    noise-free limit: the exact clean XX1 (the gaussian degenerates to a
+    delta; the convolution fit would otherwise divide by zero)."""
+    if params.xx1_nvar <= 0.0:
+        g = params.xx1_gain * drive
+        return jnp.where(drive > 0, g / (g + 1.0), 0.0)
     x0, mid, x1, ca, cb = _noisy_xx1_cheb(
         float(params.xx1_gain), float(params.xx1_nvar)
     )
@@ -186,7 +191,11 @@ def _settle(
             )
             gi = jnp.maximum(gi, pool_st.gi)
         gi = gi + ext_gi
-        drive = ge - _ge_thr(params, gi)
+        # excitatory CONDUCTANCE is ge * gbar_e (leabra channel scaling);
+        # ge_thr is already in conductance units, so the threshold compare
+        # must scale ge too -- omitting gbar_e (as before round 2's fix)
+        # doubled the effective drive and made the parameter dead
+        drive = params.gbar_e * ge - _ge_thr(params, gi)
         target = xx1(params, drive)
         act = act + params.act_dt * (target - act)
         return (act, lay_st, pool_st), None

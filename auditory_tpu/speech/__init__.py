@@ -7,7 +7,20 @@ per-corpus modules :mod:`.timit`, :mod:`.synthcvs`, :mod:`.grafestes`.
 from dataclasses import dataclass, field
 from typing import List
 
-__all__ = ["Unit", "Sequence", "adjust_sequence_times"]
+__all__ = ["Unit", "Sequence", "adjust_sequence_times", "scan_lines"]
+
+
+def scan_lines(text: str) -> List[str]:
+    """Split into lines with Go ``bufio.ScanLines`` semantics: '\\n'
+    terminators, dropping exactly ONE trailing '\\r' per line -- so CRLF
+    files parse identically to LF files (every reference loader reads via
+    ScanLines; a bare ``split('\\n')`` would leave '\\r' on each line and,
+    worse, treat a CRLF blank line as non-blank, breaking the loaders'
+    blank-line stop conditions)."""
+    return [
+        line[:-1] if line.endswith("\r") else line
+        for line in text.split("\n")
+    ]
 
 
 @dataclass

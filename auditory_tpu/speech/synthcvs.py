@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-from . import Unit
+from . import Unit, scan_lines
 
 __all__ = [
     "CVS_I", "CVS_III", "CVS_IV", "CVS_V", "CVS_VI",
@@ -34,7 +34,7 @@ def load_transcription(fn: str) -> List[str]:
     """Space-split last line of the file (synthcvs.go:36-53)."""
     with open(fn, "r") as fp:
         s = ""
-        for line in fp.read().split("\n"):
+        for line in scan_lines(fp.read()):
             if line:
                 s = line
     return s.split(" ")
@@ -45,7 +45,7 @@ def load_times(fn: str, names: List[str]) -> List[Unit]:
     with a backslash are skipped (synthcvs.go:56-96)."""
     units: List[Unit] = []
     with open(fn, "r") as fp:
-        lines = fp.read().split("\n")
+        lines = scan_lines(fp.read())
     i = 0
     for t in lines:
         if t == "":

@@ -72,17 +72,24 @@ def load_timit_sequence(
     adjust times for silence/offset. Missing timing data yields a single
     'unknown' unit like the reference (gbv.go:658-663)."""
     seq = Sequence(file=wav_path, id="Phones41", silence=silence)
+    # reference munging, exactly (gbv.go:650-653): '.wav' trimmed as a
+    # suffix only; 'ExpWavs' and '.WAV' replaced at their FIRST occurrence
+    # anywhere (strings.Replace count=1)
     base = wav_path
-    for suffix in (".wav", ".WAV"):
-        if base.endswith(suffix):
-            base = base[: -len(suffix)]
-    base = base.replace("ExpWavs", "")  # gbv.go:652
+    if base.endswith(".wav"):
+        base = base[: -len(".wav")]
+    base = base.replace("ExpWavs", "", 1)  # gbv.go:652
+    base = base.replace(".WAV", "", 1)     # gbv.go:653
     phn = base + ".PHN.MS"
     txt = base + ".TXT"
     try:
         seq.units = timit.load_times(phn, fuse=fuse)
     except OSError:
+        # missing timing -> single 'unknown' unit; the reference still runs
+        # AdjSeqTimes on it (gbv.go:658-676), so a_start/a_end pick up the
+        # silence offset
         seq.units = [Unit(name="unknown")]
+        adjust_sequence_times(seq)
         return seq
     if os.path.exists(txt):
         seq.text = timit.load_text(txt)
@@ -109,6 +116,7 @@ def load_cv_sequence(
         seq.units = mod.load_times(base + times_suffix, names)
     except OSError:
         seq.units = [Unit(name="unknown")]
+        adjust_sequence_times(seq)  # silence offset applies (gbv.go:676)
         return seq
     adjust_sequence_times(seq)
     return seq

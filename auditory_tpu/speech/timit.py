@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-from . import Unit
+from . import Unit, scan_lines
 
 __all__ = [
     "PHONE_CATS_61",
@@ -114,7 +114,7 @@ def load_times(fn: str, names: Optional[List[str]] = None, fuse: bool = False) -
     """
     units: List[Unit] = []
     with open(fn, "r") as fp:
-        lines = fp.read().split("\n")
+        lines = scan_lines(fp.read())
 
     i = 0
     prv_closure = False
@@ -161,7 +161,7 @@ def load_text(fn: str) -> str:
     (timit.go:322-343)."""
     with open(fn, "r") as fp:
         s = ""
-        for line in fp.read().split("\n"):
+        for line in scan_lines(fp.read()):
             if line:
                 s = line
     digits = "0123456789"

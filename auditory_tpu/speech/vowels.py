@@ -3,6 +3,12 @@
 Analog of the reference ``speech/vowels`` package
 (speech/vowels/vowels.go:24-115). See Hillenbrand et al. (1995, 2001);
 wav files + docs at https://homepages.wmich.edu/~hillenbr/voweldata.html.
+
+The reference's loaders are line-for-line identical to synthcvs's
+(last-line transcription split; '<start-s> <end-s>' times with the
+backslash-prefixed *frequency* lines skipped, blank-line stop, and the
+names-bound early return) -- delegate like :mod:`.grafestes` does, so the
+parser has one implementation.
 """
 
 from __future__ import annotations
@@ -10,6 +16,8 @@ from __future__ import annotations
 from typing import List, Tuple
 
 from . import Unit
+from .synthcvs import load_times as _load_times
+from .synthcvs import load_transcription as _load_transcription
 
 __all__ = ["CATS", "load_transcription", "load_times", "idx_from_snd", "snd_from_idx"]
 
@@ -19,12 +27,7 @@ CATS = ["ae", "ah", "aw", "eh", "ei", "er", "ih", "iy", "oa", "oo", "uh", "uw"]
 
 def load_transcription(fn: str) -> List[str]:
     """Space-split *last* line of the file (vowels.go:30-47)."""
-    with open(fn, "r") as fp:
-        s = ""
-        for line in fp.read().split("\n"):
-            if line:
-                s = line
-    return s.split(" ")
+    return _load_transcription(fn)
 
 
 def load_times(fn: str, names: List[str]) -> List[Unit]:
@@ -32,31 +35,7 @@ def load_times(fn: str, names: List[str]) -> List[Unit]:
     parsing; lines starting with a backslash carry start/end *frequency*
     data and are skipped; parsing also stops once every name is consumed
     (vowels.go:50-91)."""
-    units: List[Unit] = []
-    with open(fn, "r") as fp:
-        lines = fp.read().split("\n")
-    i = 0
-    for t in lines:
-        if t == "":
-            break
-        if t.startswith("\\"):
-            continue
-        u = Unit()
-        units.append(u)
-        fields = t.split()
-        try:
-            u.start = float(fields[0]) * 1000.0
-        except (ValueError, IndexError):
-            pass
-        try:
-            u.end = float(fields[1]) * 1000.0
-        except (ValueError, IndexError):
-            pass
-        u.name = names[i]
-        i += 1
-        if i == len(names):
-            return units
-    return units
+    return _load_times(fn, names)
 
 
 def idx_from_snd(s: str, set_id: str = "") -> Tuple[int, bool]:

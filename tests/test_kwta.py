@@ -142,7 +142,7 @@ def test_kwta_return_inhibs():
 
 # measured active fractions (>0.1) of the default 4-D pooled config on
 # |N(0,1)| inputs of shape (6, 4, 2, 4), seeds 0..4
-_PINNED_POOL_FRACS = [0.3854, 0.3698, 0.3802, 0.3542, 0.3854]
+_PINNED_POOL_FRACS = [0.1562, 0.1458, 0.1510, 0.1719, 0.1667]
 
 
 def test_kwta_pinned_sparsity():
@@ -223,3 +223,20 @@ def test_onoff_fold_exact_guard():
         out = np.asarray(kwta_pool(p, jnp.asarray(raw)))
         off_zero = bool(np.all(out[0, 0, 1] == 0.0))
         assert off_zero == expect_zero, (nvar, out[0, 0, 1])
+
+
+def test_xx1_nvar_zero_is_clean_limit():
+    """xx1_nvar=0 (noise off) must yield the exact clean XX1, not NaN."""
+    p = dataclasses.replace(KWTAParams(), xx1_nvar=0.0)
+    from auditory_tpu.nn.kwta import xx1
+
+    d = jnp.asarray(np.linspace(-0.1, 0.5, 101))
+    y = np.asarray(xx1(p, d))
+    assert np.all(np.isfinite(y))
+    g = p.xx1_gain * np.asarray(d)
+    clean = np.where(np.asarray(d) > 0, g / (g + 1.0), 0.0)
+    np.testing.assert_allclose(y, clean, rtol=1e-6)
+    # and the full settle stays finite
+    raw = rand_acts((4, 4, 2, 4), seed=0)
+    out = np.asarray(kwta_pool(p, raw))
+    assert np.all(np.isfinite(out))

@@ -198,3 +198,44 @@ def test_snd_from_idx_folded_member_pinned():
     for i in range(61):
         s, ok = timit.snd_from_idx(i, "Phones61")
         assert ok and timit.idx_from_snd(s, "Phones61") == (i, True)
+
+
+def test_crlf_files_parse_like_lf(tmp_path):
+    """Go's bufio.ScanLines strips '\r': CRLF corpora must parse exactly
+    like LF ones (a CRLF blank line must hit the blank-line stop, not crash
+    timit or silently shift CV unit names)."""
+    from auditory_tpu.speech import synthcvs, timit
+
+    phn_lf = "0 h#\n120 sh\n300 iy\n480 h#\n"
+    p1 = tmp_path / "a.PHN.MS"
+    p2 = tmp_path / "b.PHN.MS"
+    p1.write_text(phn_lf)
+    p2.write_text(phn_lf.replace("\n", "\r\n"))
+    u_lf = timit.load_times(str(p1))
+    u_crlf = timit.load_times(str(p2))
+    assert [(u.name, u.start, u.end) for u in u_lf] == [
+        (u.name, u.start, u.end) for u in u_crlf
+    ]
+
+    times = "0.0 0.25\n0.25 0.5\n\n"
+    t1 = tmp_path / "a.times"
+    t2 = tmp_path / "b.times"
+    t1.write_text(times)
+    t2.write_text(times.replace("\n", "\r\n"))
+    names = ["da", "go"]
+    a = synthcvs.load_times(str(t1), names)
+    b = synthcvs.load_times(str(t2), names)
+    assert [(u.name, u.start, u.end) for u in a] == [
+        (u.name, u.start, u.end) for u in b
+    ]
+    assert [u.name for u in b] == names  # no spurious shifted unit
+
+
+def test_vowels_delegates_to_synthcvs():
+    """vowels shares synthcvs's parser (one implementation, like
+    grafestes) -- a CRLF-style fix lands in all three corpora at once."""
+    from auditory_tpu.speech import grafestes, synthcvs, vowels
+
+    assert vowels._load_times is synthcvs.load_times
+    assert vowels._load_transcription is synthcvs.load_transcription
+    assert grafestes._load_times is synthcvs.load_times

@@ -118,3 +118,19 @@ def test_cli_process_silence_adjust(tmp_path):
     # 100 ms of added leading silence = one extra (mostly silent) segment
     assert b.shape[0] == a.shape[0] + 1
     assert float(np.abs(b[0]).max()) < float(np.abs(a[0]).max())
+
+
+def test_missing_timing_fallback_gets_silence_offset(tmp_path):
+    """gbv.go:658-676: the 'unknown' unit from missing timing data still
+    goes through AdjSeqTimes, so a_start/a_end carry the silence offset."""
+    import numpy as np
+
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+    from auditory_tpu.speech.table import load_timit_sequence
+    from tests.conftest import tone
+
+    wav = str(tmp_path / "x.wav")
+    write_wav(wav, float_to_wave(tone(500.0, 0.2, 16000), 16000))
+    seq = load_timit_sequence(wav, silence=100.0)
+    assert [u.name for u in seq.units] == ["unknown"]
+    assert seq.units[0].a_start == 100.0
