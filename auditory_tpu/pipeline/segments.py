@@ -37,6 +37,7 @@ from ..config import (
     KWTAParams,
     MelParams,
     SndEnvConfig,
+    default_gabor_specs,
     msec_to_samples,
 )
 from ..dsp import design
@@ -112,7 +113,13 @@ class SegmentPipeline:
         self.dft = dft
         self.mel = mel if mel is not None else MelParams()
         # gbv.go InitGabors (gbv.go:318-357): 8x8, stride (6,3), gain 1.5
-        self.gabor = gabor if gabor is not None else GaborSet()
+        # AND the 4-orientation spec grid (0/45/90/135, wavelen 2, phase 0,
+        # sigma 0.5, CircleEdge) -- a bare GaborSet() has specs=() and would
+        # silently emit zero-filter output
+        self.gabor = (
+            gabor if gabor is not None
+            else GaborSet(specs=default_gabor_specs())
+        )
         self.kwta = kwta if kwta is not None else KWTAParams()
         self.by_time = by_time
         self.dtype = jnp.dtype(dtype)
@@ -127,11 +134,20 @@ class SegmentPipeline:
         )
         self.dct_mat = design.dct1_matrix(self.mel.fbank.n_filters)
         self.gabor_bank = design.gabor_filters(self.gabor)
-        self.dft_basis = (
-            design.dft_matrices(self.win_samples)
-            if spectrum_method == "matmul"
-            else None
+        # optional analysis window (opt-in extension; rectangular by
+        # default): folded into the matmul basis / applied on the fft path,
+        # same treatment as SndEnv
+        self.analysis_win = design.analysis_window(
+            dft.window_fn, self.win_samples
         )
+        if spectrum_method == "matmul":
+            cos_m, sin_m = design.dft_matrices(self.win_samples)
+            if self.analysis_win is not None:
+                cos_m = cos_m * self.analysis_win[:, None]
+                sin_m = sin_m * self.analysis_win[:, None]
+            self.dft_basis = (cos_m, sin_m)
+        else:
+            self.dft_basis = None
         self._jit_cache: Dict[Tuple[int, int], object] = {}
 
     # gbv.go:489-492 -- the reference's literal "round up" arithmetic
@@ -147,6 +163,12 @@ class SegmentPipeline:
         self, start_ms: float, end_ms: float
     ) -> Tuple[float, float, int]:
         """Apply resize + step rounding; returns (start_ms, end_ms, steps)."""
+        if end_ms <= start_ms:
+            # gbv.go:451-454: "SegmentEnd must be greater than SegmentStart"
+            raise ValueError(
+                f"SegmentEnd ({end_ms}) must be greater than SegmentStart "
+                f"({start_ms}) (gbv.go:451-454)"
+            )
         if self.wparams.resize:
             start_ms, end_ms = resize_segment(
                 start_ms, end_ms, self.wparams.step_ms, self.gabor
@@ -177,8 +199,15 @@ class SegmentPipeline:
             windows, valid = extract_windows(
                 signal, starts, self.win_samples, signal.shape[-1]
             )
+            awin = (
+                jnp.asarray(self.analysis_win, dtype=self.dtype)
+                if self.analysis_win is not None
+                and self.spectrum_method == "fft"
+                else None
+            )
             power, logp = dft_power_pipeline(
-                windows, self.dft, method=self.spectrum_method, basis=basis
+                windows, self.dft, method=self.spectrum_method, basis=basis,
+                analysis_window=awin,
             )
             vmask = valid[..., None]
             power = jnp.where(vmask, power, 0)
@@ -279,6 +308,8 @@ def compare_segments(
     diff: Dict[str, Dict[str, object]] = {}
     for k in sorted(set(out_a) | set(out_b)):
         va, vb = out_a.get(k), out_b.get(k)
+        if va is None and vb is None:
+            continue  # disabled on both sides (e.g. mfcc off): no entry
         if va is None or vb is None:
             diff[k] = {"only_in": "a" if vb is None else "b"}
             continue

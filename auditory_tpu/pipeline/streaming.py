@@ -20,7 +20,6 @@ building blocks; only the window geometry and the cursor differ.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -97,34 +96,47 @@ class StreamingProcessor:
         )
         self.dct_mat = design.dct1_matrix(mel.fbank.n_filters)
         self.gabor_bank = design.gabor_filters(gabor)
-        self.dft_basis = (
-            design.dft_matrices(self.timing.win_samples)
-            if spectrum_method == "matmul"
-            else None
+        # optional analysis window (opt-in extension; the reference is
+        # rectangular): folded into the matmul basis, applied explicitly on
+        # the fft path -- same treatment as SndEnv
+        self.analysis_win = design.analysis_window(
+            dft.window_fn, self.timing.win_samples
         )
+        if spectrum_method == "matmul":
+            cos_m, sin_m = design.dft_matrices(self.timing.win_samples)
+            if self.analysis_win is not None:
+                cos_m = cos_m * self.analysis_win[:, None]
+                sin_m = sin_m * self.analysis_win[:, None]
+            self.dft_basis = (cos_m, sin_m)
+        else:
+            self.dft_basis = None
 
         self.segment = -1
         self.more_segments = False
         self.signal: Optional[np.ndarray] = None
         self._jit_cache: Dict[Tuple[int, int], object] = {}
 
-    # processspeech.go:406-422
+    # processspeech.go:406-422 (same arithmetic as sndenv.go's Pad --
+    # frame.pad_len is the single source of truth)
     def pad(self, signal: np.ndarray) -> np.ndarray:
-        t = self.timing
-        temp = signal.shape[-1] - t.segment_samples
-        tail = int(math.fmod(temp, t.stride_samples))
-        pad_len = t.segment_samples - t.step_samples - int(
-            math.fmod(tail, t.step_samples)
-        )
-        pad_shape = signal.shape[:-1] + (pad_len,)
+        from ..dsp.frame import pad_len
+
+        n = pad_len(signal.shape[-1], self.timing)
+        pad_shape = signal.shape[:-1] + (n,)
         return np.concatenate(
             [signal, np.full(pad_shape, self.pad_value, dtype=signal.dtype)],
             axis=-1,
         )
 
-    def load(self, signal: np.ndarray, pad: bool = True) -> None:
+    def load(self, signal: np.ndarray, pad: bool = False) -> None:
         """Load a new sound; resets the segment cursor
-        (processspeech.go:307-329 ProcessSound semantics, minus the GUI)."""
+        (processspeech.go:307-329 ProcessSound semantics, minus the GUI).
+
+        ``pad=False`` default, faithfully: the reference CALLS Pad but
+        DISCARDS its return value (processspeech.go:319 -- `sp.Pad(...)`
+        returns the padded slice, never assigned), so every length check in
+        the app sees the unpadded signal. ``pad=True`` applies the padding
+        Pad was evidently meant to apply (an opt-in extension)."""
         signal = np.asarray(signal)
         if signal.ndim == 1:
             signal = signal[None, :]
@@ -156,8 +168,15 @@ class StreamingProcessor:
             windows, valid = extract_windows(
                 signal, starts, t.win_samples, n_samples
             )  # [ch, 1, steps, W]
+            awin = (
+                jnp.asarray(self.analysis_win, dtype=self.dtype)
+                if self.analysis_win is not None
+                and self.spectrum_method == "fft"
+                else None
+            )
             power, logp = dft_power_pipeline(
-                windows, self.dft, method=self.spectrum_method, basis=basis
+                windows, self.dft, method=self.spectrum_method, basis=basis,
+                analysis_window=awin,
             )
             vmask = valid[..., None]
             power = jnp.where(vmask, power, 0)
@@ -183,7 +202,7 @@ class StreamingProcessor:
                 "mel_fbank_segment": refshape(mel_vals),
                 "mfcc_segment": refshape(mfcc) if mfcc is not None else None,
                 "gabor": gabor5,
-                "step_valid": valid[:, 0],
+                "step_valid": valid[0],  # [steps] (valid is [1, steps])
             }
 
         return program
@@ -208,6 +227,12 @@ class StreamingProcessor:
         out = self._jit_cache[key](
             jnp.asarray(self.signal), jnp.asarray(self.segment)
         )
+        # SoundToWindow failure semantics (processspeech.go:340-345): any
+        # step whose window overruns the signal sets MoreSegments=false
+        # (the reference breaks its step loop; our batched program masks
+        # the step and reports it in step_valid)
+        if not bool(np.all(np.asarray(out["step_valid"]))):
+            self.more_segments = False
         remaining = n - self.timing.segment_samples * (self.segment + 1)
         if remaining < self.timing.segment_samples:
             self.more_segments = False

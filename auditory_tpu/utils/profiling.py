@@ -15,8 +15,8 @@ from __future__ import annotations
 
 import contextlib
 import time
-from dataclasses import dataclass, field
-from typing import Dict, Iterator, Optional
+from dataclasses import dataclass
+from typing import Dict, Iterator
 
 import jax
 
@@ -75,17 +75,19 @@ class StepTimer:
     steps: int = 0
     wall_seconds: float = 0.0
     audio_seconds: float = 0.0
-    _t0: Optional[float] = None
-    spans: Dict[str, float] = field(default_factory=dict)
 
     @contextlib.contextmanager
     def step(self, n_audio_samples: int) -> Iterator[None]:
         t0 = time.perf_counter()
-        yield
-        dt = time.perf_counter() - t0
-        self.steps += 1
-        self.wall_seconds += dt
-        self.audio_seconds += n_audio_samples / self.sample_rate
+        try:
+            yield
+        finally:
+            # count the step even when it raises (e.g. a flaky remote
+            # compile): an uncounted failed step would silently inflate RTF
+            dt = time.perf_counter() - t0
+            self.steps += 1
+            self.wall_seconds += dt
+            self.audio_seconds += n_audio_samples / self.sample_rate
 
     @property
     def rtf(self) -> float:

@@ -46,7 +46,10 @@ def _require_mpl():
 def _cmap_and_norm(arr: np.ndarray):
     """Sequential ramp for magnitudes; diverging ramp centered at 0 for
     signed data (polarity must get a neutral midpoint, not a hue)."""
-    amin, amax = float(arr.min()), float(arr.max())
+    # nan-aware: the pipeline legitimately emits NaN mel values (the NaN
+    # triangle quirk); NaN color limits would blank the panel
+    amin = float(np.nanmin(arr)) if np.any(np.isfinite(arr)) else 0.0
+    amax = float(np.nanmax(arr)) if np.any(np.isfinite(arr)) else 1.0
     if amin < 0 < amax:
         bound = max(abs(amin), abs(amax))
         return _DIV_CMAP, -bound, bound
@@ -218,7 +221,8 @@ def render_compare(
             fig.colorbar(im, ax=list(axes[0][:2]), shrink=0.85)
             if same:
                 d = b2 - a2
-                bound = float(np.max(np.abs(d))) or 1.0
+                fin = np.abs(d[np.isfinite(d)])  # NaN-safe diff bound
+                bound = float(fin.max()) if fin.size and fin.max() > 0 else 1.0
                 imd = axes[0][2].imshow(
                     d, aspect="auto", origin="lower",
                     cmap=_DIV_CMAP, vmin=-bound, vmax=bound,

@@ -7,7 +7,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from auditory_tpu.config import GaborSet, KWTAParams, MelParams, default_gabor_specs
+from auditory_tpu.config import (
+    DFTParams,
+    GaborSet,
+    KWTAParams,
+    MelParams,
+    default_gabor_specs,
+)
 from auditory_tpu.config import msec_to_samples
 from auditory_tpu.pipeline.segments import (
     SegmentPipeline,
@@ -226,3 +232,57 @@ def test_cli_segment_compare(tmp_path):
     np.testing.assert_allclose(
         2.0 * d["a_gabor_raw"], d["b_gabor_raw"], rtol=1e-9
     )
+
+
+def test_segment_bounds_validated():
+    """gbv.go:451-454: SegmentEnd <= SegmentStart is an error."""
+    pipe = SegmentPipeline(SR, SegmentWindowParams(), gabor=gbv_gabor())
+    sig = tone(600.0, 0.5, SR)
+    with pytest.raises(ValueError, match="SegmentEnd"):
+        pipe.process(sig, 400.0, 380.0)
+    with pytest.raises(ValueError, match="SegmentEnd"):
+        pipe.process(sig, 200.0, 200.0)
+
+
+def test_segment_default_gabor_bank_matches_gbv():
+    """A default-constructed SegmentPipeline carries gbv's InitGabors bank
+    (4 orientations), not an empty spec list."""
+    pipe = SegmentPipeline(SR)
+    assert pipe.gabor.n_filters == 4
+    assert pipe.gabor_bank.shape == (4, 8, 8)
+
+
+def test_segment_window_fn_honored():
+    """DFTParams.window_fn must reach the spectrum: the matmul path (window
+    folded into the basis) and the fft path (explicit multiply) agree, and
+    both differ from the rectangular default."""
+    sig = tone(1000.0, 0.4, SR)
+    outs = {}
+    for m in ("matmul", "fft"):
+        p = SegmentPipeline(
+            SR, SegmentWindowParams(), dft=DFTParams(window_fn="hamming"),
+            gabor=gbv_gabor(), dtype=jnp.float64, spectrum_method=m,
+        )
+        outs[m] = np.asarray(p.process(sig, 50.0, 330.0)["power_segment"])
+    np.testing.assert_allclose(outs["matmul"], outs["fft"],
+                               rtol=1e-9, atol=1e-12)
+    rect = SegmentPipeline(
+        SR, SegmentWindowParams(), gabor=gbv_gabor(),
+        dtype=jnp.float64, spectrum_method="fft",
+    )
+    r = np.asarray(rect.process(sig, 50.0, 330.0)["power_segment"])
+    assert np.max(np.abs(r - outs["fft"])) > 1e-3
+
+
+def test_compare_segments_both_none_skipped():
+    """Keys disabled on BOTH sides (mfcc off) must not appear as 'only_in'."""
+    from auditory_tpu.pipeline.segments import compare_segments
+
+    sig = tone(800.0, 0.5, SR)
+    mel_off = MelParams(mfcc=False)
+    pipe = SegmentPipeline(
+        SR, SegmentWindowParams(), mel=mel_off, gabor=gbv_gabor(),
+        dtype=jnp.float64, spectrum_method="fft",
+    )
+    res = compare_segments(pipe, pipe, sig, 50.0, 300.0)
+    assert "mfcc_segment" not in res["diff"]

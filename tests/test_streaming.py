@@ -123,3 +123,32 @@ def test_segment_axis_sharding_long_utterance():
     )
     shard_devs = {s.device for s in out.mel_fbank_segment.addressable_shards}
     assert len(shard_devs) == 8, "segment axis must be sharded over the mesh"
+
+
+def test_step_valid_shape_and_overrun_stops_cursor():
+    """step_valid is the per-step mask [steps]; any overrunning window sets
+    more_segments False (processspeech.go:340-345 SoundToWindow failure)."""
+    sp = make_sp()
+    t = sp.timing
+    # signal long enough for segment 0 but whose segment-0 forward windows
+    # overrun: length between segment_samples and the last window end
+    last_end = (t.segment_steps - 1 - sp.steps_back) * t.step_samples + \
+        t.win_samples
+    n = t.segment_samples + (last_end - t.segment_samples) // 2
+    sp.load(tone(700.0, n / SR, SR)[:n], pad=False)
+    out = sp.process_segment()
+    sv = np.asarray(out["step_valid"])
+    assert sv.shape == (t.segment_steps,)
+    assert not sv.all()
+    assert not sp.more_segments
+
+
+def test_load_pad_default_is_reference_faithful():
+    """The reference discards Pad's return value (processspeech.go:319), so
+    load() must not pad by default; pad=True opts in."""
+    sp = make_sp()
+    sig = tone(600.0, 0.31, SR)
+    sp.load(sig)
+    assert sp.signal.shape[-1] == len(sig)
+    sp.load(sig, pad=True)
+    assert sp.signal.shape[-1] > len(sig)
