@@ -27,8 +27,16 @@ from typing import Optional, Tuple
 
 
 def go_round(x: float) -> int:
-    """Go math.Round: round half away from zero (Python round() is banker's)."""
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    """Go math.Round: round half away from zero (Python round() is banker's).
+
+    Computed WITHOUT adding 0.5 first: ``floor(x + 0.5)`` double-rounds at
+    the largest double below 0.5 (0.49999999999999994 + 0.5 rounds up to
+    1.0, but Go's bit-twiddling Round returns 0). The fraction compare is
+    exact: ``abs(x) - floor(abs(x))`` is representable."""
+    a = abs(x)
+    f = math.floor(a)
+    y = f + 1 if a - f >= 0.5 else f
+    return int(-y if x < 0 else y)
 
 
 def msec_to_samples(ms: float, rate: int) -> int:

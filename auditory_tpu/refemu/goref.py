@@ -77,7 +77,11 @@ def dft_filter(
             if powr == 0:
                 logp = dft.log_min
             else:
-                logp = math.log(powr)
+                # np.log, NOT math.log: Go math.Log returns NaN for a
+                # negative argument (possible when the user sets a negative
+                # LogOffSet, dft/dft.go:79); math.log would raise instead
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    logp = float(np.log(powr))
             log_power[k] = logp
             log_power_seg[k, step] = logp
 
@@ -194,6 +198,11 @@ def dct1(src: np.ndarray) -> np.ndarray:
         dst[k] = src[0] + (-1)^k src[n-1] + 2*sum_{i=1}^{n-2} src[i] cos(pi*i*k/(n-1))
     """
     n = len(src)
+    if n < 2:
+        # gonum fourier.NewDCT(n) panics for n < 2; panic -> ValueError
+        raise ValueError(
+            f"DCT-I needs n >= 2 inputs, got {n}: gonum NewDCT panics"
+        )
     k = np.arange(n, dtype=np.float64)
     i = np.arange(1, n - 1, dtype=np.float64)
     inner = np.cos(np.pi * np.outer(k, i) / (n - 1)) @ src[1 : n - 1]
@@ -401,6 +410,21 @@ class SndEnvRef:
         nb = self.t.n_bins
         ss = self.t.segment_steps
         nfmel = cfg.mel.fbank.n_filters
+        # opt-in analysis window (extension; the reference is rectangular).
+        # Independent of dsp.design on purpose: the classic closed forms,
+        # matching np.hamming/np.hanning (symmetric, N-1 denominator).
+        if cfg.dft.window_fn is None:
+            self._analysis_win = None
+        elif cfg.dft.window_fn in ("hamming", "hann"):
+            w = self.t.win_samples
+            ii = np.arange(w, dtype=np.float64)
+            c = np.cos(2.0 * np.pi * ii / (w - 1))
+            self._analysis_win = (
+                0.54 - 0.46 * c if cfg.dft.window_fn == "hamming"
+                else 0.5 - 0.5 * c
+            )
+        else:
+            raise ValueError(f"unknown window_fn: {cfg.dft.window_fn}")
         self.window = np.zeros(self.t.win_samples, dtype=np.float64)
         self.power = np.zeros(nb, dtype=np.float64)
         self.log_power = np.zeros(nb, dtype=np.float64)
@@ -419,6 +443,14 @@ class SndEnvRef:
         # the caller to preset GborOutUnitsY/X (e.g. gbv.go:799-812 computes
         # sy=(floor((melY-gaborY)/strideY)+1)*2, sx=(floor((melX-gaborX)/
         # strideX)+1)*nf); when left 0 we derive those same counts.
+        if (cfg.gbor_out_pools_x > 0) != (cfg.gbor_out_pools_y > 0):
+            # sndenv.go:220-222 rejects mixed pools ("must both be == 0 or
+            # > 0") and leaves GborOutput unshaped -- processing is invalid,
+            # so the oracle must not fabricate a zero-sized tensor for it
+            raise ValueError(
+                "GborOutPoolsX & GborOutPoolsY must both be == 0 or > 0 "
+                "(sndenv.go:220-222)"
+            )
         if cfg.gbor_out_pools_x == 0 and cfg.gbor_out_pools_y == 0:
             uy, ux = cfg.gbor_out_units_y, cfg.gbor_out_units_x
             if uy == 0 and ux == 0:
@@ -459,10 +491,16 @@ class SndEnvRef:
         start = segment * self.t.stride_samples + offset
         if not self._snd_to_window(start):
             return False
+        win = self.window
+        if self._analysis_win is not None:
+            # opt-in analysis-window extension (the reference is
+            # rectangular); the oracle applies it before the FFT exactly
+            # like the production pipelines fold it into the basis
+            win = win * self._analysis_win
         dft_filter(
             self.cfg.dft,
             step,
-            self.window,
+            win,
             self.t.win_samples,
             self.power,
             self.log_power,
@@ -499,12 +537,23 @@ class SndEnvRef:
             if not self._process_step(segment, s, add):
                 break  # reference prints the error and breaks (sndenv.go:353-359)
 
-        # Energy (sndenv.go:360-366): FloatValRowCell(s, f) uses the *step*
-        # index s as the frequency row of the [freq, step] matrix.
+        # Energy, per cfg.energy_mode:
+        # - 'sndenv' (sndenv.go:360-366): FloatValRowCell(s, f) uses the
+        #   *step* index s as the frequency row of the [freq, step] matrix;
+        # - 'gaborview' (gbv.go:553-560): sums the first `steps` frequency
+        #   rows at step s instead;
+        # - 'spectral': the bug-free full-column sum (extension).
         for s in range(ss):
             e = 0.0
-            for f in range(self.log_power_segment.shape[1]):
-                e += self.log_power_segment[s, f]
+            if cfg.energy_mode == "sndenv":
+                for f in range(self.log_power_segment.shape[1]):
+                    e += self.log_power_segment[s, f]
+            elif cfg.energy_mode == "gaborview":
+                for f in range(ss):
+                    e += self.log_power_segment[f, s]
+            else:  # spectral
+                for f in range(self.log_power_segment.shape[0]):
+                    e += self.log_power_segment[f, s]
             self.energy[s] = e
 
         if cfg.mel.mfcc:
@@ -555,8 +604,15 @@ class SndEnvRef:
 
     # sndenv.go:503-519 -- note Go's % takes the sign of the dividend
     def tail(self, signal: np.ndarray) -> int:
+        if self.t.stride_samples == 0:
+            # Go panics (integer divide by zero, sndenv.go:506); panic ->
+            # ValueError per the documented convention -- do NOT invent a
+            # value for a config the reference cannot run
+            raise ValueError(
+                "stride_samples == 0: the reference panics (sndenv.go:506)"
+            )
         temp = len(signal) - self.t.segment_samples
-        return int(math.fmod(temp, self.t.stride_samples)) if self.t.stride_samples else 0
+        return int(math.fmod(temp, self.t.stride_samples))
 
     def pad(self, signal: np.ndarray, value: float = 0.0) -> np.ndarray:
         tail = self.tail(signal)

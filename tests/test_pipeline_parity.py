@@ -415,3 +415,84 @@ def test_mel_span_guard_matches_oracle():
     w = mel_design(ok, 400, 16000).weights
     goref.init_filters(ok, 400.0, 16000.0)
     assert w.shape == (32, 201)
+
+
+def test_go_round_double_rounding_edge():
+    """Go math.Round(0.49999999999999994) == 0; floor(x+0.5) would give 1."""
+    from auditory_tpu.config import go_round
+
+    x = 0.49999999999999994  # largest double < 0.5
+    assert go_round(x) == 0
+    assert go_round(-x) == 0
+    assert go_round(0.5) == 1
+    assert go_round(-0.5) == -1
+    assert go_round(1.5) == 2
+    assert go_round(2.5) == 3
+
+
+def test_windowed_pipeline_matches_oracle():
+    """The opt-in analysis window must have oracle coverage: production
+    (hamming folded into the basis) vs SndEnvRef with the same window."""
+    import dataclasses
+
+    from auditory_tpu.refemu.goref import SndEnvRef
+    from tests.conftest import default_cfg_2d, tone
+
+    cfg = default_cfg_2d()
+    cfg = dataclasses.replace(
+        cfg, dft=dataclasses.replace(cfg.dft, window_fn="hamming")
+    )
+    sig = tone(1100.0, 0.3, 16000)
+    env = SndEnv(cfg, 16000, dtype=jnp.float64, spectrum_method="matmul")
+    out = env.process(env.pad(sig))
+
+    ref = SndEnvRef(cfg)
+    ref.init(env.pad(sig), 16000)
+    ref.process_segment(0)
+    np.testing.assert_allclose(
+        np.asarray(out.mel_fbank_segment[0]), ref.mel_fbank_segment,
+        atol=1e-9, rtol=1e-9,
+    )
+
+
+def test_energy_mode_gaborview_matches_oracle():
+    """cfg.energy_mode='gaborview' now has direct SndEnvRef coverage."""
+    import dataclasses
+
+    from auditory_tpu.refemu.goref import SndEnvRef
+    from tests.conftest import default_cfg_2d, tone
+
+    cfg = dataclasses.replace(default_cfg_2d(), energy_mode="gaborview")
+    sig = tone(900.0, 0.3, 16000)
+    env = SndEnv(cfg, 16000, dtype=jnp.float64, spectrum_method="fft")
+    out = env.process(env.pad(sig))
+    ref = SndEnvRef(cfg)
+    ref.init(env.pad(sig), 16000)
+    ref.process_segment(0)
+    np.testing.assert_allclose(
+        np.asarray(out.energy[0]), ref.energy, atol=1e-6, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.mfcc_segment[0])[0], ref.mfcc_segment[0],
+        atol=1e-6, rtol=1e-9,
+    )
+
+
+def test_oracle_panic_guards():
+    """Configs the reference crashes on must raise in the oracle too."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from auditory_tpu.refemu.goref import SndEnvRef, dct1
+    from tests.conftest import default_cfg_2d
+
+    with _pytest.raises(ValueError, match="NewDCT"):
+        dct1(np.zeros(1))
+    cfg = dataclasses.replace(
+        default_cfg_2d(), gbor_out_pools_y=5, gbor_out_pools_x=0,
+        gbor_out_units_y=2, gbor_out_units_x=8,
+    )
+    ref = SndEnvRef(cfg)
+    with _pytest.raises(ValueError, match="both"):
+        ref.init(np.zeros(4000), 16000)
