@@ -56,9 +56,17 @@ def sample_cfg(rng: np.random.Generator):
                 phases=(0.0, 1.5708) if rng.random() < 0.5 else (0.0,)
             ),
         ),
-        energy_mode="sndenv",
+        energy_mode=str(
+            rng.choice(["sndenv", "sndenv", "gaborview", "spectral"])
+        ),
         delta_mode="sndenv" if rng.random() < 0.7 else "gaborview",
     )
+    if rng.random() < 0.15:  # opt-in analysis-window extension
+        cfg = dataclasses.replace(
+            cfg, dft=dataclasses.replace(
+                cfg.dft, window_fn=str(rng.choice(["hamming", "hann"]))
+            )
+        )
     return cfg, sr
 
 
