@@ -21,14 +21,13 @@ from auditory_tpu.speech.table import SoundsTable, load_timit_sequence
 
 
 def main() -> None:
-    import os
-
-    if os.environ.get("AUDITORY_TPU_CPU"):
+    argv = [a for a in sys.argv[1:] if a != "--cpu"]
+    if os.environ.get("AUDITORY_TPU_CPU") or "--cpu" in sys.argv[1:]:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    root = sys.argv[1] if len(sys.argv) > 1 else "."
-    want = sys.argv[2] if len(sys.argv) > 2 else None
+    root = argv[0] if len(argv) > 0 else "."
+    want = argv[1] if len(argv) > 1 else None
 
     table = SoundsTable()
     for wav in sorted(glob.glob(os.path.join(root, "**/*.wav"), recursive=True)):
@@ -37,7 +36,9 @@ def main() -> None:
         print(f"no wav/.PHN.MS pairs under {root}")
         return
     rows = table.filter_sound(want) if want else table.rows
-    print(f"{len(table)} units loaded; processing {len(rows)} rows")
+    n_show = min(len(rows), 8)
+    print(f"{len(table)} units loaded; processing {n_show} of "
+          f"{len(rows)} matching rows")
 
     # gbv.go:318-357 InitGabors: 8x8, stride (6,3), gain 1.5, phase 0
     gset = GaborSet(
@@ -45,12 +46,13 @@ def main() -> None:
         specs=default_gabor_specs(phases=(0.0,)),
     )
     pipes = {}
-    for r in rows[:8]:
+    for r in rows[:n_show]:
         w = load_wav(r.wav_path)
-        pipe = pipes.setdefault(
-            w.sample_rate,
-            SegmentPipeline(w.sample_rate, SegmentWindowParams(), gabor=gset),
-        )
+        if w.sample_rate not in pipes:  # setdefault would rebuild eagerly
+            pipes[w.sample_rate] = SegmentPipeline(
+                w.sample_rate, SegmentWindowParams(), gabor=gset
+            )
+        pipe = pipes[w.sample_rate]
         out = pipe.process(w.sound_to_tensor(), r.start, r.end)
         kw = np.asarray(out["gabor_kwta"])
         print(

@@ -118,11 +118,10 @@ def main() -> None:
         return float((pred == labels_d[idx]).mean())
 
     xtr, ytr = mel_d[tr], labels_d[tr]
-    first_loss = None
+    loss = loss_fn(params, xtr, ytr)  # defined even with --steps 0
+    first_loss = float(loss)
     for i in range(args.steps):
         params, opt_state, loss = step(params, opt_state, xtr, ytr)
-        if first_loss is None:
-            first_loss = float(loss)
         if i % 50 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(loss):.4f} "
                   f"test acc {accuracy(params, te):.3f}")

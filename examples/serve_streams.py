@@ -72,10 +72,15 @@ def main() -> None:
             chunk = (0.3 * np.sin(2 * np.pi * freqs[s] * t)).astype(np.float32)
             ms.feed(s, chunk)
         t0 = time.perf_counter()
+        n_emitted = 0
         for s, seg_idx, out in ms.poll():
             got[s] += 1
+            n_emitted += 1
             assert out["mel_fbank_segment"].ndim == 2  # [n_mel, steps]
-        poll_ms.append((time.perf_counter() - t0) * 1e3)
+        # only polls that actually ran the device batch count (empty polls
+        # early-exit in microseconds and would skew the median)
+        if n_emitted:
+            poll_ms.append((time.perf_counter() - t0) * 1e3)
     for s in range(args.streams):
         ms.close(s)
     for s, seg_idx, out in ms.drain():
@@ -85,8 +90,9 @@ def main() -> None:
     audio_sec = args.streams * args.seconds
     print(f"streams: {args.streams}, segments emitted: {segs} "
           f"({segs // args.streams}/stream)")
-    print(f"median poll: {np.median(poll_ms):.2f} ms for "
-          f"{args.streams} segments")
+    if poll_ms:
+        print(f"median poll: {np.median(poll_ms):.2f} ms per "
+              f"{args.streams}-stream batch")
     print(f"audio processed: {audio_sec:.1f} s")
     assert all(v == segs // args.streams for v in got.values())
     print("SERVE_OK")

@@ -20,6 +20,9 @@ import numpy as np
 def make_corpus(d: str, n_files: int, sr: int, rng: np.random.Generator):
     from auditory_tpu.io.wav import float_to_wave, write_wav
 
+    # rate-specific subdir: reusing a stale corpus written at another rate
+    # would make every file fail decode while the bench still printed stats
+    d = os.path.join(d, str(sr))
     os.makedirs(d, exist_ok=True)
     paths = []
     total_sec = 0.0
@@ -128,12 +131,19 @@ def main():
         for p, s, d in sigs:
             bl = bucket_length(len(s), runner.env.timing,
                                quantum=runner._bucket_quantum)
-            buckets.setdefault(bl, []).append((p, s, d))
-        # device compute only (dispatch all, block once)
+            # key by (length, int16-mode) exactly like run(): mixing modes
+            # in one batch would put float32 signals into an int16 array
+            buckets.setdefault((bl, d is not None), []).append((p, s, d))
+        # device compute only (dispatch all, block once) -- at the SAME
+        # batch_size run() uses, so no fresh giant-batch compiles
         outs = []
         t0 = time.perf_counter()
-        for bl, items in buckets.items():
-            outs.append(runner._dispatch(items, bl, 0)[1])
+        for (bl, _), items in buckets.items():
+            for lo in range(0, len(items), runner.batch_size):
+                outs.append(
+                    runner._dispatch(items[lo: lo + runner.batch_size],
+                                     bl, 0)[1]
+                )
         for o in outs:
             jax.block_until_ready(o[0].data)
         t_compute = time.perf_counter() - t0

@@ -47,7 +47,11 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     # single stream: per-100ms-chunk wall latency once steady-state
-    online = OnlineSndEnv(cfg, sr)
+    outputs_sel = (
+        None if args.outputs == "all"
+        else ("mel_fbank_segment", "gabor_kwta", "step_valid")
+    )
+    online = OnlineSndEnv(cfg, sr, outputs=outputs_sel)
     lat = []
     for i in range(args.warmup + args.chunks):
         chunk = (0.1 * rng.standard_normal(chunk_n)).astype(np.float32)
@@ -66,13 +70,9 @@ def main() -> None:
     # multi-stream: aggregate real-time factor over one poll cycle
     import jax.numpy as jnp
 
-    outputs = (
-        None if args.outputs == "all"
-        else ("mel_fbank_segment", "gabor_kwta", "step_valid")
-    )
     td = jnp.int8 if args.int8 else jnp.float16 if args.f16 else None
-    ms = MultiStreamOnline(cfg, sr, n_streams=args.streams, outputs=outputs,
-                           transfer_dtype=td)
+    ms = MultiStreamOnline(cfg, sr, n_streams=args.streams,
+                           outputs=outputs_sel, transfer_dtype=td)
     # steady state: everyone buffered past the first segment
     for _ in range(args.warmup):
         for s in range(args.streams):

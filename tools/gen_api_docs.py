@@ -102,7 +102,20 @@ def render() -> str:
                 if d:
                     out.append(d + "\n")
                 for mname, meth in sorted(vars(obj).items()):
-                    if mname.startswith("_") or not callable(meth):
+                    if mname.startswith("_"):
+                        continue
+                    if isinstance(meth, property):
+                        out.append(
+                            f"- `.{mname}` (property) — "
+                            f"{first_para(meth.fget.__doc__) or ''}"
+                        )
+                        continue
+                    if isinstance(meth, (classmethod, staticmethod)):
+                        fn = meth.__func__
+                        out.append(f"- `.{mname}{sig_of(fn)}` — "
+                                   f"{first_para(fn.__doc__) or ''}")
+                        continue
+                    if not callable(meth):
                         continue
                     out.append(f"- `.{mname}{sig_of(meth)}` — "
                                f"{first_para(meth.__doc__) or ''}")
@@ -125,10 +138,14 @@ def main() -> int:
         os.path.abspath(__file__))), "docs", "API.md")
     text = render()
     if args.check:
-        with open(path) as f:
-            if f.read() != text:
-                print("docs/API.md is stale; run tools/gen_api_docs.py")
-                return 1
+        try:
+            with open(path) as f:
+                current = f.read()
+        except FileNotFoundError:
+            current = None
+        if current != text:
+            print("docs/API.md is stale; run tools/gen_api_docs.py")
+            return 1
         print("docs/API.md is current")
         return 0
     with open(path, "w") as f:
