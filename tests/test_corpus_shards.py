@@ -149,3 +149,46 @@ def test_resume_seeds_feature_stats(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="partial"):
         FeatureDataset(str(crash)).normalizer()
+
+
+def test_writer_failure_stops_dispatch_and_resume_completes(
+    tmp_path, monkeypatch
+):
+    """A write-stage failure must stop the run promptly (no full-corpus
+    compute for discarded results), surface the error, and leave a manifest
+    a resumed run completes from."""
+    import numpy as _np
+
+    cfg = default_cfg_2d()
+    paths = _make_wavs(tmp_path / "wavs", n=6)
+    out = tmp_path / "o"
+
+    real_savez = _np.savez
+    calls = {"n": 0}
+
+    def failing_savez(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise OSError("disk full (injected)")
+        return real_savez(*a, **kw)
+
+    monkeypatch.setattr(_np, "savez", failing_savez)
+    r = CorpusRunner(cfg, SR, batch_size=2, feature_stats=False)
+    try:
+        r.run(paths, str(out))
+        raise AssertionError("expected the injected OSError")
+    except OSError:
+        pass
+    monkeypatch.setattr(_np, "savez", real_savez)
+
+    ok = [
+        json.loads(l)["path"]
+        for l in (out / "manifest.jsonl").read_text().splitlines()
+        if json.loads(l).get("status") == "ok"
+    ]
+    assert len(ok) < len(paths)  # it really stopped early
+    r2 = CorpusRunner(cfg, SR, batch_size=2, feature_stats=False)
+    s2 = r2.run(paths, str(out), resume=True)
+    assert s2.files_done == len(paths) - len(ok)
+    npz = [f for f in os.listdir(out) if f.endswith(".npz")]
+    assert len(npz) == len(paths)
