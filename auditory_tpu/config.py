@@ -97,6 +97,13 @@ class FilterBank:
 
     @property
     def renorm_scale(self) -> float:
+        """1/(max-min), the value the reference's DEAD code would compute:
+        mel/mel.go:81-83 guards the RenormScale assignment with
+        ``if Renorm == true`` immediately after force-setting Renorm=false,
+        so a literal Go user re-enabling Renorm post-Init runs with the
+        zero-valued RenormScale field (all outputs collapse to 0 after the
+        clamp). We compute the obviously-intended scale instead --
+        documented deviation, see docs/PARITY.md."""
         return 1.0 / (self.renorm_max - self.renorm_min)
 
 

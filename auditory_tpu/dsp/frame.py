@@ -32,7 +32,16 @@ def window_starts(
     add = msec_to_samples(float(add_ms), timing.sample_rate)
     segs = np.arange(seg_cnt, dtype=np.int64)[:, None] * timing.stride_samples
     offs = np.asarray(timing.step_offsets, dtype=np.int64)[None, :]
-    return (segs + offs + add).astype(np.int32)
+    starts = segs + offs + add
+    if starts.size and int(starts.max()) + timing.win_samples >= 2**31:
+        # int32 device indices would wrap to negative -> every window would
+        # silently read the left zero-pad; refuse loudly instead (shard a
+        # >2^31-sample utterance over segments/files first)
+        raise ValueError(
+            f"window grid reaches sample {int(starts.max())}: beyond int32 "
+            "device indexing; split the utterance"
+        )
+    return starts.astype(np.int32)
 
 
 def extract_windows(
@@ -89,6 +98,13 @@ def pad_len(n: int, timing: DerivedTiming) -> int:
 def pad_signal(
     signal: np.ndarray, timing: DerivedTiming, value: float = 0.0
 ) -> np.ndarray:
-    """Right-pad so length divides evenly into strides (sndenv.go:510-519)."""
-    n = pad_len(len(signal), timing)
-    return np.concatenate([signal, np.full(n, value, dtype=signal.dtype)])
+    """Right-pad so length divides evenly into strides (sndenv.go:510-519).
+
+    Pads the LAST axis, so [..., S] batched/multi-channel signals pad each
+    row (a len()-based version would measure the leading axis and corrupt
+    multi-dimensional input)."""
+    n = pad_len(signal.shape[-1], timing)
+    pad_shape = signal.shape[:-1] + (n,)
+    return np.concatenate(
+        [signal, np.full(pad_shape, value, dtype=signal.dtype)], axis=-1
+    )

@@ -43,9 +43,10 @@ def batch_sharding(mesh: Mesh, ndim: int, axis_name: str = "data") -> NamedShard
     return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
 
 
-def segment_sharding(mesh: Mesh, ndim: int, axis_name: str = "data") -> NamedSharding:
-    """Shard axis 0 = segment axis of a single long utterance (CP-style)."""
-    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+# Shard axis 0 = segment axis of a single long utterance (CP-style): the
+# same leading-axis layout as batch_sharding, kept as a semantic alias so
+# the two can never diverge.
+segment_sharding = batch_sharding
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

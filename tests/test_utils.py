@@ -31,3 +31,31 @@ def test_compilation_cache(tmp_path):
     assert jax.config.jax_compilation_cache_dir == d
     f = jax.jit(lambda x: x * 3 + 1)
     assert float(f(jnp.asarray(2.0))) == 7.0
+
+
+def test_pad_signal_multidim_pads_last_axis():
+    """[..., S] signals pad per row (a len()-based pad measured the channel
+    axis and corrupted stereo/batched input)."""
+    import numpy as np
+
+    from auditory_tpu.config import WindowParams
+    from auditory_tpu.dsp.frame import pad_len, pad_signal
+
+    t = WindowParams().derive(16000)
+    sig = np.ones((2, 5000), np.float32)
+    out = pad_signal(sig, t)
+    assert out.shape == (2, 5000 + pad_len(5000, t))
+    assert np.all(out[:, 5000:] == 0) and np.all(out[:, :5000] == 1)
+    one = pad_signal(np.ones(5000, np.float32), t)
+    assert one.shape == (5000 + pad_len(5000, t),)
+
+
+def test_window_starts_int32_guard():
+    import pytest as _pytest
+
+    from auditory_tpu.config import WindowParams
+    from auditory_tpu.dsp.frame import window_starts
+
+    t = WindowParams().derive(16000)
+    with _pytest.raises(ValueError, match="int32"):
+        window_starts(t, seg_cnt=2**31 // t.stride_samples + 2)
