@@ -316,3 +316,33 @@ def test_online_rejects_mel_fbank_global():
     with pytest.raises(ValueError, match="mel_fbank_global"):
         OnlineSndEnv(default_cfg_2d(), SR,
                      outputs=("mel_fbank_global", "step_valid"))
+
+
+def test_multistream_mesh_with_transfer_tier():
+    """Mesh sharding composes with the f16 serving tier."""
+    from auditory_tpu.parallel.mesh import make_mesh
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    mesh = make_mesh()
+    cfg = default_cfg_2d()
+    keys = ("mel_fbank_segment", "step_valid")
+    sig = tone(1000.0, 0.4, SR).astype(np.float32)
+
+    def run(mesh_arg):
+        ms = MultiStreamOnline(cfg, SR, n_streams=mesh.devices.size,
+                               outputs=keys, transfer_dtype="float16",
+                               mesh=mesh_arg)
+        for s in range(ms.n_streams):
+            ms.feed(s, sig)
+            ms.close(s)
+        return {(i, k): out for i, k, out in ms.drain()}
+
+    ref, shd = run(None), run(mesh)
+    assert set(ref) == set(shd) and len(ref) > 0
+    for sk in ref:
+        np.testing.assert_allclose(
+            shd[sk]["mel_fbank_segment"], ref[sk]["mel_fbank_segment"],
+            # one f16 ulp at log-mel magnitude ~10 (0.0078): the sharded
+            # conv's f32-ulp reassociation can flip the f16 rounding side
+            atol=1e-2,
+        )
