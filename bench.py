@@ -40,6 +40,11 @@ def main() -> None:
     )
     ap.add_argument("--f64", action="store_true")
     ap.add_argument(
+        "--rate", type=int, default=16000,
+        help="sample rate; 44100 gives the 1102-pt-window geometry "
+        "(reported with a _44k1-style metric suffix, never the headline)",
+    )
+    ap.add_argument(
         "--fast", action="store_true",
         help="matmul_precision='default' (MXU-native bf16 operand dots, "
         "~40%% faster, ~2.5e-3 rel power error) instead of exact f32; "
@@ -57,7 +62,7 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    sr = 16000
+    sr = args.rate
     cfg = SndEnvConfig(
         gabor=GaborSet(
             size_x=9, size_y=9, stride_x=3, stride_y=3, gain=2.0,
@@ -118,7 +123,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "timit16k_mel_gabor_rtf"
+                "metric": (
+                    "timit16k_mel_gabor_rtf" if args.rate == 16000
+                    else f"mel_gabor_rtf_{args.rate}hz"
+                )
                 + ("_kwta" if args.kwta else "")
                 + ("" if args.outputs == "features" else f"_{args.outputs}")
                 + ("_fast" if args.fast else ""),
