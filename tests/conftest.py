@@ -30,11 +30,6 @@ from auditory_tpu.config import (
 )
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
-
-
 def tone(
     freq_hz: float, dur_s: float, sr: int, amp: float = 0.5, dither: float = 1e-4
 ) -> np.ndarray:

@@ -59,8 +59,10 @@ def test_kwta_off_is_identity_and_zeros_stay_zero():
     p = KWTAParams(on=False)
     raw = rand_acts((4, 6), seed=3)
     np.testing.assert_array_equal(np.asarray(kwta_layer(p, raw)), np.asarray(raw))
+    # EXACT zeros under default params: the packed on/off transfer fold
+    # depends on it (_onoff_fold_exact holds for nvar=0.01)
     z = kwta_layer(KWTAParams(), jnp.zeros((4, 6), jnp.float32))
-    assert float(jnp.abs(z).max()) < 1e-3
+    assert float(jnp.abs(z).max()) == 0.0
 
 
 def test_kwta_pool_localizes_competition():
@@ -89,9 +91,13 @@ def test_kwta_jit_and_fixed_point():
     raw = rand_acts((8, 8), seed=5)
     f = jax.jit(lambda r: kwta_layer(p, r))
     o1 = np.asarray(f(raw))
+    # jit vs eager at MATCHED iterations: tight (a jit-only numeric bug
+    # must not hide behind settledness slack)
+    np.testing.assert_allclose(o1, np.asarray(kwta_layer(p, raw)), atol=1e-6)
+    # fixed point: doubling iterations barely moves the settled dynamics
     more = dataclasses.replace(p, iters=40)
     o2 = np.asarray(kwta_layer(more, raw))
-    np.testing.assert_allclose(o1, o2, atol=0.05)  # settled dynamics
+    np.testing.assert_allclose(o1, o2, atol=0.05)
 
 
 def test_orthogonal_offsets():
@@ -150,8 +156,9 @@ def test_kwta_pinned_sparsity():
     for seed, expect in enumerate(_PINNED_POOL_FRACS):
         raw = rand_acts((6, 4, 2, 4), seed=seed)
         frac = float((np.asarray(kwta_pool(p, raw)) > 0.1).mean())
-        # +-0.04 absolute (~10% relative): a 20% sparsity shift fails
-        assert abs(frac - expect) < 0.04, (seed, frac, expect)
+        # +-0.02 absolute (~12-14% relative of the ~0.15 pinned levels):
+        # a 20% relative sparsity shift moves frac by >= 0.029 and fails
+        assert abs(frac - expect) < 0.02, (seed, frac, expect)
 
 
 def test_kwta_settle_convergence():

@@ -83,8 +83,7 @@ def test_segment_stage_parity_vs_oracle():
     fbank = np.zeros(nf)
     mel_seg = np.zeros((nf, steps))
     mfcc_seg = np.zeros((mel_params.n_coefs, steps))
-    bin_pts, _, _ = goref.init_filters(mel_params.fbank, pipe.win_samples, SR)
-    _, _, tri = goref.init_filters(mel_params.fbank, pipe.win_samples, SR)
+    bin_pts, _, tri = goref.init_filters(mel_params.fbank, pipe.win_samples, SR)
 
     start_sample = msec_to_samples(start_ms, SR)
     for s in range(steps):

@@ -55,9 +55,13 @@ def test_cursor_and_more_segments():
     while sp.more_segments and n_done < 20:
         out = sp.process_segment()
         n_done += 1
-    # padded signal length // segment_samples segments, advancing by segment
+    # exact count for this geometry: 0.55 s = 8800 samples, segments
+    # advance by segment_samples=1600; the remaining-check stops after
+    # segment k where 8800 - 1600(k+1) < 1600 -> 5 segments, and no
+    # segment-0..4 window overruns (last end 4*1600+2160 = 8560 <= 8800)
     n = sp.signal.shape[-1]
-    assert n_done == max((n - sp.timing.segment_samples) // sp.timing.segment_samples + 1, 1) or n_done >= 1
+    assert n == 8800 and sp.timing.segment_samples == 1600
+    assert n_done == 5, n_done
     assert not sp.more_segments
     # cursor restarts like the reference (processspeech.go:333-335)
     out = sp.process_segment()
