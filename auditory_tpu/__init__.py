@@ -26,7 +26,7 @@ from .config import (
 )
 from .pipeline.batch import BatchedSndEnv, CorpusRunner
 from .pipeline.dataset import FeatureDataset
-from .pipeline.online import MultiStreamOnline, OnlineSndEnv
+from .pipeline.online import BufferOverflow, MultiStreamOnline, OnlineSndEnv
 from .pipeline.segments import SegmentPipeline, SegmentWindowParams
 from .pipeline.sndenv import SndEnv, SndEnvOutputs
 from .pipeline.streaming import StreamingProcessor
@@ -35,6 +35,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BatchedSndEnv",
+    "BufferOverflow",
     "MultiStreamOnline",
     "OnlineSndEnv",
     "CorpusRunner",

@@ -28,7 +28,12 @@ import numpy as np
 from ..config import SndEnvConfig, samples_to_msec
 from .sndenv import SndEnv, SndEnvOutputs
 
-__all__ = ["OnlineSndEnv", "MultiStreamOnline"]
+__all__ = ["OnlineSndEnv", "MultiStreamOnline", "BufferOverflow"]
+
+
+class BufferOverflow(RuntimeError):
+    """A feed() would exceed a stream's bounded buffer under the ``"error"``
+    overflow policy (backpressure: the producer must poll or shed load)."""
 
 
 class OnlineSndEnv:
@@ -202,20 +207,6 @@ class OnlineSndEnv:
             yield self._emit(valid_until=padded_end)
 
 
-class _StreamState:
-    """Host-side rolling-buffer state for one stream (the device pipeline is
-    shared; only these few fields are per-stream)."""
-
-    __slots__ = ("buf", "stream_pos", "next_seg", "closed", "padded_end")
-
-    def __init__(self, np_dtype):
-        self.buf = np.zeros(0, dtype=np_dtype)
-        self.stream_pos = 0
-        self.next_seg = 0
-        self.closed = False
-        self.padded_end = None
-
-
 class MultiStreamOnline:
     """N concurrent audio streams through ONE jitted [N, span] program --
     the production serving form: per-poll device cost is ~one single-stream
@@ -244,6 +235,8 @@ class MultiStreamOnline:
         transfer_dtype=None,
         mesh=None,
         axis_name: str = "data",
+        max_buffer_seconds: Optional[float] = 60.0,
+        overflow: str = "error",
         **env_kw,
     ):
         """``transfer_dtype``: dtype of the per-poll packed host copy.
@@ -256,9 +249,27 @@ class MultiStreamOnline:
 
         ``mesh``: shard the stream axis over a device mesh (DP over streams;
         the pipeline is pointwise per stream, so polls need no collectives).
-        ``n_streams`` must divide evenly over the mesh devices."""
+        ``n_streams`` must divide evenly over the mesh devices.
+
+        Overload policy (producers outrunning ``poll()``):
+        ``max_buffer_seconds`` bounds each stream's pending-audio buffer
+        (default 60 s; ``None`` = unbounded, buffers grow geometrically).
+        When a ``feed()`` would exceed the bound, ``overflow`` decides:
+
+        - ``"error"`` (default): the feed raises :class:`BufferOverflow`
+          (backpressure -- the producer must poll or shed load). The buffer
+          is left unchanged, so the stream stays consistent.
+        - ``"drop_oldest"``: the oldest buffered audio is discarded in
+          whole-segment strides and the corresponding segment indices are
+          SKIPPED (never emitted; the next emitted ``seg_idx`` jumps).
+          ``dropped_segments(stream)`` counts them for monitoring.
+        """
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
+        if overflow not in ("error", "drop_oldest"):
+            raise ValueError(
+                f"overflow must be 'error' or 'drop_oldest', got {overflow!r}"
+            )
         if mesh is not None and n_streams % mesh.devices.size != 0:
             raise ValueError(
                 f"n_streams ({n_streams}) must be a multiple of the mesh "
@@ -283,45 +294,135 @@ class MultiStreamOnline:
         self._add_ms = tpl._add_ms
         self._np_dtype = tpl._np_dtype
         self._fn = None
-        self._streams = [
-            _StreamState(self._np_dtype) for _ in range(n_streams)
-        ]
+        self.overflow = overflow
+        self._bounded = max_buffer_seconds is not None
+        if self._bounded:
+            cap = max(self._span, int(round(max_buffer_seconds * sample_rate)))
+        else:
+            cap = 2 * self._span  # grown geometrically on demand
+        self._cap = cap
+        # ALL per-stream state lives in flat arrays so poll() assembles every
+        # window in one vectorized gather (VERDICT r2 #6: no per-stream
+        # Python concat on the hot path). The ring invariant: the sample at
+        # stream coordinate p (samples since stream start) lives at
+        # _bufs[i, p % _cap]; valid coords are [_start[i], _end[i]) with
+        # _end - _start <= _cap.
+        self._bufs = np.zeros((n_streams, cap), self._np_dtype)
+        self._start = np.zeros(n_streams, np.int64)
+        self._end = np.zeros(n_streams, np.int64)
+        self._next_seg = np.zeros(n_streams, np.int64)
+        self._closed = np.zeros(n_streams, bool)
+        self._padded_end = np.zeros(n_streams, np.int64)
+        # segments the offline padded run would produce; set at close()
+        self._total_segs = np.zeros(n_streams, np.int64)
+        self._dropped = np.zeros(n_streams, np.int64)
+
+    def pending_samples(self, stream: int) -> int:
+        """Samples currently buffered for one stream."""
+        return int(self._end[stream] - self._start[stream])
+
+    def dropped_segments(self, stream: int) -> int:
+        """Segments skipped by the ``drop_oldest`` overflow policy."""
+        return int(self._dropped[stream])
+
+    def _ring_write(self, i: int, coord: int, data: np.ndarray) -> None:
+        # write data at stream coords [coord, coord+len); len <= _cap, so
+        # the (at most two) destination slices never self-overlap
+        j = int(coord % self._cap)
+        k = min(len(data), self._cap - j)
+        self._bufs[i, j : j + k] = data[:k]
+        if len(data) > k:
+            self._bufs[i, : len(data) - k] = data[k:]
+
+    def _grow(self, need_fill: int) -> None:
+        """Unbounded mode: enlarge the ring so `need_fill` samples fit.
+        The modulus changes, so every stream's live span is re-laid-out."""
+        new_cap = self._cap
+        while new_cap < need_fill:
+            new_cap *= 2
+        old, old_cap = self._bufs, self._cap
+        self._bufs = np.zeros((self.n_streams, new_cap), self._np_dtype)
+        self._cap = new_cap
+        for i in range(self.n_streams):
+            s, e = int(self._start[i]), int(self._end[i])
+            if e <= s:
+                continue
+            j = s % old_cap
+            k = min(e - s, old_cap - j)
+            span = np.concatenate([old[i, j : j + k], old[i, : (e - s) - k]])
+            self._ring_write(i, s, span)
+
+    def _drop_oldest(self, i: int, new_end: int) -> None:
+        """Advance stream i's cursor past whole segments so that fill
+        (= new_end - start) fits in _cap. History is only ever trimmed to a
+        future segment's left edge (k*stride - pre), so the retained span is
+        exactly what the next emitted segment needs."""
+        t = self.env.timing
+        new_start_min = new_end - self._cap
+        k = -(-(new_start_min + self._pre) // t.stride_samples)  # ceil div
+        k = max(k, int(self._next_seg[i]))
+        self._dropped[i] += k - int(self._next_seg[i])
+        self._next_seg[i] = k
+        self._start[i] = max(
+            int(self._start[i]), k * t.stride_samples - self._pre
+        )
 
     def feed(self, stream: int, samples: np.ndarray) -> None:
-        """Buffer samples for one stream (no device work until poll)."""
-        st = self._streams[stream]
-        if st.closed:
+        """Buffer samples for one stream (no device work until poll).
+
+        May raise :class:`BufferOverflow` under the ``"error"`` overflow
+        policy -- see the constructor docstring."""
+        if self._closed[stream]:
             raise RuntimeError(f"stream {stream} is closed")
-        st.buf = np.concatenate(
-            [st.buf, np.asarray(samples, dtype=self._np_dtype)]
-        )
+        data = np.asarray(samples, dtype=self._np_dtype).ravel()
+        if len(data) == 0:
+            return
+        end = int(self._end[stream])
+        new_end = end + len(data)
+        fill = new_end - int(self._start[stream])
+        if fill > self._cap:
+            if not self._bounded:
+                self._grow(fill)
+            elif self.overflow == "error":
+                raise BufferOverflow(
+                    f"stream {stream}: feeding {len(data)} samples would "
+                    f"leave {fill} pending > capacity {self._cap} "
+                    f"({self._cap / self.env.sample_rate:.1f} s). poll() "
+                    "more often, raise max_buffer_seconds, or use "
+                    "overflow='drop_oldest'"
+                )
+            else:
+                self._drop_oldest(stream, new_end)
+        if len(data) > self._cap:
+            # a single chunk larger than the ring: only its tail survives
+            data = data[-self._cap :]
+        self._ring_write(stream, new_end - len(data), data)
+        self._end[stream] = new_end
 
     def close(self, stream: int) -> None:
         """End-of-stream: apply the SndEnv.Pad tail padding; subsequent
         polls drain the remaining segments (then the stream goes idle)."""
         from ..dsp.frame import pad_len
 
-        st = self._streams[stream]
-        if st.closed:
+        if self._closed[stream]:
             return
-        st.closed = True
+        self._closed[stream] = True
         t = self.env.timing
-        stream_end = st.stream_pos + len(st.buf)
-        st.padded_end = stream_end + pad_len(stream_end, t)
+        stream_end = int(self._end[stream])
+        padded_end = stream_end + pad_len(stream_end, t)
+        self._padded_end[stream] = padded_end
+        # seg_cnt's Go truncation-toward-zero quirk yields one (fully
+        # masked) segment even for streams shorter than a segment
+        self._total_segs[stream] = max(self.env.seg_cnt(padded_end), 0)
 
-    def _stream_ready(self, i: int) -> bool:
-        st = self._streams[i]
+    def _ready_streams(self) -> np.ndarray:
         t = self.env.timing
-        if st.closed:
-            # drain exactly the segments the offline padded run would
-            # produce (poll() extends the zero tail for border windows);
-            # seg_cnt's Go truncation-toward-zero quirk yields one masked
-            # segment even for streams shorter than a segment
-            return st.next_seg < max(self.env.seg_cnt(st.padded_end), 0)
-        return (
-            st.stream_pos + len(st.buf)
-            >= st.next_seg * t.stride_samples + self._post
+        ready = np.where(
+            self._closed,
+            self._next_seg < self._total_segs,
+            self._end >= self._next_seg * t.stride_samples + self._post,
         )
+        return np.nonzero(ready)[0]
 
     def _build_fn(self):
         from .batch import _quant_chan_axis, _quantize_int8
@@ -401,40 +502,28 @@ class MultiStreamOnline:
         Per-stream state advances only AFTER the device call returns, so a
         failed dispatch (e.g. a flaky remote compile) loses nothing: the
         next poll retries the same segments."""
-        ready = [i for i in range(self.n_streams) if self._stream_ready(i)]
-        if not ready:
+        ready = self._ready_streams()
+        if len(ready) == 0:
             return []
         t = self.env.timing
+        # ONE vectorized gather assembles every ready window from the shared
+        # ring (no per-stream Python concat). Coords outside [0, end) read
+        # as zero: negative = pre-stream left pad; >= end = the flush zero
+        # tail of closed streams (step validity is masked by sig_lens).
+        lo = self._next_seg[ready] * t.stride_samples - self._pre
+        coords = lo[:, None] + np.arange(self._span, dtype=np.int64)
+        vals = self._bufs[
+            ready[:, None], (coords % self._cap).astype(np.intp)
+        ]
+        valid = (coords >= 0) & (coords < self._end[ready][:, None])
         windows = np.zeros((self.n_streams, self._span), self._np_dtype)
+        windows[ready] = np.where(valid, vals, 0)
         sig_lens = np.zeros(self.n_streams, np.int32)
-        for i in ready:
-            st = self._streams[i]
-            seg_start = st.next_seg * t.stride_samples
-            lo = seg_start - self._pre
-            if st.closed:
-                # border windows of the final segments read past the padded
-                # end; extend the zero tail on demand (OnlineSndEnv.flush
-                # does the same)
-                need = (seg_start + self._post) - (
-                    st.stream_pos + len(st.buf)
-                )
-                if need > 0:
-                    st.buf = np.concatenate(
-                        [st.buf, np.zeros(need, self._np_dtype)]
-                    )
-            pad_left = max(0, -lo)
-            buf_lo = max(0, lo - st.stream_pos)
-            buf_hi = seg_start + self._post - st.stream_pos
-            w = np.concatenate(
-                [np.zeros(pad_left, self._np_dtype), st.buf[buf_lo:buf_hi]]
-            )
-            assert len(w) == self._span
-            windows[i] = w
-            sig_lens[i] = (
-                self._span
-                if not st.closed
-                else max(0, min(self._span, st.padded_end - lo))
-            )
+        sig_lens[ready] = np.where(
+            self._closed[ready],
+            np.clip(self._padded_end[ready] - lo, 0, self._span),
+            self._span,
+        ).astype(np.int32)
         if self._fn is None:
             self._fn, self._layout = self._build_fn()
         packed = self._fn(
@@ -467,19 +556,16 @@ class MultiStreamOnline:
         if "step_valid" in host:
             host["step_valid"] = host["step_valid"] > 0.5
         # the call succeeded: NOW advance stream cursors and trim history
-        results = []
-        for i in ready:
-            st = self._streams[i]
-            results.append(
-                (i, st.next_seg, {k: v[i] for k, v in host.items()})
-            )
-            st.next_seg += 1
-            keep_from = (
-                st.next_seg * t.stride_samples - self._pre
-            ) - st.stream_pos
-            if keep_from > 0:
-                st.buf = st.buf[keep_from:]
-                st.stream_pos += keep_from
+        results = [
+            (int(i), int(self._next_seg[i]), {k: v[i] for k, v in host.items()})
+            for i in ready
+        ]
+        self._next_seg[ready] += 1
+        new_lo = self._next_seg[ready] * t.stride_samples - self._pre
+        self._start[ready] = np.minimum(
+            np.maximum(self._start[ready], np.maximum(new_lo, 0)),
+            self._end[ready],
+        )
         return results
 
     def drain(self):

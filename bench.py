@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=3.0, help="utterance length")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument(
+        "--repeats", type=int, default=5,
+        help="timed repeats of the --iters loop; the JSON line reports the "
+        "median as `value` plus min/max so link/compile weather is visible",
+    )
     ap.add_argument("--kwta", action="store_true", help="include kWTA settle")
     ap.add_argument(
         "--outputs", choices=("full", "features", "melgabor"),
@@ -110,15 +115,18 @@ def main() -> None:
 
     # pipelined throughput: enqueue all steps, block once at the end (the
     # tunnel's per-block round trip otherwise dominates; device work is
-    # serialized regardless)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out, _ = fn(signals_d, lengths_d)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
+    # serialized regardless). Repeat the timed loop so the reported number
+    # carries its measured spread (VERDICT r2 #5: single-run headlines hid
+    # ~±10% weather variance).
     audio_seconds = float(lengths.sum()) / sr * args.iters
-    rtf = audio_seconds / dt
+    rtfs = []
+    for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out, _ = fn(signals_d, lengths_d)
+        jax.block_until_ready(out)
+        rtfs.append(audio_seconds / (time.perf_counter() - t0))
+    rtf = float(np.median(rtfs))
     baseline = 5000.0
     print(
         json.dumps(
@@ -133,6 +141,9 @@ def main() -> None:
                 "value": round(rtf, 1),
                 "unit": "audio_sec_per_sec_per_chip",
                 "vs_baseline": round(rtf / baseline, 3),
+                "min": round(min(rtfs), 1),
+                "max": round(max(rtfs), 1),
+                "repeats": len(rtfs),
             }
         )
     )

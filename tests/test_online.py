@@ -318,6 +318,106 @@ def test_online_rejects_mel_fbank_global():
                      outputs=("mel_fbank_global", "step_valid"))
 
 
+def test_multistream_overflow_error_backpressure():
+    """Bounded buffers + overflow='error': the overrunning feed raises
+    BufferOverflow, leaves the stream consistent, and polling frees space."""
+    from auditory_tpu.pipeline.online import BufferOverflow, MultiStreamOnline
+
+    cfg = default_cfg_2d()
+    # max_buffer_seconds=0 clamps to the minimum legal capacity (one span)
+    ms = MultiStreamOnline(cfg, SR, n_streams=2, max_buffer_seconds=0.0,
+                           overflow="error")
+    assert ms._cap == ms._span
+    ms.feed(0, np.zeros(ms._cap, np.float32))
+    with pytest.raises(BufferOverflow, match="stream 0"):
+        ms.feed(0, np.ones(1, np.float32))
+    # the failed feed changed nothing
+    assert ms.pending_samples(0) == ms._cap
+    assert ms.dropped_segments(0) == 0
+    # backpressure resolves by polling: a segment drains, space frees
+    got = ms.poll()
+    assert [i for i, _, _ in got] == [0]
+    assert ms.pending_samples(0) < ms._cap
+    ms.feed(0, np.zeros(ms._cap - ms.pending_samples(0), np.float32))
+    # the other stream was never affected
+    ms.feed(1, np.zeros(100, np.float32))
+
+
+def test_multistream_drop_oldest_skips_exact_segments():
+    """overflow='drop_oldest': oldest audio is discarded in whole-segment
+    strides; surviving segments are emitted with their TRUE indices and are
+    bit-identical to the offline run's same-index segments."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+    from auditory_tpu.pipeline.sndenv import SndEnv
+
+    cfg = default_cfg_2d()
+    env = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    sig = tone(800.0, 1.5, SR)
+    offline = env.process(env.pad(sig))
+    n_off = offline.mel_fbank_segment.shape[0]
+
+    ms = MultiStreamOnline(cfg, SR, n_streams=1, dtype=jnp.float64,
+                           max_buffer_seconds=0.0, overflow="drop_oldest")
+    # feed everything with NO polling: only the newest ~cap samples survive
+    for chunk in np.array_split(sig, 23):
+        ms.feed(0, chunk)
+        assert ms.pending_samples(0) <= ms._cap
+    dropped = ms.dropped_segments(0)
+    assert dropped > 0
+    got = {}
+    while True:
+        res = ms.poll()
+        if not res:
+            break
+        for _, k, out in res:
+            got[k] = out
+    ms.close(0)
+    for _, k, out in ms.drain():
+        got[k] = out
+    ks = sorted(got)
+    # indices skip exactly the dropped prefix and reach the offline tail
+    assert ks == list(range(dropped, n_off))
+    for k in ks:
+        np.testing.assert_allclose(
+            np.asarray(got[k]["mel_fbank_segment"]),
+            np.asarray(offline.mel_fbank_segment[k]),
+            atol=1e-9, err_msg=f"segment {k}",
+        )
+
+
+def test_multistream_unbounded_ring_growth():
+    """max_buffer_seconds=None: the ring grows geometrically (all streams
+    re-laid-out) and results still match offline exactly."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+    from auditory_tpu.pipeline.sndenv import SndEnv
+
+    cfg = default_cfg_2d()
+    env = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    sigs = [tone(600.0, 1.0, SR), tone(900.0, 0.3, SR)]
+    offline = [env.process(env.pad(s)) for s in sigs]
+
+    ms = MultiStreamOnline(cfg, SR, n_streams=2, dtype=jnp.float64,
+                           max_buffer_seconds=None)
+    init_cap = ms._cap
+    ms.feed(1, sigs[1])       # stream 1 mid-fill when the ring grows
+    ms.feed(0, sigs[0])       # 16000 samples > 2*span forces growth
+    assert ms._cap > init_cap
+    ms.close(0)
+    ms.close(1)
+    got = {0: {}, 1: {}}
+    for i, k, out in ms.drain():
+        got[i][k] = out
+    for i in range(2):
+        n_off = offline[i].mel_fbank_segment.shape[0]
+        assert sorted(got[i]) == list(range(n_off))
+        for k in range(n_off):
+            np.testing.assert_allclose(
+                np.asarray(got[i][k]["mel_fbank_segment"]),
+                np.asarray(offline[i].mel_fbank_segment[k]),
+                atol=1e-9, err_msg=f"stream {i} segment {k}",
+            )
+
+
 def test_multistream_mesh_with_transfer_tier():
     """Mesh sharding composes with the f16 serving tier."""
     from auditory_tpu.parallel.mesh import make_mesh
