@@ -18,6 +18,7 @@ import argparse
 import dataclasses
 import glob as _glob
 import json
+import os
 import sys
 
 import numpy as np
@@ -294,6 +295,29 @@ def cmd_segment(args) -> int:
     np.savez(args.out, **arrays)
     print(f"A [{label}] vs B [{b_label or label}] -> {args.out}")
     print(json.dumps(res["diff"], indent=1, default=str))
+    if args.html:
+        from .utils.report import write_compare_html
+
+        names = (
+            "win_ms", "step_ms", "mel_filters", "gabor_size",
+            "gabor_stride_x", "gabor_stride_y", "gabor_gain", "gabor_phases",
+        )
+        pa = {n: getattr(args, n) for n in names}
+        pb = {
+            n: getattr(args, "b_" + n)
+            if getattr(args, "b_" + n, None) is not None
+            else getattr(args, n)
+            for n in names
+        }
+        pa["slice"] = f"{label or ''} {start_ms:.0f}-{end_ms:.0f} ms"
+        sb, eb = (b_start if b_start is not None else start_ms,
+                  b_end if b_end is not None else end_ms)
+        pb["slice"] = f"{b_label or label or ''} {sb:.0f}-{eb:.0f} ms"
+        write_compare_html(
+            arrays, args.html, params_a=pa, params_b=pb, diff=res["diff"],
+            title=f"A/B compare: {os.path.basename(args.file)}",
+        )
+        print(f"html report -> {args.html}")
     return 0
 
 
@@ -547,6 +571,9 @@ def main(argv=None) -> int:
     # gbv.go:243-258 dual WParams/PParams/GParams)
     p.add_argument("--compare", action="store_true",
                    help="run a second (B) parameter stack and diff outputs")
+    p.add_argument("--html", default=None, metavar="OUT.html",
+                   help="with --compare: also write ONE self-contained HTML "
+                   "report (params + diff stats + embedded figures)")
     p.add_argument("--b-unit", type=int, default=None)
     p.add_argument("--b-start-ms", type=float, default=None)
     p.add_argument("--b-end-ms", type=float, default=None)
@@ -620,6 +647,13 @@ def main(argv=None) -> int:
 
             # without x64, float64 arrays silently truncate to f32
             jax.config.update("jax_enable_x64", True)
+            # the f64 parity path is CPU-only (TPU has no f64/c128; an f64
+            # FFT dispatched to the device is a compile error) -- route it
+            # to the CPU backend before any jax op runs
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except RuntimeError:
+                pass  # backend already initialized (in-process caller)
     try:
         return args.fn(args)
     except (FileNotFoundError, IsADirectoryError) as e:

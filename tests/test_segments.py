@@ -285,3 +285,66 @@ def test_compare_segments_both_none_skipped():
     )
     res = compare_segments(pipe, pipe, sig, 50.0, 300.0)
     assert "mfcc_segment" not in res["diff"]
+
+
+def test_cli_segment_compare_html_report(tmp_path):
+    """--html writes ONE self-contained report embedding both runs: params
+    (differing row flagged), diff stats, and base64 figures (VERDICT r2
+    missing #2 -- the browsable half of gaborview's A/B explorer)."""
+    pytest.importorskip("matplotlib")
+    from auditory_tpu.cli import main
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+
+    p = str(tmp_path / "t.wav")
+    write_wav(p, float_to_wave(tone(1200.0, 0.4, SR), SR))
+    out = str(tmp_path / "cmp.npz")
+    report = str(tmp_path / "cmp.html")
+    rc = main([
+        "segment", p, "--start-ms", "40", "--end-ms", "200",
+        "--compare", "--b-gabor-gain", "3.0",
+        "--out", out, "--html", report, "--f64",
+    ])
+    assert rc == 0
+    html_src = open(report, encoding="utf-8").read()
+    # self-contained: figures ride inline, no file references
+    assert html_src.count("data:image/png;base64,") >= 2
+    assert ".png" not in html_src.split("base64,")[0]
+    # params table shows both stacks and flags the differing gain row
+    assert "gabor_gain" in html_src and "differs" in html_src
+    assert ">1.5<" in html_src and ">3<" in html_src
+    # diff stats for the outputs that exist on both sides
+    assert "mel_fbank_segment" in html_src and "max|B−A|" in html_src
+
+
+def test_write_compare_html_mapping_and_only_in(tmp_path):
+    """Direct API: mapping input, an only-on-one-side key, and param dicts."""
+    pytest.importorskip("matplotlib")
+    from auditory_tpu.utils.report import write_compare_html
+
+    rng = np.random.default_rng(0)
+    data = {
+        "a_mel": rng.random((8, 6)),
+        "b_mel": rng.random((8, 6)),
+        "a_energy": rng.random(6),
+        "b_energy": rng.random(6),
+    }
+    diff = {
+        "mel": {
+            "a": {"shape": [8, 6], "max_abs": 1.0, "mean": 0.5,
+                  "active_frac": 1.0},
+            "b": {"shape": [8, 6], "max_abs": 0.9, "mean": 0.4,
+                  "active_frac": 1.0},
+            "active_frac_delta": 0.0,
+            "max_abs_diff": 0.3,
+        },
+        "mfcc": {"only_in": "a"},
+    }
+    out = write_compare_html(
+        data, str(tmp_path / "r.html"),
+        params_a={"gain": 1.5}, params_b={"gain": 1.5},
+        diff=diff, title="unit test", keys=["mel"],
+    )
+    src = open(out, encoding="utf-8").read()
+    assert "unit test" in src
+    assert "only computed on side A" in src
+    assert src.count("data:image/png;base64,") == 1  # keys filter honored
