@@ -712,6 +712,7 @@ class CorpusRunner:
             pack_keys=env_keys,
         )
         self._grid_cache: Dict[Tuple[int, int], Tuple] = {}
+        self._batched_dev = None  # lazy: iter_device_features' unpacked env
         self.batch_size = batch_size
         self.save_keys = tuple(save_keys)
         self.decode_threads = decode_threads
@@ -1057,6 +1058,79 @@ class CorpusRunner:
                 json.dump(payload, f)
         stats.wall_seconds = time.perf_counter() - t0
         return stats
+
+    def iter_device_features(
+        self,
+        wav_paths: Sequence[str],
+        add_ms: int = 0,
+    ):
+        """Device-resident corpus handoff: stream the corpus through the
+        batched device pipeline and yield per-batch DEVICE arrays — no
+        packing, no device→host copy, no npz round trip (VERDICT r2 #4b:
+        `run()` + :class:`FeatureDataset` pays the weak D2H link twice when
+        the consumer is a JAX training loop on the same device; this path
+        pays it zero times — features go corpus → HBM → consumer jit).
+
+        Yields ``(paths, outputs, seg_valid, n_segs)`` per length bucket:
+        ``outputs`` is a :class:`SndEnvOutputs` of jax device arrays with
+        leading ``[B, seg]`` axes (the runner's ``save_keys`` selection,
+        deduped-mel disabled — there is no link to save bytes on),
+        ``seg_valid`` is the ``[B, seg]`` device validity mask and
+        ``n_segs`` the per-file host segment counts. Decode errors raise
+        (there is no manifest to record them in); audio decode runs on the
+        native threaded decoder and overlaps device compute exactly like
+        ``run()``'s decode stage. Feature-stats moments are not accumulated.
+
+        Replaces the reference's materialize-then-train file loop
+        (sound/sndenv.go:342 → emergent table inputs) for same-device
+        consumers; see ``examples/train_phone_classifier.py --features
+        device``.
+        """
+        if self._batched_dev is None:
+            env = SndEnv(
+                self.env.cfg, self.sample_rate, dtype=self.env.dtype,
+                outputs=self.save_keys, feature_stats=False,
+                matmul_precision=self.env.matmul_precision,
+            )
+            self._batched_dev = BatchedSndEnv(
+                env, mesh=self.batched.mesh,
+            )
+        benv = self._batched_dev
+
+        def flush(items, blen):
+            int16_mode = items[0][2] is not None
+            signals = np.zeros(
+                (len(items), blen),
+                dtype=np.int16 if int16_mode else np.float32,
+            )
+            lengths = np.zeros(len(items), dtype=np.int32)
+            divisors = (
+                np.ones(len(items), dtype=np.float32) if int16_mode else None
+            )
+            for i, (_, sig, div) in enumerate(items):
+                signals[i, : len(sig)] = sig
+                lengths[i] = len(sig)
+                if int16_mode:
+                    divisors[i] = div
+            out, seg_valid = benv.process(
+                signals, lengths, add_ms, divisors=divisors
+            )
+            n_segs = [max(self.env.seg_cnt(int(n)), 0) for n in lengths]
+            return [p for p, _, _ in items], out, seg_valid, n_segs
+
+        buckets: Dict[Tuple[int, bool], List[Tuple]] = {}
+        for path, sig, div, err in self._decode_many(list(wav_paths)):
+            if err is not None:
+                raise RuntimeError(f"decode failed for {path}: {err}")
+            blen = bucket_length(
+                len(sig), self.env.timing, quantum=self._bucket_quantum
+            )
+            key = (blen, div is not None)
+            buckets.setdefault(key, []).append((path, sig, div))
+            if len(buckets[key]) >= self.batch_size:
+                yield flush(buckets.pop(key), blen)
+        for (blen, _), items in list(buckets.items()):
+            yield flush(items, blen)
 
     @staticmethod
     def merge_shards(out_dir: str) -> Dict[str, Any]:

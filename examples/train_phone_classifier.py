@@ -43,6 +43,14 @@ def main() -> None:
     ap.add_argument("--n-per-class", type=int, default=40)
     ap.add_argument("--classes", type=int, default=6)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--features", choices=("inline", "device", "npz"), default="inline",
+        help="feature route: 'inline' = synthesize in-process and run the "
+        "batched pipeline; 'device' = write a wav corpus and stream it "
+        "through CorpusRunner.iter_device_features (features never leave "
+        "the device -- no npz/host round trip); 'npz' = CorpusRunner.run + "
+        "FeatureDataset (the materialized route, pays the link)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -67,23 +75,81 @@ def main() -> None:
         )
     )
     env = SndEnv(cfg, sr, outputs=("gabor_kwta", "step_valid"))
-    benv = BatchedSndEnv(env)
 
     n_total = args.classes * args.n_per_class
     labels = np.repeat(np.arange(args.classes), args.n_per_class)
     sigs = [env.pad(synth_token(c, rng, sr)) for c in labels]
-    n_pad = bucket_length(max(len(s) for s in sigs), env.timing)
-    batch = np.zeros((n_total, n_pad), np.float32)
-    for i, s in enumerate(sigs):
-        batch[i, : len(s)] = s
-    lengths = np.array([len(s) for s in sigs], np.int32)
 
-    out, _ = benv.process(batch, lengths)
-    feats = np.asarray(out.gabor_kwta).reshape(n_total, -1)  # A1 input layer
+    if args.features == "inline":
+        benv = BatchedSndEnv(env)
+        n_pad = bucket_length(max(len(s) for s in sigs), env.timing)
+        batch = np.zeros((n_total, n_pad), np.float32)
+        for i, s in enumerate(sigs):
+            batch[i, : len(s)] = s
+        lengths = np.array([len(s) for s in sigs], np.int32)
+        out, _ = benv.process(batch, lengths)
+        feats = jnp.reshape(out.gabor_kwta, (n_total, -1))  # stays on device
+    else:
+        # a real on-disk wav corpus; class rides in the file stem
+        import tempfile
+        import time
+
+        from auditory_tpu.io.wav import float_to_wave, write_wav
+        from auditory_tpu.pipeline.batch import CorpusRunner
+
+        tmp = tempfile.TemporaryDirectory()
+        paths = []
+        for i, (c, s) in enumerate(zip(labels, sigs)):
+            p = f"{tmp.name}/tok_c{c}_{i:04d}.wav"
+            write_wav(p, float_to_wave(s, sr))
+            paths.append(p)
+        cls_of = lambda path: int(path.rsplit("_c", 1)[1].split("_")[0])
+        runner = CorpusRunner(
+            cfg, sr, batch_size=64, save_keys=("gabor_kwta",),
+            feature_stats=False,
+        )
+        t0 = time.perf_counter()
+        if args.features == "device":
+            # corpus -> HBM -> training, zero device->host feature copies
+            rows, lab_rows = [], []
+            for bpaths, out, _valid, n_segs in runner.iter_device_features(
+                paths
+            ):
+                rows.append(jnp.reshape(out.gabor_kwta, (len(bpaths), -1)))
+                lab_rows.extend(cls_of(p) for p in bpaths)
+            feats = jnp.concatenate(rows)
+            labels = np.asarray(lab_rows)
+            jax.block_until_ready(feats)
+        else:  # npz: materialize, then read back through FeatureDataset
+            from auditory_tpu.pipeline.dataset import FeatureDataset
+
+            out_dir = f"{tmp.name}/out"
+            runner.run(paths, out_dir)
+            ds = FeatureDataset(
+                out_dir, keys=("gabor_kwta",),
+                label_fn=lambda stem: int(stem.rsplit("_c", 1)[1].split("_")[0]),
+            )
+            rows, lab_rows = [], []
+            for b in ds.batches(64):
+                rows.append(b["gabor_kwta"].reshape(len(b["stem"]), -1))
+                lab_rows.extend(b["label"].tolist())
+            feats = jnp.asarray(np.concatenate(rows))
+            labels = np.asarray(lab_rows)
+        dt = time.perf_counter() - t0
+        audio_s = sum(len(s) for s in sigs) / sr
+        print(
+            f"[{args.features}] corpus->features: {audio_s:.1f} s audio in "
+            f"{dt:.3f} s wall (RTF {audio_s / dt:.0f}x)"
+        )
+        tmp.cleanup()
+
+    # all tokens share one duration -> one length bucket -> uniform D
+    feats = jnp.reshape(jnp.asarray(feats), (n_total, -1))  # A1 input layer
     print(f"features: {feats.shape} from {n_total} tokens")
 
     perm = rng.permutation(n_total)
     split = int(0.8 * n_total)
+    # device-side gather: features never round-trip to the host
     xtr, xte = feats[perm[:split]], feats[perm[split:]]
     ytr, yte = labels[perm[:split]], labels[perm[split:]]
 

@@ -89,3 +89,43 @@ def test_bad_keys_and_missing_dir(tmp_path, corpus_dir):
         FeatureDataset(str(tmp_path))
     with pytest.raises(ValueError, match="not in the corpus"):
         FeatureDataset(corpus_dir, keys=("nope",))
+
+
+def test_iter_device_features_matches_npz(corpus_dir, tmp_path):
+    """Device-resident handoff: iter_device_features yields jax arrays
+    matching the npz route bit-for-bit, without writing anything."""
+    import jax
+
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+
+    paths = []
+    durs = [0.3, 0.45, 0.6, 0.3, 0.5]
+    for i, dur in enumerate(durs):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, float_to_wave(tone(350.0 + 150 * i, dur, SR), SR))
+        paths.append(p)
+
+    runner = CorpusRunner(default_cfg_2d(), SR, batch_size=2)
+    ds = FeatureDataset(corpus_dir)  # the npz route over identical audio
+    seen = {}
+    for batch_paths, out, seg_valid, n_segs in runner.iter_device_features(
+        paths
+    ):
+        # DEVICE arrays: no host copy has happened
+        assert isinstance(out.mel_fbank_segment, jax.Array)
+        assert isinstance(seg_valid, jax.Array)
+        assert out.mel_fbank_segment.shape[:2] == seg_valid.shape
+        for i, p in enumerate(batch_paths):
+            seen[p] = (
+                np.asarray(out.mel_fbank_segment[i][: n_segs[i]]),
+                np.asarray(out.gabor_kwta[i][: n_segs[i]]),
+            )
+    assert sorted(seen) == sorted(paths)
+    # nothing was written next to the inputs
+    assert sorted(f.name for f in tmp_path.iterdir()) == sorted(
+        f"u{i}.wav" for i in range(5)
+    )
+    for i, p in enumerate(paths):
+        raw = ds.load(f"u{i}")
+        np.testing.assert_array_equal(seen[p][0], raw["mel_fbank_segment"])
+        np.testing.assert_array_equal(seen[p][1], raw["gabor_kwta"])

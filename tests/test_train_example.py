@@ -64,3 +64,18 @@ def test_serve_streams_example():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "SERVE_OK" in out.stdout
+
+
+def test_phone_classifier_device_features():
+    """The device-resident corpus->train route (iter_device_features): no
+    npz round trip, same learnability."""
+    out = subprocess.run(
+        [sys.executable, "examples/train_phone_classifier.py", "--cpu",
+         "--steps", "80", "--n-per-class", "12", "--features", "device"],
+        capture_output=True, text=True, timeout=300, cwd=".",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "[device] corpus->features" in out.stdout
+    last = [l for l in out.stdout.splitlines() if l.startswith("final test")]
+    acc = float(last[0].split()[-3])
+    assert acc > 0.5, f"classifier failed to learn: {last[0]}"
