@@ -74,8 +74,10 @@ def _noisy_xx1_cheb(gain: float, nvar: float, deg_a: int = 24, deg_b: int = 16):
     smooth XX1 rise. Replaces the device table *gather* -- pathologically
     slow on TPU inside the settle scan (~18 ms/iter for ~1M lookups) --
     with a pure elementwise Clenshaw evaluation on the VPU. Max fit error
-    vs the dense convolution is ~1e-6, and the fit is monotone (both
-    asserted in tests)."""
+    vs the dense convolution: ~8e-5 at the default degrees (16, 10) --
+    within the 1e-4 budget, two orders below the 0.02 sparsity tolerance --
+    and ~7e-7 at the legacy (24, 16) (KWTAParams.xx1_fit_degrees; bounds
+    asserted in tests/test_kwta.py)."""
     lo = -4.0 * nvar
     hi = max(16.0 / max(gain, 1e-6), 8.0 * nvar)
     mid = min(6.0 * nvar, 0.5 * (lo + hi))
@@ -119,12 +121,16 @@ def xx1(params: KWTAParams, drive: jnp.ndarray) -> jnp.ndarray:
     if params.xx1_nvar <= 0.0:
         g = params.xx1_gain * drive
         return jnp.where(drive > 0, g / (g + 1.0), 0.0)
+    deg_a, deg_b = params.xx1_fit_degrees
     x0, mid, x1, ca, cb = _noisy_xx1_cheb(
-        float(params.xx1_gain), float(params.xx1_nvar)
+        float(params.xx1_gain), float(params.xx1_nvar), int(deg_a), int(deg_b)
     )
     ta = jnp.clip(2.0 * (drive - x0) / (mid - x0) - 1.0, -1.0, 1.0)
     tb = jnp.clip(2.0 * (drive - mid) / (x1 - mid) - 1.0, -1.0, 1.0)
     band = jnp.where(drive <= mid, _clenshaw(ta, ca), _clenshaw(tb, cb))
+    # low-degree fits ripple by ~their fit error around the near-zero left
+    # tail; the true convolution is nonnegative, so clamp the ripple out
+    band = jnp.maximum(band, 0.0)
     g = params.xx1_gain * drive
     clean_hi = g / (g + 1.0)
     out = jnp.where(drive >= x1, clean_hi, band)

@@ -177,33 +177,55 @@ def test_kwta_settle_convergence():
 
 def test_kwta_golden_snapshot():
     """Frozen activation snapshot (tests/goldens/kwta_golden.npz): any
-    change to the FFFB/XX1 dynamics shows up as a diff here."""
+    change to the FFFB/XX1 dynamics shows up as a diff here. The golden was
+    frozen at the round-2 settings (iters=20, fit degrees (24, 16)), pinned
+    here explicitly so the snapshot keeps guarding the DYNAMICS even as the
+    error-budgeted defaults evolve; the tuned defaults are additionally
+    checked against the same golden at the documented budget tolerance
+    (fit err 8e-5 + 4 unsettled iterations ~ 1e-2, see config.KWTAParams)."""
     import os
 
     g = np.load(os.path.join(os.path.dirname(__file__), "data",
                              "kwta_golden.npz"))
-    p = KWTAParams()
+    p = dataclasses.replace(KWTAParams(), iters=20, xx1_fit_degrees=(24, 16))
     pool = np.asarray(kwta_pool(p, jnp.asarray(g["raw4"])))
     layer = np.asarray(kwta_layer(p, jnp.asarray(g["raw2"])))
     np.testing.assert_allclose(pool, g["pool"], atol=2e-3)
     np.testing.assert_allclose(layer, g["layer"], atol=2e-3)
+    # tuned defaults: same dynamics within the documented error budget
+    pd = np.asarray(kwta_pool(KWTAParams(), jnp.asarray(g["raw4"])))
+    ld = np.asarray(kwta_layer(KWTAParams(), jnp.asarray(g["raw2"])))
+    np.testing.assert_allclose(pd, g["pool"], atol=1.2e-2)
+    np.testing.assert_allclose(ld, g["layer"], atol=1.2e-2)
 
 
-def test_xx1_cheb_matches_dense_convolution():
+@pytest.mark.parametrize(
+    "degrees,atol,mono_tol",
+    [
+        # tuned defaults: fit err 8e-5 (budget 1e-4); ripples of that
+        # amplitude in the near-flat left tail bound the monotone slack
+        ((16, 10), 3e-4, 1e-4),
+        # legacy high-degree fit: essentially exact
+        ((24, 16), 2e-4, 1e-6),
+    ],
+)
+def test_xx1_cheb_matches_dense_convolution(degrees, atol, mono_tol):
     """The device Chebyshev evaluation must track the dense
-    gaussian-convolved reference (_noisy_xx1_table) to ~1e-5 and remain
-    monotone over the full transition band."""
+    gaussian-convolved reference (_noisy_xx1_table) within the degree
+    pair's documented error budget and remain monotone (up to fit-error
+    ripple) over the full transition band."""
     from auditory_tpu.nn.kwta import _noisy_xx1_table
 
-    p = KWTAParams()
+    p = dataclasses.replace(KWTAParams(), xx1_fit_degrees=degrees)
     x0, x1, ys = _noisy_xx1_table(p.xx1_gain, p.xx1_nvar, n=4096)
     xs = np.linspace(x0, x1, 4096)
     got = np.asarray(xx1(p, jnp.asarray(xs, jnp.float32)))
-    # 2e-4: the two references use different gaussian quadratures (table:
-    # +-4sigma/257 pts; fit: +-5sigma/2049 pts) whose truncation difference
-    # is ~1.3e-4; the fit error itself is ~1e-6
-    np.testing.assert_allclose(got, ys, atol=2e-4)
-    assert np.all(np.diff(got) >= -1e-6)
+    # base 2e-4: the two references use different gaussian quadratures
+    # (table: +-4sigma/257 pts; fit: +-5sigma/2049 pts) whose truncation
+    # difference is ~1.3e-4; the fit error adds the rest
+    np.testing.assert_allclose(got, ys, atol=atol)
+    assert np.all(np.diff(got) >= -mono_tol)
+    assert np.all(got >= 0.0)  # ripple is clamped: never negative
     # clean XX1 above the band, zero below
     assert float(xx1(p, jnp.asarray(x0 - 0.01))) == 0.0
     hi = 2.0 * x1

@@ -45,9 +45,10 @@ def test_xx1_two_derivations_agree():
 
 
 def test_settle_matched_iterations_grid():
-    """At MATCHED iteration counts the two settles agree to <= 1e-5 across
-    the config grid (measured ~2e-6): this isolates the FFFB arithmetic +
-    XX1 evaluator agreement from the iteration policy."""
+    """At MATCHED iteration counts the two settles agree across the config
+    grid: <= 1.5e-4 at the tuned default fit degrees (measured 2e-5,
+    dominated by the (16, 10) fit's 8e-5 budget) -- this isolates the FFFB
+    arithmetic + XX1 evaluator agreement from the iteration policy."""
     base = KWTAParams()
     grid = [
         base,
@@ -68,7 +69,15 @@ def test_settle_matched_iterations_grid():
             ref = kwta_pool_ref(p, raw, max_cycles=p.iters, early_stop=False)
             got = np.asarray(kwta_pool(p, jnp.asarray(raw)))
             dev = np.abs(got - ref).max()
-            assert dev < 1e-5, (ci, seed, dev)
+            assert dev < 1.5e-4, (ci, seed, dev)
+    # at the legacy high-degree fit the agreement is f32-roundoff-grade
+    # (measured ~2e-6): the looser default bound above is purely the
+    # documented (16, 10) fit budget, not a dynamics deviation
+    p_hi = dataclasses.replace(base, xx1_fit_degrees=(24, 16))
+    raw = rand_acts((6, 4, 2, 4), seed=0)
+    ref = kwta_pool_ref(p_hi, raw, max_cycles=p_hi.iters, early_stop=False)
+    got = np.asarray(kwta_pool(p_hi, jnp.asarray(raw)))
+    assert np.abs(got - ref).max() < 1e-5
     # layer variant + external inhibition
     p = base
     raw = rand_acts((8, 16), seed=3)
@@ -76,7 +85,7 @@ def test_settle_matched_iterations_grid():
     ref = kwta_layer_ref(p, raw, ext_gi=eg.astype(np.float64),
                          max_cycles=p.iters, early_stop=False)
     got = np.asarray(kwta_layer(p, jnp.asarray(raw), jnp.asarray(eg)))
-    assert np.abs(got - ref).max() < 1e-5
+    assert np.abs(got - ref).max() < 1.5e-4
 
 
 def test_settle_early_stop_policy_bound():
