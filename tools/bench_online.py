@@ -29,6 +29,10 @@ def main() -> None:
                     help="float16 poll copies (multi-stream)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 quantized poll copies (multi-stream, lossy)")
+    ap.add_argument("--overload", action="store_true",
+                    help="also run the overload scenario: producers feed 4x "
+                    "faster than real time into bounded drop_oldest buffers; "
+                    "reports per-poll p50/p99 latency and drop counts")
     args = ap.parse_args()
 
     from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
@@ -95,6 +99,50 @@ def main() -> None:
         "aggregate_rtf": round(audio_sec / dt, 1),
         "segments": n_seg,
     }))
+
+    if args.overload:
+        # overload: each cycle feeds 400 ms of audio per stream but polls
+        # once -- drain capacity is one segment (100 ms stride) per stream
+        # per poll, so producers outrun poll() 4x. Bounded 2 s buffers with
+        # drop_oldest keep per-poll cost flat; the poll latency distribution
+        # under pressure is the serving p50/p99 (VERDICT r2 #6).
+        ms2 = MultiStreamOnline(
+            cfg, sr, n_streams=args.streams, outputs=outputs_sel,
+            transfer_dtype=td, max_buffer_seconds=2.0,
+            overflow="drop_oldest",
+        )
+        for _ in range(args.warmup):
+            for s in range(args.streams):
+                ms2.feed(
+                    s, (0.1 * rng.standard_normal(4 * chunk_n))
+                    .astype(np.float32),
+                )
+            list(ms2.poll())
+        lat2 = []
+        n_seg2 = 0
+        for _ in range(args.chunks):
+            for s in range(args.streams):
+                ms2.feed(
+                    s, (0.1 * rng.standard_normal(4 * chunk_n))
+                    .astype(np.float32),
+                )
+            t0 = time.perf_counter()
+            n_seg2 += sum(1 for _ in ms2.poll())
+            lat2.append(time.perf_counter() - t0)
+        dropped = sum(
+            ms2.dropped_segments(s) for s in range(args.streams)
+        )
+        print(json.dumps({
+            "metric": "multistream_overload_4x",
+            "streams": args.streams,
+            "poll_p50_ms": round(float(np.median(lat2)) * 1e3, 2),
+            "poll_p99_ms": round(float(np.quantile(lat2, 0.99)) * 1e3, 2),
+            "segments_emitted": n_seg2,
+            "segments_dropped": int(dropped),
+            "drop_frac": round(
+                dropped / max(dropped + n_seg2, 1), 3
+            ),
+        }))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,89 @@
+"""Frontend shoot-out on the current backend: the XLA strided-conv path at
+each precision tier vs the fused Pallas kernel at each manual-emulation pass
+count (ops/framefft.py), mel-only outputs so the frontend dominates.
+
+    tools/tpu_run.sh /tmp/pallas.log tools/bench_pallas.py [--batch N]
+
+Prints one JSON line per variant with ms/batch and RTF. The interesting
+comparisons (VERDICT r2 next-round #1):
+  conv_highest  the production exact-f32 headline (XLA 6-pass emulation)
+  pallas_6      the kernel's manual 6-pass -- same grade, fused, no 245 MB
+                coefficient tensor
+  conv_high / pallas_3   the ~2^-16 middle grade
+  conv_default / pallas_1  native bf16-operand dots (fast floor)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--seconds", type=float, default=3.0)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from auditory_tpu.config import SndEnvConfig
+    from auditory_tpu.pipeline.batch import BatchedSndEnv, bucket_length
+    from auditory_tpu.pipeline.sndenv import SndEnv
+    from auditory_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    sr = 16000
+    cfg = SndEnvConfig()  # no gabor/kwta needed for the frontend race
+    cfg = dataclasses.replace(
+        cfg, kwta=dataclasses.replace(cfg.kwta, on=False)
+    )
+    outs = ("mel_fbank_segment", "step_valid")
+
+    variants = [
+        ("conv_highest", dict(matmul_precision="highest")),
+        ("conv_high", dict(matmul_precision="high")),
+        ("conv_default", dict(matmul_precision="default")),
+        ("pallas_6", dict(use_pallas=True, pallas_passes=6)),
+        ("pallas_3", dict(use_pallas=True, pallas_passes=3)),
+        ("pallas_1", dict(use_pallas=True, pallas_passes=1)),
+    ]
+
+    rng = np.random.default_rng(0)
+    for name, kw in variants:
+        env = SndEnv(cfg, sr, dtype=jnp.float32, outputs=outs, **kw)
+        benv = BatchedSndEnv(env)
+        n = bucket_length(int(args.seconds * sr), env.timing)
+        t = np.arange(n) / sr
+        base = (0.1 * np.sin(2 * np.pi * 180 * t)
+                + 0.05 * np.sin(2 * np.pi * 1200 * t))
+        signals = (
+            base[None, :] + 0.02 * rng.standard_normal((args.batch, n))
+        ).astype(np.float32)
+        lengths = np.full(args.batch, n, np.int32)
+        sd = jax.device_put(jnp.asarray(signals))
+        ld = jax.device_put(jnp.asarray(lengths))
+        fn = benv.process_fn(n, 0)
+        for _ in range(3):
+            out, _ = fn(sd, ld)
+            jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out, _ = fn(sd, ld)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({
+            "variant": name,
+            "ms_per_batch": round(dt * 1e3, 3),
+            "rtf": round(float(lengths.sum()) / sr / dt, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--rate", type=int, default=16000,
+                    help="sample rate; 44100 profiles the 1102-pt-window "
+                    "geometry (VERDICT r2 #8)")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +41,7 @@ def main() -> None:
     from auditory_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    sr = 16000
+    sr = args.rate
     cfg = SndEnvConfig(
         gabor=GaborSet(
             size_x=9, size_y=9, stride_x=3, stride_y=3, gain=2.0,

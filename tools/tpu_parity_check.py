@@ -56,9 +56,10 @@ def make_batch(b: int, n: int) -> np.ndarray:
     return (base[None] + 0.1 * r.standard_normal((b, n))).astype(np.float32)
 
 
-def run(device, cfg, sigs, lens):
+def run(device, cfg, sigs, lens, use_pallas=False, passes=6):
     with jax.default_device(device):
-        env = SndEnv(cfg, SR, dtype=jnp.float32)
+        env = SndEnv(cfg, SR, dtype=jnp.float32, use_pallas=use_pallas,
+                     pallas_passes=passes)
         fn = BatchedSndEnv(env).process_fn(sigs.shape[1], 0)
         out, _ = fn(jnp.asarray(sigs), jnp.asarray(lens))
         return (
@@ -69,6 +70,17 @@ def run(device, cfg, sigs, lens):
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--pallas", type=int, default=0, choices=(0, 1, 3, 6),
+        help="probe the fused Pallas frontend at this pass count on TPU "
+        "(vs the CPU f32 conv reference) instead of the default conv path; "
+        "bounds scale with the pass count's documented grade",
+    )
+    args = ap.parse_args()
+
     tpu_devs = [d for d in jax.devices() if d.platform != "cpu"]
     assert tpu_devs, (
         f"no accelerator visible ({jax.devices()}); this probe compares two "
@@ -81,7 +93,10 @@ def main() -> None:
     sigs = make_batch(b, n)
     lens = np.full(b, n, np.int32)
 
-    pow_t, mel_t, gab_t = run(tpu_devs[0], cfg, sigs, lens)
+    pow_t, mel_t, gab_t = run(
+        tpu_devs[0], cfg, sigs, lens,
+        use_pallas=bool(args.pallas), passes=args.pallas or 6,
+    )
     pow_c, mel_c, gab_c = run(cpu, cfg, sigs, lens)
 
     def rep(tag, a, b, bound, relative_to_peak):
@@ -92,19 +107,34 @@ def main() -> None:
         print(f"{tag}: max {kind} dev {d:.3e} (bound {bound:g})")
         assert d <= bound, f"{tag} deviates: {d:.3e} > {bound:g}"
 
-    # power is linear in (signal x basis): ulp-level rel-to-peak.
-    rep("power TPU vs CPU-f32", pow_t, pow_c, 2e-6, relative_to_peak=True)
+    # bounds by grade: passes=6 / the conv path are full f32 emulation
+    # (ulp-level); passes=3 truncates at 2 bf16 limbs (~2^-16 rel, i.e.
+    # ~10x f32 roundoff on power sums, log-amplified at quiet mel bins);
+    # passes=1 is the documented bf16-operand mode and must FAIL the exact
+    # bounds -- probe it only to see the measured numbers.
+    tag = f"pallas-{args.pallas}p" if args.pallas else "conv"
+    if args.pallas == 3:
+        bounds = (3e-5, 3e-3, 3e-3)
+    elif args.pallas == 1:
+        bounds = (5e-3, 5e-1, 5e-1)  # bf16 grade: diagnostic only
+    else:
+        bounds = (2e-6, 3e-4, 3e-4)
+    # power is linear in (signal x basis): rel-to-peak at the grade's level.
+    rep(f"power TPU[{tag}] vs CPU-f32", pow_t, pow_c, bounds[0],
+        relative_to_peak=True)
     # log-mel: abs log error == REL error of the mel sum at that bin, and
     # the quietest bins sit ~1e2 below peak (mel LogOff=0 keeps them
     # unshifted), so f32-roundoff shows as ~1e-4 abs there (measured
     # 1.05e-4). bf16 operands would put ~2.5e-3 rel error on every sum ->
     # ~2.5e-1 abs here, 1000x this bound.
-    rep("mel   TPU vs CPU-f32", mel_t, mel_c, 3e-4, relative_to_peak=False)
-    # gabor convolves the log-mel plane: linear in its (already ~1e-4-abs)
-    # input, so rel-to-peak inherits that scale.
-    rep("gabor TPU vs CPU-f32", gab_t, gab_c, 3e-4, relative_to_peak=True)
-    print("OK: TPU f32 pipeline matches CPU f32 to f32-roundoff (bf16 would "
-          "exceed these bounds ~1000x)")
+    rep(f"mel   TPU[{tag}] vs CPU-f32", mel_t, mel_c, bounds[1],
+        relative_to_peak=False)
+    # gabor convolves the log-mel plane: linear in its input, so
+    # rel-to-peak inherits the mel grade's scale.
+    rep(f"gabor TPU[{tag}] vs CPU-f32", gab_t, gab_c, bounds[2],
+        relative_to_peak=True)
+    print(f"OK: TPU f32 pipeline [{tag}] matches CPU f32 at its documented "
+          "grade (native bf16 operands would exceed the exact bounds ~1000x)")
 
 
 if __name__ == "__main__":
