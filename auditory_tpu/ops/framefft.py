@@ -91,6 +91,51 @@ def residue_grouping(rems: Tuple[int, ...]):
     return variant_slots, row_of_slot
 
 
+def _n_limbs(passes: int) -> int:
+    """bf16 limbs per f32 operand for a pass count: 1 -> native single dot,
+    3 -> 2 limbs (hi/lo, skip lo*lo), 6 -> 3 limbs (XLA HIGHEST's full f32
+    emulation: products b_i * c_j with i + j <= 2)."""
+    if passes == 1:
+        return 1
+    if passes == 3:
+        return 2
+    if passes == 6:
+        return 3
+    raise ValueError(f"passes must be 1, 3 or 6, got {passes}")
+
+
+def _split_limbs(x: jnp.ndarray, n: int):
+    """In-kernel f32 -> n bf16 limbs (each residual subtraction is exact in
+    f32, the standard multi-word emulation split)."""
+    limbs = []
+    r = x
+    for _ in range(n):
+        h = r.astype(jnp.bfloat16)
+        limbs.append(h)
+        r = r - h.astype(jnp.float32)
+    return limbs
+
+
+def _limb_dot(x_limbs, y_limbs, passes: int) -> jnp.ndarray:
+    """Sum of the significant bf16 cross-products b_i * c_j (i + j < n_limbs)
+    accumulated in f32 on the MXU; smallest terms first so the biggest
+    product lands last in the f32 additions."""
+    n = len(x_limbs)
+    terms = [
+        (i + j, i, j)
+        for i in range(n)
+        for j in range(n)
+        if i + j < n
+    ]
+    acc = None
+    for _, i, j in sorted(terms, reverse=True):
+        d = jnp.dot(
+            x_limbs[i], y_limbs[j], preferred_element_type=jnp.float32
+        )
+        acc = d if acc is None else acc + d
+    return acc
+
+
 def _make_kernel(
     *,
     win: int,
@@ -106,6 +151,7 @@ def _make_kernel(
     mel_log_off: float,
     mel_log_min: float,
     comp_log: bool,
+    passes: int,
 ):
     # Mosaic on this TPU supports neither unaligned dynamic loads nor
     # unaligned static value-slices, so the residue shift moves into the
@@ -118,6 +164,8 @@ def _make_kernel(
     # block/period slots (minimal FLOPs); output rows come out grouped and the
     # caller de-permutes with a static row gather (see residue_grouping)
     variant_slots, _ = residue_grouping(rems)
+
+    nl = _n_limbs(passes)
 
     def kernel(signal_ref, cos_ref, sin_ref, melw_ref, power_ref, logp_ref, mel_ref):
         wblk = pl.program_id(1)
@@ -133,20 +181,30 @@ def _make_kernel(
                 aligned = pl.multiple_of(dyn + stat_aligned[u], 128)
                 rows.append(signal_ref[0, 0, pl.ds(aligned, chunk)])
             group = jnp.stack(rows)  # [block/period, chunk]
-            # NOTE on precision: these dots run at the MXU's native f32
-            # precision, i.e. bf16-rounded operands. Passing
-            # precision='highest' here does NOT make the on-chip kernel
-            # match the exact-f32 conv path (measured: same ~bf16-grade
-            # deviation at quiet mel bins) and costs ~2.4x -- the exact
-            # 6-pass decomposition is an XLA-level rewrite Mosaic does not
-            # replicate. The kernel is therefore documented as the
-            # reduced-precision frontend; the default conv path is exact.
-            re_groups.append(
-                jnp.dot(group, cos_ref[v], preferred_element_type=jnp.float32)
-            )
-            im_groups.append(
-                jnp.dot(group, sin_ref[v], preferred_element_type=jnp.float32)
-            )
+            if passes == 1:
+                # NOTE on precision: single-pass dots run at the MXU's
+                # native f32 precision, i.e. bf16-rounded operands (~2.5e-3
+                # rel power error). The in-kernel `precision=` argument
+                # does not help (measured: unchanged deviation, 2.4x cost)
+                # -- XLA's multi-pass f32 emulation is an HLO-level rewrite
+                # Mosaic does not replicate. passes=3/6 below perform that
+                # emulation MANUALLY via bf16 limb splits.
+                re_groups.append(
+                    jnp.dot(
+                        group, cos_ref[v], preferred_element_type=jnp.float32
+                    )
+                )
+                im_groups.append(
+                    jnp.dot(
+                        group, sin_ref[v], preferred_element_type=jnp.float32
+                    )
+                )
+            else:
+                g_limbs = _split_limbs(group, nl)
+                cos_l = [cos_ref[l, v] for l in range(nl)]
+                sin_l = [sin_ref[l, v] for l in range(nl)]
+                re_groups.append(_limb_dot(g_limbs, cos_l, passes))
+                im_groups.append(_limb_dot(g_limbs, sin_l, passes))
         re = jnp.concatenate(re_groups, axis=0)  # [block, k_pad] grouped order
         im = jnp.concatenate(im_groups, axis=0)
         power = re * re + im * im
@@ -160,10 +218,16 @@ def _make_kernel(
         else:
             logp_ref[0] = jnp.zeros_like(power)
 
-        mel_sum = (
-            jnp.dot(power, melw_ref[:, :], preferred_element_type=jnp.float32)
-            + mel_log_off
-        )
+        if passes == 1:
+            mel_sum = jnp.dot(
+                power, melw_ref[:, :], preferred_element_type=jnp.float32
+            )
+        else:
+            p_limbs = _split_limbs(power, nl)
+            mel_sum = _limb_dot(
+                p_limbs, [melw_ref[l] for l in range(nl)], passes
+            )
+        mel_sum = mel_sum + mel_log_off
         mel_ref[0] = jnp.where(
             mel_sum == 0.0,
             mel_log_min,
@@ -188,11 +252,19 @@ def fused_frame_power_mel(
     dft: DFTParams,
     fbank: FilterBank,
     interpret: bool = False,
+    passes: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused frontend on the uniform grid start_i = step*i + offset0.
 
     Returns (power, log_power, log_mel): [B, n_win, n_bins] x2,
     [B, n_win, n_mel].
+
+    ``passes`` selects the dots' f32 emulation level (manual bf16 limb
+    decomposition, since Mosaic does not replicate XLA's HLO-level
+    multi-pass rewrite): 1 = native MXU (bf16-rounded operands, ~2.5e-3
+    rel power error), 3 = hi/lo limbs skipping the lo*lo term (~1e-5 rel,
+    XLA `precision=HIGH` equivalent), 6 = three limbs / six products (full
+    f32 emulation, XLA `precision=HIGHEST` equivalent).
     """
     assert dft.prev_smooth == 0.0, "prev_smooth>0 uses the XLA path"
     b, s = signals.shape
@@ -236,6 +308,15 @@ def fused_frame_power_mel(
         cos_v = cos_v.at[i, r : r + win].set(cos_basis)
         sin_v = sin_v.at[i, r : r + win].set(sin_basis)
 
+    nl = _n_limbs(passes)
+    melw = mel_weights
+    if passes > 1:
+        # pre-split the constant operands into bf16 limbs on the host
+        # (leading limb axis; bf16 halves each limb's VMEM bytes)
+        cos_v = jnp.stack(_split_limbs(cos_v, nl))      # [nl, n_res, chunk, k]
+        sin_v = jnp.stack(_split_limbs(sin_v, nl))
+        melw = jnp.stack(_split_limbs(jnp.asarray(mel_weights), nl))
+
     kernel = _make_kernel(
         win=win,
         chunk=chunk,
@@ -250,6 +331,7 @@ def fused_frame_power_mel(
         mel_log_off=float(fbank.log_off),
         mel_log_min=float(fbank.log_min),
         comp_log=bool(dft.comp_log_pow),
+        passes=passes,
     )
 
     grid = (b, n_pad // block)
@@ -258,16 +340,31 @@ def fused_frame_power_mel(
         jax.ShapeDtypeStruct((b, n_pad, k_pad), jnp.float32),
         jax.ShapeDtypeStruct((b, n_pad, m_pad), jnp.float32),
     ]
-    flops = 2 * b * n_pad * win * k_pad * 2 + 2 * b * n_pad * k_pad * m_pad
+    flops = passes * (
+        2 * b * n_pad * win * k_pad * 2 + 2 * b * n_pad * k_pad * m_pad
+    )
+    if passes == 1:
+        basis_specs = [
+            pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
+            pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
+            pl.BlockSpec((k_pad, m_pad), lambda bi, wi: (0, 0)),
+        ]
+    else:
+        basis_specs = [
+            pl.BlockSpec(
+                (nl, n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (nl, n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0, 0)
+            ),
+            pl.BlockSpec((nl, k_pad, m_pad), lambda bi, wi: (0, 0, 0)),
+        ]
     power, logp, mel = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, s_pad), lambda bi, wi: (bi, 0, 0)),
-            pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
-            pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
-            pl.BlockSpec((k_pad, m_pad), lambda bi, wi: (0, 0)),
-        ],
+        ] + basis_specs,
         out_specs=[
             pl.BlockSpec((1, block, k_pad), lambda bi, wi: (bi, wi, 0)),
             pl.BlockSpec((1, block, k_pad), lambda bi, wi: (bi, wi, 0)),
@@ -280,7 +377,7 @@ def fused_frame_power_mel(
             bytes_accessed=4 * (b * s_pad + b * n_pad * (2 * k_pad + m_pad)),
             transcendentals=b * n_pad * (k_pad + m_pad),
         ),
-    )(sig, cos_v, sin_v, mel_weights)
+    )(sig, cos_v, sin_v, melw)
 
     # de-permute grouped kernel output rows back to window order (shared
     # grouping definition with the kernel: residue_grouping)

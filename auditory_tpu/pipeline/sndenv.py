@@ -120,6 +120,7 @@ class SndEnv:
         dtype=jnp.float32,
         spectrum_method: Optional[str] = None,
         use_pallas: Optional[bool] = None,
+        pallas_passes: int = 6,
         outputs: Optional[Tuple[str, ...]] = None,
         channels: int = 1,
         feature_stats: bool = False,
@@ -203,6 +204,10 @@ class SndEnv:
                 "(2D or 4D; sndenv.go:220-222)"
             )
         self.use_pallas = bool(use_pallas)
+        from ..ops.framefft import _n_limbs
+
+        _n_limbs(pallas_passes)  # validate: 1, 3 or 6
+        self.pallas_passes = int(pallas_passes)
         self._pallas_interpret = jax.default_backend() != "tpu"
 
         # host-built constants
@@ -369,6 +374,7 @@ class SndEnv:
             dft=self.cfg.dft,
             fbank=self.cfg.mel.fbank,
             interpret=self._pallas_interpret,
+            passes=self.pallas_passes,
         )
 
     def _build(self, n_samples: int, add_ms: int):

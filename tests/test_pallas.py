@@ -101,3 +101,44 @@ def test_pallas_requires_f32_and_no_smooth():
     cfg2 = dataclasses.replace(cfg, dft=DFTParams(prev_smooth=0.3))
     with pytest.raises(ValueError):
         SndEnv(cfg2, SR, dtype=jnp.float32, use_pallas=True)
+
+
+@pytest.mark.parametrize("passes,atol", [(1, 2e-4), (3, 5e-3), (6, 2e-4)])
+def test_pallas_passes_variants(passes, atol):
+    """The emulation levels track the XLA path at their documented grades.
+    Interpret mode evaluates the bf16 limb casts literally, so passes=3
+    carries its real ~2^-16 truncation (log-amplified at quiet mel bins)
+    while passes=6 reconstructs f32 exactly; passes=1 is trivially f32 here
+    because interpret-mode dots do not round operands like the MXU."""
+    cfg = default_cfg_2d()
+    xla = SndEnv(cfg, SR, dtype=jnp.float32, spectrum_method="matmul",
+                 use_pallas=False)
+    pal = SndEnv(cfg, SR, dtype=jnp.float32, spectrum_method="matmul",
+                 use_pallas=True, pallas_passes=passes)
+    sig = xla.pad(tone(987.0, 0.25, SR)).astype(np.float32)
+    o1, o2 = xla.process(sig), pal.process(sig)
+    np.testing.assert_allclose(
+        np.asarray(o1.mel_fbank_segment), np.asarray(o2.mel_fbank_segment),
+        rtol=1e-5, atol=atol,
+    )
+    with pytest.raises(ValueError, match="passes"):
+        SndEnv(cfg, SR, use_pallas=True, pallas_passes=2)
+
+
+def test_limb_split_exact():
+    """The bf16 limb split must reconstruct f32 exactly at 3 limbs (24
+    mantissa bits) and to ~2^-16 at 2 limbs."""
+    from auditory_tpu.ops.framefft import _split_limbs
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(
+        (r.standard_normal(4096) * np.exp(r.uniform(-20, 20, 4096)))
+        .astype(np.float32)
+    )
+    l3 = _split_limbs(x, 3)
+    recon3 = sum(h.astype(jnp.float32) for h in l3)
+    np.testing.assert_array_equal(np.asarray(recon3), np.asarray(x))
+    l2 = _split_limbs(x, 2)
+    recon2 = sum(h.astype(jnp.float32) for h in l2)
+    err = np.abs(np.asarray(recon2 - x)) / np.maximum(np.abs(np.asarray(x)), 1e-30)
+    assert err.max() < 2 ** -15
