@@ -8,7 +8,11 @@ Shows the recommended production-serving setup for
 - pick a transfer tier (float16 halves the per-poll host copy, which is
   what caps stream capacity on a byte-bound link);
 - feed arbitrary chunk sizes per stream; poll runs ONE batched device call
-  for every stream with a segment pending.
+  for every stream with a segment pending;
+- bound the per-stream buffers and pick an overload policy
+  (``max_buffer_seconds`` + ``overflow='error'|'drop_oldest'``) so
+  producers that outrun poll() get backpressure or bounded shedding
+  instead of unbounded memory growth.
 
 Outputs are bit-identical (f32 tier) to each stream's offline run -- the
 same contract tests/test_online.py pins.
@@ -55,6 +59,10 @@ def main() -> None:
         cfg, sr, n_streams=args.streams,
         outputs=("mel_fbank_segment", "gabor_kwta", "step_valid"),
         transfer_dtype=jnp.float16 if args.f16 else None,
+        # production overload policy: bounded buffers + backpressure (a
+        # feed that would overflow raises BufferOverflow; this demo's
+        # feed/poll cadence never accumulates more than one chunk)
+        max_buffer_seconds=10.0, overflow="error",
     )
 
     rng = np.random.default_rng(0)
