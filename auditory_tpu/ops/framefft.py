@@ -44,7 +44,7 @@ asserted in interpret mode, tests/test_pallas.py).
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -253,6 +253,7 @@ def fused_frame_power_mel(
     fbank: FilterBank,
     interpret: bool = False,
     passes: int = 1,
+    block_windows: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused frontend on the uniform grid start_i = step*i + offset0.
 
@@ -273,7 +274,10 @@ def fused_frame_power_mel(
     chunk = _round_up(win, 128) + 128  # window + up-to-127 residue slack
 
     p = 128 // math.gcd(step_samples, 128)
-    block = _round_up(max(p, 64), p)  # meatier blocks: fewer grid steps, M=block/p rows per matmul
+    # block sets M = block/p rows per residue-variant matmul: 64 -> M=16 at
+    # the default step (MXU 12.5% row-utilized); block_windows=512 -> M=128
+    # (full MXU rows) at the cost of up-to-block-1 windows of pad work
+    block = _round_up(max(p, block_windows or 64), p)
     if not supported_geometry(step_samples, max_block=64, win=win):
         raise ValueError(
             f"step={step_samples}: residue period {p} too large for the "

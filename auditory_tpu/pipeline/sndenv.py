@@ -121,6 +121,7 @@ class SndEnv:
         spectrum_method: Optional[str] = None,
         use_pallas: Optional[bool] = None,
         pallas_passes: int = 6,
+        pallas_block: Optional[int] = None,
         outputs: Optional[Tuple[str, ...]] = None,
         channels: int = 1,
         feature_stats: bool = False,
@@ -208,6 +209,7 @@ class SndEnv:
 
         _n_limbs(pallas_passes)  # validate: 1, 3 or 6
         self.pallas_passes = int(pallas_passes)
+        self.pallas_block = pallas_block
         self._pallas_interpret = jax.default_backend() != "tpu"
 
         # host-built constants
@@ -375,6 +377,7 @@ class SndEnv:
             fbank=self.cfg.mel.fbank,
             interpret=self._pallas_interpret,
             passes=self.pallas_passes,
+            block_windows=self.pallas_block,
         )
 
     def _build(self, n_samples: int, add_ms: int):

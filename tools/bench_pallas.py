@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--block", type=int, default=None,
+                    help="pallas block_windows (M = block/period rows per "
+                    "residue matmul; default 64 -> M=16, 512 -> M=128)")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +57,12 @@ def main() -> None:
         ("pallas_3", dict(use_pallas=True, pallas_passes=3)),
         ("pallas_1", dict(use_pallas=True, pallas_passes=1)),
     ]
+    if args.block:
+        variants = [
+            (f"{n}_blk{args.block}", dict(kw, pallas_block=args.block))
+            if n.startswith("pallas") else (n, kw)
+            for n, kw in variants
+        ]
 
     rng = np.random.default_rng(0)
     for name, kw in variants:
