@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--block", type=int, default=None,
                     help="pallas block_windows (M = block/period rows per "
                     "residue matmul; default 64 -> M=16, 512 -> M=128)")
+    ap.add_argument("--rate", type=int, default=16000,
+                    help="sample rate; pallas variants auto-skip when the "
+                    "step's residue period exceeds the block (e.g. 44100)")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +45,7 @@ def main() -> None:
     from auditory_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    sr = 16000
+    sr = args.rate
     cfg = SndEnvConfig()  # no gabor/kwta needed for the frontend race
     cfg = dataclasses.replace(
         cfg, kwta=dataclasses.replace(cfg.kwta, on=False)
@@ -63,6 +66,12 @@ def main() -> None:
             if n.startswith("pallas") else (n, kw)
             for n, kw in variants
         ]
+
+    from auditory_tpu.ops.framefft import supported_geometry
+
+    t = cfg.params.derive(sr)
+    if not supported_geometry(t.step_samples, max_block=args.block or 64):
+        variants = [v for v in variants if not v[0].startswith("pallas")]
 
     rng = np.random.default_rng(0)
     for name, kw in variants:
