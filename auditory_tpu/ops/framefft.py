@@ -29,16 +29,23 @@ Caller contract: signal pre-padded so every window start is >= 0 and
 start + chunk <= len(signal_padded); invalid steps are masked by the caller
 (they read zero padding here). prev_smooth > 0 uses the XLA path.
 
-PRECISION: the kernel's MXU dots run at the hardware's native f32 dot
-precision -- bf16-rounded operands (~2.5e-3 relative on the power spectrum;
-quiet log-mel bins, whose true sums sit far below the dot's absolute error
-floor, can deviate by O(1) in the log domain). The in-kernel `precision=`
-argument does not replicate XLA's exact 6-pass f32 decomposition on this
-backend (measured: unchanged deviation, 2.4x slower). The default conv
-frontend (dsp/dft.py) IS exact f32 -- this kernel is the opt-in
-reduced-precision/fused alternative (measured 4.33 ms vs the exact conv's
-4.86 ms for mel-only at B=512 x 3 s; correctness of the algorithm itself is
-asserted in interpret mode, tests/test_pallas.py).
+PRECISION (round 3): the in-kernel `precision=` argument cannot replicate
+XLA's multi-pass f32 emulation (an HLO-level rewrite Mosaic does not
+perform), so the kernel performs it MANUALLY: f32 operands split into bf16
+limbs (constants pre-split on the host; signal/power split in-kernel) and
+the significant cross-products accumulated on the MXU. ``passes=1`` is the
+native bf16-operand mode (~2.5e-3 rel power error), ``passes=3`` the hi/lo
+grade (~2^-16), ``passes=6`` full f32 emulation -- verified on chip at the
+same exact-f32 parity bounds as the conv path (power 7.0e-7 rel-to-peak,
+mel 1.05e-4 abs; tools/tpu_parity_check.py --pallas 6).
+
+PERFORMANCE: the default conv frontend remains faster at every matched
+grade (B=512 x 3 s mel-only: conv HIGHEST 4.78 ms vs passes=6 10.2 ms at
+block=64; conv default 3.25 ms vs passes=1 4.16 ms) -- the residue-grouped
+matmuls see only M = block/period rows (16 at the default geometry, 12.5%
+of the MXU), where the conv's implicit GEMM tiles full rows. See
+BENCH_NOTES_r03.md for the block-size sweep; the kernel stays the opt-in
+fallback position.
 """
 
 from __future__ import annotations

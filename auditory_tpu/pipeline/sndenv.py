@@ -188,12 +188,11 @@ class SndEnv:
         if use_pallas is None:
             # default OFF: the strided-conv frontend (power_spectrum_conv,
             # exact f32 via precision=HIGHEST) is the production path. The
-            # fused kernel's MXU dots run at the hardware's native bf16
-            # operand precision (Mosaic cannot replicate XLA's exact 6-pass
-            # f32 decomposition), so on chip it is a REDUCED-PRECISION
-            # alternative: ~11% faster for mel-only (4.33 vs 4.86 ms at
-            # B=512 x 3 s) but ~2.5e-3 rel power error and O(1) log-domain
-            # deviation at quiet mel bins. See ops/framefft.py PRECISION.
+            # fused kernel now reaches the same exact-f32 grade via manual
+            # bf16 limb emulation (pallas_passes=6, verified on chip), but
+            # the conv is FASTER at every matched grade -- the kernel's
+            # residue-grouped matmuls row-starve the MXU. See
+            # ops/framefft.py PRECISION/PERFORMANCE + BENCH_NOTES_r03.md.
             use_pallas = False
         elif use_pallas and not pallas_ok:
             raise ValueError(
