@@ -30,6 +30,7 @@ from .design import dft_matrices
 __all__ = [
     "power_spectrum",
     "power_spectrum_conv",
+    "power_spectrum_frames",
     "smooth_power",
     "log_power",
     "dft_power_pipeline",
@@ -100,6 +101,68 @@ def power_spectrum_conv(
     im = out[:, k:, :]
     power = re * re + im * im
     return jnp.moveaxis(power, 1, 2)  # [B, n_windows, K]
+
+
+def power_spectrum_frames(
+    signals: jnp.ndarray,
+    basis: Tuple[jnp.ndarray, jnp.ndarray],
+    step_samples: int,
+    offset0: int,
+    n_windows: int,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """DFT power of uniformly-strided windows as J = ceil(W/step) dense
+    shifted GEMMs over step-aligned frames — no conv, no gather.
+
+    Window i = sig[i·step+offset0 : +W] is the concatenation of frames
+    i..i+J-1, where frame t = sig[t·step+offset0 : +step] (the final block
+    possibly partial). Hence
+
+        re[i] = Σ_j frames[i+j] @ cos[j·step : (j+1)·step]
+
+    and each j-term is ONE [B, n_windows, step] @ [step, 2K] GEMM whose M
+    dimension is the full window count — perfect MXU row tiling. The
+    strided-conv lowering of the same contraction (power_spectrum_conv)
+    measured 3× off its FLOP floor at 16 kHz and ~6× at 44.1 kHz (its
+    HIGH == HIGHEST there, i.e. lowering-bound, not pass-bound); this
+    formulation trades (J·step − W)/W extra FLOPs (+20% at both default
+    geometries) for dense GEMMs. Same zero-fill semantics for negative
+    window positions (sndenv.go:455-478); bit-equivalent to f32 roundoff
+    (the W-length dot splits into J partial sums, so rounding differs by
+    ~1 ulp like any HIGHEST-grade reassociation — see
+    tools/tpu_parity_check.py).
+
+    Args/returns: identical to :func:`power_spectrum_conv`.
+    """
+    cos_m, sin_m = basis
+    w, k = cos_m.shape
+    b, s = signals.shape
+    step = step_samples
+    j_blocks = max(1, -(-w // step))
+
+    if offset0 > 0:
+        signals = signals[:, offset0:]
+        s -= offset0
+        offset0 = 0
+    pad_l = -offset0
+    n_frames = n_windows + j_blocks - 1
+    pad_r = max(0, n_frames * step - (s + pad_l))
+    sig = jnp.pad(signals, ((0, 0), (pad_l, pad_r)))
+    frames = sig[:, : n_frames * step].reshape(b, n_frames, step)
+
+    kernel = jnp.concatenate([cos_m, sin_m], axis=1)  # [W, 2K]
+    acc = None
+    for j in range(j_blocks):
+        bj = kernel[j * step : min((j + 1) * step, w)]  # [step_j, 2K]
+        fr = frames[:, j : j + n_windows, : bj.shape[0]]
+        term = jnp.matmul(
+            fr, bj, precision=precision,
+            preferred_element_type=signals.dtype,
+        )
+        acc = term if acc is None else acc + term
+    re = acc[..., :k]
+    im = acc[..., k:]
+    return re * re + im * im  # [B, n_windows, K]
 
 
 def power_spectrum(

@@ -220,7 +220,7 @@ class SndEnv:
         self.analysis_win = design.analysis_window(
             cfg.dft.window_fn, self.timing.win_samples
         )
-        if spectrum_method in ("matmul", "conv") or self.use_pallas:
+        if spectrum_method in ("matmul", "conv", "frames") or self.use_pallas:
             cos_m, sin_m = design.dft_matrices(self.timing.win_samples)
             if self.analysis_win is not None:
                 # fold the analysis window into the DFT basis rows
@@ -335,7 +335,7 @@ class SndEnv:
             # 'conv' exists only on the uniform window grid; off-grid the
             # identical math runs as the windows @ basis matmul
             method=(
-                "matmul" if self.spectrum_method == "conv"
+                "matmul" if self.spectrum_method in ("conv", "frames")
                 else self.spectrum_method
             ),
             basis=basis,
@@ -440,12 +440,26 @@ class SndEnv:
                     from ..dsp.mel import mel_renorm
 
                     mel_vals = mel_renorm(mel_vals, cfg.mel.fbank)
-            elif map_idx is not None and self.spectrum_method in ("matmul", "conv"):
-                # uniform window grid: frame+DFT as ONE strided conv (no
-                # gather, no materialized windows; see power_spectrum_conv)
-                from ..dsp.dft import log_power, power_spectrum_conv
+            elif map_idx is not None and self.spectrum_method in (
+                "matmul", "conv", "frames"
+            ):
+                # uniform window grid, no materialized windows and no
+                # gather: 'frames' = J shifted dense GEMMs over
+                # step-aligned frames (power_spectrum_frames); 'matmul'
+                # (default) / 'conv' = ONE strided conv
+                # (power_spectrum_conv)
+                from ..dsp.dft import (
+                    log_power,
+                    power_spectrum_conv,
+                    power_spectrum_frames,
+                )
 
-                power = power_spectrum_conv(
+                frontend = (
+                    power_spectrum_frames
+                    if self.spectrum_method == "frames"
+                    else power_spectrum_conv
+                )
+                power = frontend(
                     signals,
                     basis,
                     t.step_samples,

@@ -8,7 +8,11 @@ import numpy as np
 import pytest
 
 from auditory_tpu.dsp.design import dft_matrices
-from auditory_tpu.dsp.dft import power_spectrum, power_spectrum_conv
+from auditory_tpu.dsp.dft import (
+    power_spectrum,
+    power_spectrum_conv,
+    power_spectrum_frames,
+)
 from auditory_tpu.dsp.frame import extract_windows
 
 
@@ -55,6 +59,30 @@ def test_conv_matches_gather_matmul(w, step, offset0):
     got = got * valid[None, :, None]
     scale = np.abs(want).max() or 1.0
     np.testing.assert_allclose(got / scale, want / scale, atol=1e-12)
+    # the shifted-GEMM frames formulation: identical semantics for the same
+    # grid (incl. win < step -> single partial block, odd W, overruns)
+    got_f = np.asarray(
+        power_spectrum_frames(
+            jnp.asarray(signals), basis, step, offset0, n_windows
+        )
+    ) * valid[None, :, None]
+    np.testing.assert_allclose(got_f / scale, want / scale, atol=1e-12)
+
+
+def test_frames_win_smaller_than_step():
+    """W < step: a single partial frame block per window."""
+    rng = np.random.default_rng(5)
+    w, step = 48, 100
+    signals = rng.standard_normal((2, 1000))
+    cos_m, sin_m = dft_matrices(w)
+    basis = (jnp.asarray(cos_m), jnp.asarray(sin_m))
+    got = np.asarray(
+        power_spectrum_frames(jnp.asarray(signals), basis, step, 0, 9)
+    )
+    want = np.asarray(
+        power_spectrum_conv(jnp.asarray(signals), basis, step, 0, 9)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10)
 
 
 def test_windowed_basis():

@@ -56,6 +56,12 @@ def main() -> None:
         ("conv_highest", dict(matmul_precision="highest")),
         ("conv_high", dict(matmul_precision="high")),
         ("conv_default", dict(matmul_precision="default")),
+        ("frames_highest", dict(spectrum_method="frames",
+                                matmul_precision="highest")),
+        ("frames_high", dict(spectrum_method="frames",
+                             matmul_precision="high")),
+        ("frames_default", dict(spectrum_method="frames",
+                                matmul_precision="default")),
         ("pallas_6", dict(use_pallas=True, pallas_passes=6)),
         ("pallas_3", dict(use_pallas=True, pallas_passes=3)),
         ("pallas_1", dict(use_pallas=True, pallas_passes=1)),
