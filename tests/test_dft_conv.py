@@ -141,3 +141,27 @@ def test_matmul_precision_knob():
     np.testing.assert_array_equal(outs["highest"], outs["high"])
     with _pytest.raises(ValueError, match="matmul_precision"):
         SndEnv(default_cfg_2d(), 16000, matmul_precision="fast")
+
+
+def test_auto_frontend_44k_matches_conv_pipeline():
+    """The 'matmul' auto-selection routes odd strides (44.1 kHz step=441,
+    gcd(441,128)=1) to the frames GEMMs; outputs must match an explicit
+    conv run to f32 roundoff."""
+    from auditory_tpu.config import SndEnvConfig
+    from auditory_tpu.pipeline.sndenv import SndEnv
+
+    sr = 44100
+    rng = np.random.default_rng(3)
+    sig = (0.2 * np.sin(2 * np.pi * 1000 * np.arange(sr) / sr)
+           + 0.02 * rng.standard_normal(sr)).astype(np.float32)
+    cfg = SndEnvConfig()
+    outs = ("power_segment", "mel_fbank_segment", "step_valid")
+    auto = SndEnv(cfg, sr, dtype=jnp.float32, outputs=outs)  # 'matmul' auto
+    conv = SndEnv(cfg, sr, dtype=jnp.float32, spectrum_method="conv",
+                  outputs=outs)
+    oa = auto.process(auto.pad(sig))
+    oc = conv.process(conv.pad(sig))
+    pa, pc = np.asarray(oa.power_segment), np.asarray(oc.power_segment)
+    assert np.abs(pa - pc).max() / np.abs(pc).max() < 1e-5
+    ma, mc = np.asarray(oa.mel_fbank_segment), np.asarray(oc.mel_fbank_segment)
+    np.testing.assert_allclose(ma, mc, atol=5e-4)
