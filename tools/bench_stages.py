@@ -54,6 +54,8 @@ def main() -> None:
     gabor = ("gabor_raw", "gabor_kwta")
     variants = [
         ("mel_only", cfg_nok, ("mel_fbank_segment", "step_valid")),
+        ("mel_mfcc_nodeltas", cfg_nok,
+         ("mel_fbank_segment", "step_valid", "mfcc_segment", "energy")),
         ("mel_mfcc", cfg_nok, ("mel_fbank_segment", "step_valid") + mfcc),
         ("mel_gabor", cfg_nok, ("mel_fbank_segment", "step_valid") + gabor),
         ("features", cfg_nok, ("mel_fbank_segment", "step_valid") + mfcc + gabor),
