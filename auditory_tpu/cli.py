@@ -266,6 +266,10 @@ def cmd_segment(args) -> int:
     s, e, steps = pipe.setup(start_ms, end_ms)
 
     if not args.compare:
+        if args.html:
+            print("--html requires --compare (the report renders an A/B "
+                  "pair)", file=sys.stderr)
+            return 1
         out = pipe.process(sig, start_ms, end_ms)
         arrays = {k: np.asarray(v) for k, v in out.items() if v is not None}
         np.savez(args.out, **arrays)

@@ -83,6 +83,15 @@ def convolve(
             f"({gset.size_x} > {n_time}); the reference would silently "
             "produce all-zero gabor output here"
         )
+    if n_freq < gset.size_y:
+        # same footgun on the frequency axis: the reference's inner loop
+        # would index past the mel rows (a Go panic, gabor.go:264-277);
+        # XLA would instead convolve an implicitly padded plane and emit
+        # plausible-looking garbage rows -- raise loudly instead
+        raise ValueError(
+            "gabor filter height cannot exceed the mel band count "
+            f"({gset.size_y} > {n_freq})"
+        )
     f_count, t_count = gabor_out_counts((n_freq, n_time), gset, out_pools)
 
     x = jnp.where(jnp.isnan(mel_seg), 0.5, mel_seg)  # gabor.go:279-281

@@ -67,15 +67,38 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def supported_geometry(
-    step_samples: int, max_block: int = 64, win: int = 0
-) -> bool:
-    """True when the residue period p = 128/gcd(step,128) fits in one block.
-    (The ``win`` argument is accepted for call-site stability; the whole-row
-    kernel has no tile constraint.)"""
-    del win
+def variants_vmem_bytes(step_samples: int, win: int) -> int:
+    """Worst-case (3-limb) VMEM footprint of the kernel's residue-variant
+    basis tensor [limbs, p, chunk, k_pad] bf16: the Mosaic lowering keeps it
+    single-buffered in VMEM per block, so it — not the block size — is the
+    binding constraint on large residue periods. Measured on chip: the 44.1
+    kHz geometry (p=128, win=1102) wants bf16[3,128,1280,640] = 600 MB
+    against 128 MB of VMEM and fails to compile."""
     p = 128 // math.gcd(step_samples, 128)
-    return p <= max_block
+    chunk = _round_up(win, 128) + 128
+    k_pad = _round_up(win // 2 + 1, 128)
+    return 3 * p * chunk * k_pad * 2
+
+
+_VMEM_VARIANTS_BUDGET = 64 * 1024 * 1024  # half of v5e VMEM: leave room for
+# the signal window, mel weights and the double-buffered output blocks
+
+
+def supported_geometry(
+    step_samples: int, max_block: int = 64, win: int = 0,
+    interpret: bool = False,
+) -> bool:
+    """True when the residue period p = 128/gcd(step,128) fits in one block
+    AND the residue-variant basis tensor fits the VMEM budget (the compiled
+    kernel's real constraint -- see :func:`variants_vmem_bytes`). Interpret
+    mode (CPU tests) has no VMEM, so the budget check is skipped there;
+    ``win=0`` (unknown) also skips it."""
+    p = 128 // math.gcd(step_samples, 128)
+    if p > max_block:
+        return False
+    if win and not interpret:
+        return variants_vmem_bytes(step_samples, win) <= _VMEM_VARIANTS_BUDGET
+    return True
 
 
 def residue_grouping(rems: Tuple[int, ...]):
@@ -285,10 +308,13 @@ def fused_frame_power_mel(
     # the default step (MXU 12.5% row-utilized); block_windows=512 -> M=128
     # (full MXU rows) at the cost of up-to-block-1 windows of pad work
     block = _round_up(max(p, block_windows or 64), p)
-    if not supported_geometry(step_samples, max_block=64, win=win):
+    if not supported_geometry(step_samples, max_block=block_windows or 64,
+                              win=win, interpret=interpret):
         raise ValueError(
-            f"step={step_samples}: residue period {p} too large for the "
-            "aligned-load kernel; use the XLA path"
+            f"step={step_samples}: residue period {p} exceeds the block "
+            f"size ({block_windows or 64}) or its basis-variant tensor "
+            f"({variants_vmem_bytes(step_samples, win)} B) exceeds the "
+            "VMEM budget; use the XLA path"
         )
 
     # left-pad so window 0 starts at a nonnegative position, then choose the

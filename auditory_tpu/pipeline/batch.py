@@ -1098,24 +1098,12 @@ class CorpusRunner:
         benv = self._batched_dev
 
         def flush(items, blen):
-            int16_mode = items[0][2] is not None
-            signals = np.zeros(
-                (len(items), blen),
-                dtype=np.int16 if int16_mode else np.float32,
+            signals, lengths, divisors, n_segs = self._assemble_batch(
+                items, blen
             )
-            lengths = np.zeros(len(items), dtype=np.int32)
-            divisors = (
-                np.ones(len(items), dtype=np.float32) if int16_mode else None
-            )
-            for i, (_, sig, div) in enumerate(items):
-                signals[i, : len(sig)] = sig
-                lengths[i] = len(sig)
-                if int16_mode:
-                    divisors[i] = div
             out, seg_valid = benv.process(
                 signals, lengths, add_ms, divisors=divisors
             )
-            n_segs = [max(self.env.seg_cnt(int(n)), 0) for n in lengths]
             return [p for p, _, _ in items], out, seg_valid, n_segs
 
         buckets: Dict[Tuple[int, bool], List[Tuple]] = {}
@@ -1275,9 +1263,11 @@ class CorpusRunner:
         self._moments_dev = None
         self._moments_pending = 0
 
-    def _dispatch(self, items, blen, add_ms):
-        """Build the padded batch and *dispatch* it (asynchronously) to the
-        device; returns the entry the writer thread will block on."""
+    def _assemble_batch(self, items, blen):
+        """Pack decoded (path, signal, divisor) items into the padded batch
+        arrays (int16 tier when the decoder produced raw int16) plus the
+        host-computable per-file segment counts (sndenv.go:263-265). Shared
+        by :meth:`_dispatch` and :meth:`iter_device_features`."""
         int16_mode = items[0][2] is not None
         signals = np.zeros(
             (len(items), blen), dtype=np.int16 if int16_mode else np.float32
@@ -1289,11 +1279,16 @@ class CorpusRunner:
             lengths[i] = len(sig)
             if int16_mode:
                 divisors[i] = div
+        n_segs = [max(self.env.seg_cnt(int(n)), 0) for n in lengths]
+        return signals, lengths, divisors, n_segs
+
+    def _dispatch(self, items, blen, add_ms):
+        """Build the padded batch and *dispatch* it (asynchronously) to the
+        device; returns the entry the writer thread will block on."""
+        signals, lengths, divisors, n_segs = self._assemble_batch(items, blen)
         res = self.batched.process(signals, lengths, add_ms, divisors=divisors)
-        # per-file segment counts are host-computable (sndenv.go:263-265);
         # trim the packed buffer to the batch max (quantized so distinct
         # slice shapes stay few and compile-cached) before it is downloaded
-        n_segs = [max(self.env.seg_cnt(int(n)), 0) for n in lengths]
         packed = res[0]
         seg_full = max(self.env.seg_cnt(blen), 0)
         if isinstance(packed, PackedBatch):

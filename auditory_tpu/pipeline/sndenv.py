@@ -413,8 +413,15 @@ class SndEnv:
             self.use_pallas
             and seg_cnt_static > 0
             and map_idx_np is not None  # uniform window grid only
-            and supported_geometry(t.step_samples, win=t.win_samples)
+            and supported_geometry(
+                t.step_samples, max_block=self.pallas_block or 64,
+                win=t.win_samples, interpret=self._pallas_interpret,
+            )
         )
+        # introspection: which frontend did this build actually take
+        # (use_pallas=True silently falls back to XLA when the geometry is
+        # unsupported at the configured block -- tests/tools check this)
+        self._pallas_active = use_pallas
 
         def _apply_kwta(fn, raw, ext_gi=None):
             """kwta over each [seg] layer of [B, seg, ...]."""

@@ -51,11 +51,24 @@ def main() -> None:
     )
     ap.add_argument(
         "--fast", action="store_true",
-        help="matmul_precision='default' (MXU-native bf16 operand dots, "
-        "~40%% faster, ~2.5e-3 rel power error) instead of exact f32; "
-        "reported with a _fast metric suffix, never as the headline",
+        help="shorthand for --precision default (MXU-native bf16 operand "
+        "dots, ~40%% faster, ~2.5e-3 rel power error); reported with a "
+        "_fast metric suffix, never as the headline",
+    )
+    ap.add_argument(
+        "--precision", choices=("highest", "high", "default"),
+        default="highest",
+        help="contraction precision tier: highest = exact f32 (XLA 6-pass "
+        "bf16 decomposition; the headline), high = 3-pass (~2^-16 rel, "
+        "~25%% faster; _high suffix), default = native bf16 operands "
+        "(same as --fast; _fast suffix)",
     )
     args = ap.parse_args()
+    if args.fast:
+        if args.precision != "highest":
+            ap.error("--fast is shorthand for --precision default; "
+                     "pass one or the other, not both")
+        args.precision = "default"
 
     import jax
     import jax.numpy as jnp
@@ -91,7 +104,7 @@ def main() -> None:
     env = SndEnv(
         cfg, sr, dtype=jnp.float64 if args.f64 else jnp.float32,
         outputs=outputs,
-        matmul_precision="default" if args.fast else "highest",
+        matmul_precision=args.precision,
     )
     benv = BatchedSndEnv(env)
 
@@ -137,7 +150,9 @@ def main() -> None:
                 )
                 + ("_kwta" if args.kwta else "")
                 + ("" if args.outputs == "features" else f"_{args.outputs}")
-                + ("_fast" if args.fast else ""),
+                + {"highest": "", "high": "_high", "default": "_fast"}[
+                    args.precision
+                ],
                 "value": round(rtf, 1),
                 "unit": "audio_sec_per_sec_per_chip",
                 "vs_baseline": round(rtf / baseline, 3),

@@ -60,6 +60,10 @@ def main() -> None:
     import jax.numpy as jnp
     import optax
 
+    from auditory_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs skip the minutes-long compile
+
     from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
     from auditory_tpu.pipeline.batch import BatchedSndEnv, bucket_length
     from auditory_tpu.pipeline.sndenv import SndEnv
@@ -115,7 +119,12 @@ def main() -> None:
             for bpaths, out, _valid, n_segs in runner.iter_device_features(
                 paths
             ):
-                rows.append(jnp.reshape(out.gabor_kwta, (len(bpaths), -1)))
+                # trim the bucket's padded segment axis to the files' true
+                # segment count (uniform here: one duration, one bucket) so
+                # the feature width matches the npz route's trimmed arrays
+                assert len(set(n_segs)) == 1
+                g = out.gabor_kwta[:, : n_segs[0]]
+                rows.append(jnp.reshape(g, (len(bpaths), -1)))
                 lab_rows.extend(cls_of(p) for p in bpaths)
             feats = jnp.concatenate(rows)
             labels = np.asarray(lab_rows)

@@ -139,3 +139,25 @@ def test_delta_operator_matches_cumsum_reference():
             np.testing.assert_array_equal(np.isnan(an), np.isnan(bn))
             m = ~np.isnan(an)
             np.testing.assert_allclose(an[m], bn[m], atol=1e-11)
+
+
+def test_gabor_kernel_larger_than_plane_raises():
+    """Both axes must reject kernels larger than the mel plane: the
+    reference silently writes all-zero output when the filter is wider than
+    the matrix (gabor.go:231-236) and would panic on a taller one
+    (gabor.go:264-277); XLA would instead convolve an implicitly padded
+    plane -- we raise a loud ValueError on either axis (documented
+    deviation at dsp/gabor.py::convolve)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from auditory_tpu.config import GaborSet, default_gabor_specs
+    from auditory_tpu.dsp.design import gabor_filters
+    from auditory_tpu.dsp.gabor import convolve
+
+    mel = jnp.zeros((32, 14), jnp.float32)
+    for sx, sy, axis in ((99, 9, "width"), (9, 99, "height")):
+        gset = GaborSet(size_x=sx, size_y=sy, stride_x=3, stride_y=3,
+                        gain=2.0, specs=default_gabor_specs(phases=(0.0,)))
+        with pytest.raises(ValueError, match=axis):
+            convolve(mel, gabor_filters(gset), gset)

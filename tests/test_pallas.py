@@ -142,3 +142,76 @@ def test_limb_split_exact():
     recon2 = sum(h.astype(jnp.float32) for h in l2)
     err = np.abs(np.asarray(recon2 - x)) / np.maximum(np.abs(np.asarray(x)), 1e-30)
     assert err.max() < 2 ** -15
+
+
+def test_pallas_odd_stride_period128():
+    """Odd steps (gcd(step,128)=1, e.g. 441 @44.1 kHz) have residue period
+    128 > the default block of 64: the gate must route them to XLA unless
+    pallas_block raises the cap, and the kernel must then agree with the
+    XLA path (128 residue variants, M=block/128 rows each). In COMPILED
+    mode this geometry is rejected regardless of block: the basis-variant
+    tensor (p * chunk * k_pad) measured 600 MB vs 128 MB of VMEM on chip
+    (BENCH_NOTES_r03.md); interpret mode has no VMEM, so the CPU test can
+    still verify the kernel's residue math at p=128. (The test geometry is
+    a small odd-stride one -- step 161 @16 kHz, win 128 -- not 44.1 kHz
+    itself: interpret mode pays 128 residue-variant matmuls per block, so
+    the full 1102-pt geometry costs ~270 s of CPU for the same coverage.)"""
+    from auditory_tpu.config import WindowParams
+
+    sr = 16000
+    outs = ("power_segment", "mel_fbank_segment", "step_valid")
+    # stride/segment stay multiples of the odd step so the shared-window
+    # grid (a pallas precondition) holds: 1610 = 10 * 161 samples
+    wp = WindowParams(win_ms=8.0, step_ms=10.0625, segment_ms=100.625,
+                      stride_ms=100.625)
+    cfg = default_cfg_2d(params=wp)
+    xla = SndEnv(cfg, sr, dtype=jnp.float32, spectrum_method="conv",
+                 use_pallas=False, outputs=outs)
+    assert xla.timing.step_samples == 161  # odd stride: residue period 128
+
+    sig = xla.pad(tone(1234.0, 0.1, sr)).astype(np.float32)
+
+    # default block: not supported -> silently falls back to XLA
+    pal_off = SndEnv(cfg, sr, dtype=jnp.float32, use_pallas=True,
+                     outputs=outs)
+    pal_off.process(sig)
+    assert not pal_off._pallas_active
+
+    # block >= period: supported in interpret mode (no VMEM)
+    pal = SndEnv(cfg, sr, dtype=jnp.float32, use_pallas=True,
+                 pallas_block=128, outputs=outs)
+    o1, o2 = xla.process(sig), pal.process(sig)
+    assert pal._pallas_active
+
+    # ... but the compiled path must reject it: the VMEM estimate gates it
+    from auditory_tpu.ops.framefft import supported_geometry
+
+    assert supported_geometry(441, max_block=128, win=1102, interpret=True)
+    assert not supported_geometry(441, max_block=128, win=1102,
+                                  interpret=False)
+    # the 16 kHz geometry stays supported compiled (p=4, ~4 MB variants)
+    assert supported_geometry(160, win=400, interpret=False)
+    np.testing.assert_array_equal(
+        np.asarray(o1.step_valid), np.asarray(o2.step_valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1.power_segment), np.asarray(o2.power_segment),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1.mel_fbank_segment), np.asarray(o2.mel_fbank_segment),
+        rtol=1e-5, atol=1e-4,
+    )
+
+    # a direct caller below the period still gets a loud error
+    from auditory_tpu.ops.framefft import fused_frame_power_mel
+
+    with pytest.raises(ValueError, match="block"):
+        fused_frame_power_mel(
+            jnp.zeros((1, 4096), jnp.float32), 441, 0, 8,
+            jnp.zeros((441, 256), jnp.float32),
+            jnp.zeros((441, 256), jnp.float32),
+            jnp.zeros((256, 128), jnp.float32),
+            win=441, n_bins=221, n_mel=32,
+            dft=xla.cfg.dft, fbank=xla.cfg.mel.fbank,
+        )

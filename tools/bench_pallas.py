@@ -52,10 +52,15 @@ def main() -> None:
     )
     outs = ("mel_fbank_segment", "step_valid")
 
+    # spectrum_method is pinned explicitly per row: the production default
+    # ('matmul') auto-dispatches conv-vs-frames by stride alignment, which
+    # would silently run frames under a conv label at odd strides
     variants = [
-        ("conv_highest", dict(matmul_precision="highest")),
-        ("conv_high", dict(matmul_precision="high")),
-        ("conv_default", dict(matmul_precision="default")),
+        ("conv_highest", dict(spectrum_method="conv",
+                              matmul_precision="highest")),
+        ("conv_high", dict(spectrum_method="conv", matmul_precision="high")),
+        ("conv_default", dict(spectrum_method="conv",
+                              matmul_precision="default")),
         ("frames_highest", dict(spectrum_method="frames",
                                 matmul_precision="highest")),
         ("frames_high", dict(spectrum_method="frames",
@@ -76,7 +81,10 @@ def main() -> None:
     from auditory_tpu.ops.framefft import supported_geometry
 
     t = cfg.params.derive(sr)
-    if not supported_geometry(t.step_samples, max_block=args.block or 64):
+    if not supported_geometry(t.step_samples, max_block=args.block or 64,
+                              win=t.win_samples):
+        print(json.dumps({"skipped": "pallas variants: geometry unsupported "
+                          "(residue period/VMEM)", "step": t.step_samples}))
         variants = [v for v in variants if not v[0].startswith("pallas")]
 
     rng = np.random.default_rng(0)
@@ -97,6 +105,12 @@ def main() -> None:
         for _ in range(3):
             out, _ = fn(sd, ld)
             jax.block_until_ready(out)
+        if kw.get("use_pallas") and not env._pallas_active:
+            # the build silently routed to XLA (geometry unsupported at
+            # this block) -- never record an XLA time under a pallas label
+            print(json.dumps({"variant": name,
+                              "skipped": "geometry routed to XLA"}))
+            continue
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out, _ = fn(sd, ld)
