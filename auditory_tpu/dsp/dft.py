@@ -18,6 +18,7 @@ Two spectrum methods:
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -31,10 +32,22 @@ __all__ = [
     "power_spectrum",
     "power_spectrum_conv",
     "power_spectrum_frames",
+    "preferred_spectrum_frontend",
     "smooth_power",
     "log_power",
     "dft_power_pipeline",
 ]
+
+
+def preferred_spectrum_frontend(step_samples: int) -> str:
+    """Measured dispatch rule for ``spectrum_method='matmul'`` (the f32
+    default): XLA's strided-conv lowering is MXU-bound (fast) when the
+    window stride aligns well to the 128-lane registers, but 3-6x off the
+    GEMM floor at odd strides, where the shifted-GEMM frames formulation
+    wins. Measured on chip at both default geometries (16 kHz step=160,
+    gcd 32: conv 4.75 ms beats frames 5.06; 44.1 kHz step=441, gcd 1:
+    frames 9.78 ms beats conv 12.51 -- BENCH_NOTES_r03.md)."""
+    return "frames" if math.gcd(step_samples, 128) < 16 else "conv"
 
 
 def power_spectrum_conv(

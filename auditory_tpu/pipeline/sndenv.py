@@ -454,31 +454,23 @@ class SndEnv:
                 # gather: 'frames' = J shifted dense GEMMs over
                 # step-aligned frames (power_spectrum_frames); 'conv' =
                 # ONE strided conv (power_spectrum_conv). 'matmul' (the
-                # default) auto-selects by stride alignment: XLA's strided
-                # conv lowering is MXU-bound (fast) when the stride aligns
-                # well to the 128-lane registers but 3-6x off the GEMM
-                # floor at odd strides -- measured at both default
-                # geometries (16 kHz step=160, gcd 32: conv 4.75 ms beats
-                # frames 5.06; 44.1 kHz step=441, gcd 1: frames 9.78 ms
-                # beats conv 12.51; BENCH_NOTES_r03.md).
-                import math as _math
-
+                # default) auto-selects by stride alignment
+                # (preferred_spectrum_frontend: measured dispatch rule).
                 from ..dsp.dft import (
                     log_power,
                     power_spectrum_conv,
                     power_spectrum_frames,
+                    preferred_spectrum_frontend,
                 )
 
-                if self.spectrum_method == "frames":
-                    frontend = power_spectrum_frames
-                elif self.spectrum_method == "conv":
-                    frontend = power_spectrum_conv
-                else:  # 'matmul': alignment-based auto-selection
-                    frontend = (
-                        power_spectrum_frames
-                        if _math.gcd(t.step_samples, 128) < 16
-                        else power_spectrum_conv
-                    )
+                method = self.spectrum_method
+                if method == "matmul":
+                    method = preferred_spectrum_frontend(t.step_samples)
+                frontend = (
+                    power_spectrum_frames
+                    if method == "frames"
+                    else power_spectrum_conv
+                )
                 power = frontend(
                     signals,
                     basis,

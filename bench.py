@@ -87,6 +87,16 @@ def main() -> None:
             specs=default_gabor_specs(phases=(0.0, 1.5708)),
         )
     )
+    if cfg.mel.fbank.hi_hz > sr / 2:
+        # the reference default HiHz=8000 (mel.go:124) exceeds Nyquist below
+        # 16 kHz; any user must lower it there, so the low-rate bench rows
+        # clamp it to sr/2 (SndEnv would otherwise reject the config)
+        cfg = dataclasses.replace(
+            cfg, mel=dataclasses.replace(
+                cfg.mel,
+                fbank=dataclasses.replace(cfg.mel.fbank, hi_hz=sr / 2),
+            )
+        )
     if not args.kwta:
         cfg = dataclasses.replace(
             cfg, kwta=dataclasses.replace(cfg.kwta, on=False)

@@ -165,3 +165,25 @@ def test_auto_frontend_44k_matches_conv_pipeline():
     assert np.abs(pa - pc).max() / np.abs(pc).max() < 1e-5
     ma, mc = np.asarray(oa.mel_fbank_segment), np.asarray(oc.mel_fbank_segment)
     np.testing.assert_allclose(ma, mc, atol=5e-4)
+
+
+def test_preferred_frontend_rate_grid():
+    """The measured dispatch rule over the common sample-rate grid: odd
+    strides (gcd(step,128) < 16) take the frames GEMMs, aligned strides the
+    strided conv. Derived from the default 10 ms step (sndenv.go:202)."""
+    from auditory_tpu.config import SndEnvConfig
+    from auditory_tpu.dsp.dft import preferred_spectrum_frontend
+
+    expect = {
+        8000: ("conv", 80),      # gcd 16
+        16000: ("conv", 160),    # gcd 32
+        22050: ("frames", 221),  # round(220.5) odd: gcd 1
+        32000: ("conv", 320),    # gcd 64
+        44100: ("frames", 441),  # gcd 1
+        48000: ("conv", 480),    # gcd 32
+    }
+    cfg = SndEnvConfig()
+    for sr, (method, step) in expect.items():
+        t = cfg.params.derive(sr)
+        assert t.step_samples == step, sr
+        assert preferred_spectrum_frontend(t.step_samples) == method, sr
