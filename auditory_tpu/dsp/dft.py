@@ -39,15 +39,30 @@ __all__ = [
 ]
 
 
-def preferred_spectrum_frontend(step_samples: int) -> str:
+def preferred_spectrum_frontend(step_samples: int, win_samples: int) -> str:
     """Measured dispatch rule for ``spectrum_method='matmul'`` (the f32
-    default): XLA's strided-conv lowering is MXU-bound (fast) when the
-    window stride aligns well to the 128-lane registers, but 3-6x off the
-    GEMM floor at odd strides, where the shifted-GEMM frames formulation
-    wins. Measured on chip at both default geometries (16 kHz step=160,
-    gcd 32: conv 4.75 ms beats frames 5.06; 44.1 kHz step=441, gcd 1:
-    frames 9.78 ms beats conv 12.51 -- BENCH_NOTES_r03.md)."""
-    return "frames" if math.gcd(step_samples, 128) < 16 else "conv"
+    default). XLA's strided-conv lowering wins only when the stride aligns
+    well to the 128-lane registers AND the window is small; the shifted-GEMM
+    frames formulation wins at odd strides (the conv lowering is 3-6x off
+    the GEMM floor there) and at large windows even when aligned (the conv's
+    relative cost grows with kernel size: its im2col-equivalent moves
+    O(win/step) more bytes per output). Exact-grade mel-only shoot-out on
+    chip across the default geometry family (win = 2.5 * step,
+    BENCH_NOTES_r03.md; ratios are frames/conv ms):
+
+    ===========  =====  ====  =====
+    rate         win    gcd   ratio
+    ===========  =====  ====  =====
+    8 kHz        200    16    1.00
+    16 kHz       400    32    1.06  (conv wins)
+    32 kHz       800    64    0.91
+    44.1 kHz     1103   1     0.78
+    48 kHz       1200   32    0.63
+    ===========  =====  ====  =====
+    """
+    if math.gcd(step_samples, 128) < 16:
+        return "frames"
+    return "frames" if win_samples > 512 else "conv"
 
 
 def power_spectrum_conv(

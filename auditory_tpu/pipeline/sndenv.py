@@ -465,7 +465,9 @@ class SndEnv:
 
                 method = self.spectrum_method
                 if method == "matmul":
-                    method = preferred_spectrum_frontend(t.step_samples)
+                    method = preferred_spectrum_frontend(
+                        t.step_samples, t.win_samples
+                    )
                 frontend = (
                     power_spectrum_frames
                     if method == "frames"

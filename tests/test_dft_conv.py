@@ -168,22 +168,27 @@ def test_auto_frontend_44k_matches_conv_pipeline():
 
 
 def test_preferred_frontend_rate_grid():
-    """The measured dispatch rule over the common sample-rate grid: odd
-    strides (gcd(step,128) < 16) take the frames GEMMs, aligned strides the
-    strided conv. Derived from the default 10 ms step (sndenv.go:202)."""
+    """The measured dispatch rule over the common sample-rate grid: frames
+    at odd strides (gcd(step,128) < 16) OR large windows (> 512 samples,
+    crossover measured between win 400 and 800), conv for small aligned
+    windows. Derived from the default 25 ms window / 10 ms step
+    (sndenv.go:202); on-chip shoot-out table in BENCH_NOTES_r03.md."""
     from auditory_tpu.config import SndEnvConfig
     from auditory_tpu.dsp.dft import preferred_spectrum_frontend
 
     expect = {
-        8000: ("conv", 80),      # gcd 16
-        16000: ("conv", 160),    # gcd 32
-        22050: ("frames", 221),  # round(220.5) odd: gcd 1
-        32000: ("conv", 320),    # gcd 64
-        44100: ("frames", 441),  # gcd 1
-        48000: ("conv", 480),    # gcd 32
+        8000: ("conv", 80),       # gcd 16, win 200
+        16000: ("conv", 160),     # gcd 32, win 400
+        22050: ("frames", 221),   # round(220.5) odd: gcd 1
+        32000: ("frames", 320),   # gcd 64 but win 800: conv loses 9%
+        44100: ("frames", 441),   # gcd 1
+        48000: ("frames", 480),   # gcd 32 but win 1200: conv loses 37%
     }
     cfg = SndEnvConfig()
     for sr, (method, step) in expect.items():
         t = cfg.params.derive(sr)
         assert t.step_samples == step, sr
-        assert preferred_spectrum_frontend(t.step_samples) == method, sr
+        assert (
+            preferred_spectrum_frontend(t.step_samples, t.win_samples)
+            == method
+        ), sr

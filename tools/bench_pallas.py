@@ -50,6 +50,15 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg, kwta=dataclasses.replace(cfg.kwta, on=False)
     )
+    if cfg.mel.fbank.hi_hz > sr / 2:
+        # same Nyquist clamp as bench.py: the reference default HiHz=8000
+        # (mel.go:124) exceeds Nyquist below 16 kHz
+        cfg = dataclasses.replace(
+            cfg, mel=dataclasses.replace(
+                cfg.mel,
+                fbank=dataclasses.replace(cfg.mel.fbank, hi_hz=sr / 2),
+            )
+        )
     outs = ("mel_fbank_segment", "step_valid")
 
     # spectrum_method is pinned explicitly per row: the production default
