@@ -83,6 +83,19 @@ def _add_pipeline_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--f64", action="store_true", help="float64 (CPU) parity mode")
 
 
+def _add_precision_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--precision", choices=("highest", "high", "default"),
+        default="highest",
+        help="TPU contraction precision tier (measured grades in "
+        "tools/tpu_parity_check.py): highest = exact f32 (the parity "
+        "default), high = XLA 3-pass (~2^-16 operand truncation, ~25%% "
+        "faster -- the production recommendation when bit-level f32 parity "
+        "is not required), default = native bf16 operand dots (~40%% "
+        "faster, ~2.5e-3 rel power error)",
+    )
+
+
 def cmd_process(args) -> int:
     import jax.numpy as jnp
 
@@ -97,7 +110,7 @@ def cmd_process(args) -> int:
     cfg = _build_cfg(args)
     env = SndEnv(
         cfg, w.sample_rate, dtype=jnp.float64 if args.f64 else jnp.float32,
-        channels=channels,
+        channels=channels, matmul_precision=args.precision,
     )
     if args.silence_add or args.silence_existing:
         # SndEnv.AdjustForSilence (sndenv.go:274-294): trim/pad leading
@@ -162,6 +175,7 @@ def cmd_corpus(args) -> int:
             else jnp.float16 if args.f16_features else None
         ),
         pipeline_depth=args.pipeline_depth,
+        matmul_precision=args.precision,
     )
     shard_index, num_shards = 0, 1
     if args.shard:
@@ -503,6 +517,7 @@ def main(argv=None) -> int:
     p.add_argument("--silence-existing", type=float, default=0.0,
                    help="ms of leading silence already in the file")
     _add_pipeline_args(p)
+    _add_precision_arg(p)
     p.set_defaults(fn=cmd_process)
 
     p = sub.add_parser("corpus", help="batched extraction over a corpus")
@@ -541,6 +556,7 @@ def main(argv=None) -> int:
         "(pass the SAME glob on every host; combine with corpus-merge)",
     )
     _add_pipeline_args(p)
+    _add_precision_arg(p)
     p.set_defaults(fn=cmd_corpus)
 
     p = sub.add_parser(

@@ -134,3 +134,26 @@ def test_missing_timing_fallback_gets_silence_offset(tmp_path):
     seq = load_timit_sequence(wav, silence=100.0)
     assert [u.name for u in seq.units] == ["unknown"]
     assert seq.units[0].a_start == 100.0
+
+
+def test_cli_process_precision_tier(tmp_path):
+    """`process --precision high` plumbs the matmul tier into SndEnv; on the
+    CPU backend every tier lowers identically, so outputs must match the
+    default exactly (the knob's on-chip grades are measured by
+    tools/tpu_parity_check.py --precision)."""
+    import numpy as np
+
+    from auditory_tpu.cli import main
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+    from tests.conftest import tone
+
+    sr = 16000
+    p = str(tmp_path / "t.wav")
+    write_wav(p, float_to_wave(tone(700.0, 0.2, sr), sr))
+    o1, o2 = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    assert main(["process", p, "--out", o1, "--no-kwta"]) == 0
+    assert main(["process", p, "--out", o2, "--no-kwta",
+                 "--precision", "high"]) == 0
+    np.testing.assert_array_equal(
+        np.load(o1)["mel_fbank_segment"], np.load(o2)["mel_fbank_segment"]
+    )
