@@ -371,3 +371,22 @@ class SndEnvConfig:
     # 'sndenv' delta recurrence (sndenv.go:379-432) vs 'gaborview'
     # (gbv.go:570-620, d = nume/2*denom variant)
     delta_mode: str = "sndenv"
+
+
+def clamp_mel_to_nyquist(cfg: "SndEnvConfig", sample_rate: int) -> "SndEnvConfig":
+    """Lower ``mel.fbank.hi_hz`` to the Nyquist frequency when it exceeds it.
+
+    The reference default HiHz=8000 (mel.go:124) is only valid at sample
+    rates >= 16 kHz; below that every user must lower it (SndEnv rejects the
+    config otherwise). Benchmarks and tools that sweep sample rates share
+    this helper so low-rate rows run the same config any real user would.
+    """
+    if cfg.mel.fbank.hi_hz <= sample_rate / 2:
+        return cfg
+    return dataclasses.replace(
+        cfg,
+        mel=dataclasses.replace(
+            cfg.mel,
+            fbank=dataclasses.replace(cfg.mel.fbank, hi_hz=sample_rate / 2),
+        ),
+    )

@@ -67,17 +67,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def variants_vmem_bytes(step_samples: int, win: int) -> int:
-    """Worst-case (3-limb) VMEM footprint of the kernel's residue-variant
-    basis tensor [limbs, p, chunk, k_pad] bf16: the Mosaic lowering keeps it
+def variants_vmem_bytes(step_samples: int, win: int, passes: int = 6) -> int:
+    """VMEM footprint of the kernel's residue-variant basis tensor at the
+    given pass count ([limbs, p, chunk, k_pad] bf16 when passes > 1, f32
+    [p, chunk, k_pad] at passes=1): the Mosaic lowering keeps it
     single-buffered in VMEM per block, so it — not the block size — is the
     binding constraint on large residue periods. Measured on chip: the 44.1
-    kHz geometry (p=128, win=1102) wants bf16[3,128,1280,640] = 600 MB
-    against 128 MB of VMEM and fails to compile."""
+    kHz geometry (p=128, win=1102) at passes=6 wants bf16[3,128,1280,640]
+    = 600 MB against 128 MB of VMEM and fails to compile."""
     p = 128 // math.gcd(step_samples, 128)
     chunk = _round_up(win, 128) + 128
     k_pad = _round_up(win // 2 + 1, 128)
-    return 3 * p * chunk * k_pad * 2
+    bytes_per = 4 if passes == 1 else 2 * _n_limbs(passes)
+    return p * chunk * k_pad * bytes_per
 
 
 _VMEM_VARIANTS_BUDGET = 64 * 1024 * 1024  # half of v5e VMEM: leave room for
@@ -86,18 +88,23 @@ _VMEM_VARIANTS_BUDGET = 64 * 1024 * 1024  # half of v5e VMEM: leave room for
 
 def supported_geometry(
     step_samples: int, max_block: int = 64, win: int = 0,
-    interpret: bool = False,
+    interpret: bool = False, passes: int = 6,
 ) -> bool:
     """True when the residue period p = 128/gcd(step,128) fits in one block
     AND the residue-variant basis tensor fits the VMEM budget (the compiled
-    kernel's real constraint -- see :func:`variants_vmem_bytes`). Interpret
-    mode (CPU tests) has no VMEM, so the budget check is skipped there;
-    ``win=0`` (unknown) also skips it."""
+    kernel's real constraint -- see :func:`variants_vmem_bytes`; the
+    footprint scales with the pass count's limb count, so passes=1/3
+    geometries can be feasible where passes=6 is not). Interpret mode (CPU
+    tests) has no VMEM, so the budget check is skipped there; ``win=0``
+    (unknown) also skips it."""
     p = 128 // math.gcd(step_samples, 128)
     if p > max_block:
         return False
     if win and not interpret:
-        return variants_vmem_bytes(step_samples, win) <= _VMEM_VARIANTS_BUDGET
+        return (
+            variants_vmem_bytes(step_samples, win, passes)
+            <= _VMEM_VARIANTS_BUDGET
+        )
     return True
 
 
@@ -309,12 +316,12 @@ def fused_frame_power_mel(
     # (full MXU rows) at the cost of up-to-block-1 windows of pad work
     block = _round_up(max(p, block_windows or 64), p)
     if not supported_geometry(step_samples, max_block=block_windows or 64,
-                              win=win, interpret=interpret):
+                              win=win, interpret=interpret, passes=passes):
         raise ValueError(
             f"step={step_samples}: residue period {p} exceeds the block "
             f"size ({block_windows or 64}) or its basis-variant tensor "
-            f"({variants_vmem_bytes(step_samples, win)} B) exceeds the "
-            "VMEM budget; use the XLA path"
+            f"({variants_vmem_bytes(step_samples, win, passes)} B) exceeds "
+            "the VMEM budget; use the XLA path"
         )
 
     # left-pad so window 0 starts at a nonnegative position, then choose the

@@ -416,6 +416,7 @@ class SndEnv:
             and supported_geometry(
                 t.step_samples, max_block=self.pallas_block or 64,
                 win=t.win_samples, interpret=self._pallas_interpret,
+                passes=self.pallas_passes,
             )
         )
         # introspection: which frontend did this build actually take

@@ -73,7 +73,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
+    from auditory_tpu.config import (
+        GaborSet, SndEnvConfig, clamp_mel_to_nyquist, default_gabor_specs,
+    )
     from auditory_tpu.pipeline.batch import BatchedSndEnv, bucket_length
     from auditory_tpu.pipeline.sndenv import SndEnv
     from auditory_tpu.utils.cache import enable_compilation_cache
@@ -87,16 +89,7 @@ def main() -> None:
             specs=default_gabor_specs(phases=(0.0, 1.5708)),
         )
     )
-    if cfg.mel.fbank.hi_hz > sr / 2:
-        # the reference default HiHz=8000 (mel.go:124) exceeds Nyquist below
-        # 16 kHz; any user must lower it there, so the low-rate bench rows
-        # clamp it to sr/2 (SndEnv would otherwise reject the config)
-        cfg = dataclasses.replace(
-            cfg, mel=dataclasses.replace(
-                cfg.mel,
-                fbank=dataclasses.replace(cfg.mel.fbank, hi_hz=sr / 2),
-            )
-        )
+    cfg = clamp_mel_to_nyquist(cfg, sr)
     if not args.kwta:
         cfg = dataclasses.replace(
             cfg, kwta=dataclasses.replace(cfg.kwta, on=False)

@@ -118,6 +118,12 @@ def main() -> None:
                     .astype(np.float32),
                 )
             list(ms2.poll())
+        # dropped_segments() is cumulative from stream creation; snapshot
+        # after warmup so drop_frac reflects the measured phase only (the
+        # warmup cycles shed segments too and would bias the ratio high)
+        dropped0 = sum(
+            ms2.dropped_segments(s) for s in range(args.streams)
+        )
         lat2 = []
         n_seg2 = 0
         for _ in range(args.chunks):
@@ -131,7 +137,7 @@ def main() -> None:
             lat2.append(time.perf_counter() - t0)
         dropped = sum(
             ms2.dropped_segments(s) for s in range(args.streams)
-        )
+        ) - dropped0
         print(json.dumps({
             "metric": "multistream_overload_4x",
             "streams": args.streams,

@@ -39,7 +39,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from auditory_tpu.config import SndEnvConfig
+    from auditory_tpu.config import SndEnvConfig, clamp_mel_to_nyquist
     from auditory_tpu.pipeline.batch import BatchedSndEnv, bucket_length
     from auditory_tpu.pipeline.sndenv import SndEnv
     from auditory_tpu.utils.cache import enable_compilation_cache
@@ -50,15 +50,7 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg, kwta=dataclasses.replace(cfg.kwta, on=False)
     )
-    if cfg.mel.fbank.hi_hz > sr / 2:
-        # same Nyquist clamp as bench.py: the reference default HiHz=8000
-        # (mel.go:124) exceeds Nyquist below 16 kHz
-        cfg = dataclasses.replace(
-            cfg, mel=dataclasses.replace(
-                cfg.mel,
-                fbank=dataclasses.replace(cfg.mel.fbank, hi_hz=sr / 2),
-            )
-        )
+    cfg = clamp_mel_to_nyquist(cfg, sr)
     outs = ("mel_fbank_segment", "step_valid")
 
     # spectrum_method is pinned explicitly per row: the production default
@@ -90,8 +82,11 @@ def main() -> None:
     from auditory_tpu.ops.framefft import supported_geometry
 
     t = cfg.params.derive(sr)
+    # coarse pre-filter at passes=1 (smallest VMEM footprint): drop pallas
+    # rows only when even that cannot run; the per-variant _pallas_active
+    # check below handles pass counts whose larger limb tensors don't fit
     if not supported_geometry(t.step_samples, max_block=args.block or 64,
-                              win=t.win_samples):
+                              win=t.win_samples, passes=1):
         print(json.dumps({"skipped": "pallas variants: geometry unsupported "
                           "(residue period/VMEM)", "step": t.step_samples}))
         variants = [v for v in variants if not v[0].startswith("pallas")]

@@ -35,7 +35,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
+    from auditory_tpu.config import (
+        GaborSet, SndEnvConfig, clamp_mel_to_nyquist, default_gabor_specs,
+    )
     from auditory_tpu.pipeline.batch import BatchedSndEnv, bucket_length
     from auditory_tpu.pipeline.sndenv import SndEnv
     from auditory_tpu.utils.cache import enable_compilation_cache
@@ -48,6 +50,7 @@ def main() -> None:
             specs=default_gabor_specs(phases=(0.0, 1.5708)),
         )
     )
+    cfg = clamp_mel_to_nyquist(cfg, sr)
     cfg_nok = dataclasses.replace(cfg, kwta=dataclasses.replace(cfg.kwta, on=False))
 
     mfcc = ("mfcc_segment", "mfcc_deltas", "mfcc_delta_deltas", "energy")
