@@ -161,3 +161,15 @@ def test_gabor_kernel_larger_than_plane_raises():
                         gain=2.0, specs=default_gabor_specs(phases=(0.0,)))
         with pytest.raises(ValueError, match=axis):
             convolve(mel, gabor_filters(gset), gset)
+
+
+def test_clamp_mel_to_nyquist():
+    """The shared bench/tool helper: lowers hi_hz to sr/2 only when the
+    default exceeds Nyquist (reference default HiHz=8000, mel.go:124)."""
+    from auditory_tpu.config import SndEnvConfig, clamp_mel_to_nyquist
+
+    cfg = SndEnvConfig()
+    assert clamp_mel_to_nyquist(cfg, 16000) is cfg  # 8000 == Nyquist: keep
+    low = clamp_mel_to_nyquist(cfg, 8000)
+    assert low.mel.fbank.hi_hz == 4000.0
+    assert low.mel.fbank.n_filters == cfg.mel.fbank.n_filters
