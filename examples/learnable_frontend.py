@@ -13,7 +13,14 @@ gabor convolve -> mean-pooled features -> linear head. The mel features are
 precomputed once (no gradient flows above the gabor stage), then filters and
 head train jointly with optax.
 
+Checkpoint/resume: ``--ckpt-dir DIR`` saves {params, opt_state, step} with
+orbax every ``--ckpt-every`` steps (and at the end); rerunning with the same
+directory restores the latest checkpoint and continues exactly where it
+stopped (bit-identical to an uninterrupted run -- asserted in
+tests/test_train_example.py::test_learnable_frontend_resume).
+
 Usage: python examples/learnable_frontend.py [--steps 300] [--cpu]
+       [--ckpt-dir /tmp/ckpt --ckpt-every 50]
 """
 
 import argparse
@@ -32,6 +39,10 @@ def main() -> None:
     ap.add_argument("--n-per-class", type=int, default=40)
     ap.add_argument("--classes", type=int, default=6)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--ckpt-dir", default="",
+                    help="orbax checkpoint directory; if it already holds "
+                    "checkpoints, training resumes from the latest")
+    ap.add_argument("--ckpt-every", type=int, default=50)
     args = ap.parse_args()
 
     import jax
@@ -117,14 +128,53 @@ def main() -> None:
         pred = jnp.argmax(z @ p["w"] + p["b"], -1)
         return float((pred == labels_d[idx]).mean())
 
+    # ---- optional orbax checkpoint/resume --------------------------------
+    ckptr = None
+    start_step = 0
+    if args.ckpt_dir:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckdir = os.path.abspath(args.ckpt_dir)
+        os.makedirs(ckdir, exist_ok=True)
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            "params": params, "opt_state": opt_state,
+            "step": jnp.asarray(0),
+        }
+        done = sorted(
+            (int(d.split("_")[1]), d) for d in os.listdir(ckdir)
+            if d.startswith("step_")
+        )
+        if done:
+            st = ckptr.restore(
+                os.path.join(ckdir, done[-1][1]), template
+            )
+            params, opt_state = st["params"], st["opt_state"]
+            start_step = int(st["step"])
+            print(f"resumed from {done[-1][1]} (step {start_step})")
+
+        def save(i, p, s):
+            ckptr.save(
+                os.path.join(ckdir, f"step_{i}"),
+                {"params": p, "opt_state": s, "step": jnp.asarray(i)},
+                force=True,
+            )
+
     xtr, ytr = mel_d[tr], labels_d[tr]
     loss = loss_fn(params, xtr, ytr)  # defined even with --steps 0
     first_loss = float(loss)
-    for i in range(args.steps):
+    for i in range(start_step, args.steps):
         params, opt_state, loss = step(params, opt_state, xtr, ytr)
+        if (i + 1) % args.ckpt_every == 0 and ckptr is not None:
+            save(i + 1, params, opt_state)
         if i % 50 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(loss):.4f} "
                   f"test acc {accuracy(params, te):.3f}")
+    if ckptr is not None and args.steps > start_step:
+        save(args.steps, params, opt_state)
+        ckptr.wait_until_finished()
 
     drift = float(jnp.linalg.norm(params["filters"] - filters0)
                   / jnp.linalg.norm(filters0))

@@ -79,3 +79,31 @@ def test_phone_classifier_device_features():
     last = [l for l in out.stdout.splitlines() if l.startswith("final test")]
     acc = float(last[0].split()[-3])
     assert acc > 0.5, f"classifier failed to learn: {last[0]}"
+
+
+def test_learnable_frontend_resume(tmp_path):
+    """Orbax checkpoint/resume: 30 steps + resume-to-60 must reproduce an
+    uninterrupted 60-step run exactly (restored params/opt_state are
+    bit-identical and the data pipeline is seeded)."""
+    def run(extra):
+        out = subprocess.run(
+            [sys.executable, "examples/learnable_frontend.py", "--cpu",
+             "--steps", "60", "--n-per-class", "10"] + extra,
+            capture_output=True, text=True, timeout=300, cwd=".",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    straight = run([])
+    ck = str(tmp_path / "ck")
+    run(["--ckpt-dir", ck, "--ckpt-every", "30", "--steps", "30"])
+    resumed = run(["--ckpt-dir", ck])
+    assert "resumed from step_30" in resumed
+
+    def final(stdout, prefix):
+        return [l for l in stdout.splitlines() if l.startswith(prefix)][-1]
+
+    # identical final loss (printed to 4 decimals) and test accuracy
+    assert (final(straight, "loss:").split("->")[1]
+            == final(resumed, "loss:").split("->")[1])
+    assert final(straight, "final test") == final(resumed, "final test")
