@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--rate", type=int, default=16000,
                     help="sample rate; pallas variants auto-skip when the "
                     "step's residue period exceeds the block (e.g. 44100)")
+    ap.add_argument("--win-ms", type=float, default=25.0,
+                    help="window length (off-family dispatch-rule probes)")
+    ap.add_argument("--step-ms", type=float, default=10.0,
+                    help="step (must divide the 100 ms segment)")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +51,12 @@ def main() -> None:
     enable_compilation_cache()
     sr = args.rate
     cfg = SndEnvConfig()  # no gabor/kwta needed for the frontend race
+    if (args.win_ms, args.step_ms) != (25.0, 10.0):
+        cfg = dataclasses.replace(
+            cfg, params=dataclasses.replace(
+                cfg.params, win_ms=args.win_ms, step_ms=args.step_ms,
+            )
+        )
     cfg = dataclasses.replace(
         cfg, kwta=dataclasses.replace(cfg.kwta, on=False)
     )
