@@ -455,7 +455,7 @@ class SndEnv:
                 # gather: 'frames' = J shifted dense GEMMs over
                 # step-aligned frames (power_spectrum_frames); 'conv' =
                 # ONE strided conv (power_spectrum_conv). 'matmul' (the
-                # default) auto-selects by stride alignment
+                # default) auto-selects by stride alignment + window size
                 # (preferred_spectrum_frontend: measured dispatch rule).
                 from ..dsp.dft import (
                     log_power,

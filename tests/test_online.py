@@ -446,3 +446,47 @@ def test_multistream_mesh_with_transfer_tier():
             # conv's f32-ulp reassociation can flip the f16 rounding side
             atol=1e-2,
         )
+
+
+def test_multistream_drop_oldest_single_giant_chunk():
+    """One feed() chunk several times the ring capacity: only its tail can
+    survive (online.py::feed's len(data) > cap path). The drop count and the
+    surviving segments must be identical to feeding the same audio in small
+    chunks -- true indices, bit-identical to offline."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+    from auditory_tpu.pipeline.sndenv import SndEnv
+
+    cfg = default_cfg_2d()
+    env = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    sig = tone(800.0, 1.5, SR)
+    offline = env.process(env.pad(sig))
+    n_off = offline.mel_fbank_segment.shape[0]
+
+    def run(chunks):
+        ms = MultiStreamOnline(cfg, SR, n_streams=1, dtype=jnp.float64,
+                               max_buffer_seconds=0.0,
+                               overflow="drop_oldest")
+        assert ms._cap < len(sig) / 3  # the single chunk IS > cap
+        for c in chunks:
+            ms.feed(0, c)
+        got = {}
+        while True:
+            res = ms.poll()
+            if not res:
+                break
+            for _, k, out in res:
+                got[k] = out
+        ms.close(0)
+        for _, k, out in ms.drain():
+            got[k] = out
+        return ms.dropped_segments(0), got
+
+    d1, got1 = run([sig])                      # one giant chunk
+    d2, got2 = run(np.array_split(sig, 23))    # same audio, small chunks
+    assert d1 == d2 > 0
+    assert sorted(got1) == sorted(got2) == list(range(d1, n_off))
+    for k in got1:
+        np.testing.assert_allclose(
+            np.asarray(got1[k]["mel_fbank_segment"]),
+            np.asarray(offline.mel_fbank_segment[k]), atol=1e-9,
+        )

@@ -64,8 +64,8 @@ def main() -> None:
     outs = ("mel_fbank_segment", "step_valid")
 
     # spectrum_method is pinned explicitly per row: the production default
-    # ('matmul') auto-dispatches conv-vs-frames by stride alignment, which
-    # would silently run frames under a conv label at odd strides
+    # ('matmul') auto-dispatches conv-vs-frames by stride alignment and
+    # window size, which would silently run frames under a conv label
     variants = [
         ("conv_highest", dict(spectrum_method="conv",
                               matmul_precision="highest")),
