@@ -68,22 +68,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def variants_vmem_bytes(step_samples: int, win: int, passes: int = 6) -> int:
-    """VMEM footprint of the kernel's residue-variant basis tensor at the
+    """VMEM footprint of the kernel's residue-variant basis tensors at the
     given pass count ([limbs, p, chunk, k_pad] bf16 when passes > 1, f32
-    [p, chunk, k_pad] at passes=1): the Mosaic lowering keeps it
-    single-buffered in VMEM per block, so it — not the block size — is the
-    binding constraint on large residue periods. Measured on chip: the 44.1
-    kHz geometry (p=128, win=1102) at passes=6 wants bf16[3,128,1280,640]
-    = 600 MB against 128 MB of VMEM and fails to compile."""
+    [p, chunk, k_pad] at passes=1). The kernel holds TWO such tensors
+    (cos_v AND sin_v) single-buffered in VMEM simultaneously, so both are
+    counted; they — not the block size — are the binding constraint on
+    large residue periods. Measured on chip: the 44.1 kHz geometry (p=128,
+    win=1102) at passes=6 wants bf16[3,128,1280,640] = 600 MB *per tensor*
+    against 128 MB of VMEM and fails to compile."""
     p = 128 // math.gcd(step_samples, 128)
     chunk = _round_up(win, 128) + 128
     k_pad = _round_up(win // 2 + 1, 128)
     bytes_per = 4 if passes == 1 else 2 * _n_limbs(passes)
-    return p * chunk * k_pad * bytes_per
+    return 2 * p * chunk * k_pad * bytes_per  # cos_v + sin_v
 
 
-_VMEM_VARIANTS_BUDGET = 64 * 1024 * 1024  # half of v5e VMEM: leave room for
-# the signal window, mel weights and the double-buffered output blocks
+_VMEM_VARIANTS_BUDGET = 64 * 1024 * 1024  # half of v5e VMEM for cos_v+sin_v
+# combined: leave the other half for the signal window, mel-weight limbs
+# and the double-buffered output blocks
 
 
 def supported_geometry(
@@ -179,7 +181,6 @@ def _make_kernel(
     chunk: int,
     block: int,
     step: int,
-    c0: int,
     rems: Tuple[int, ...],
     stat_aligned: Tuple[int, ...],
     n_residues: int,
@@ -366,7 +367,6 @@ def fused_frame_power_mel(
         chunk=chunk,
         block=block,
         step=step_samples,
-        c0=c0,
         rems=rems,
         stat_aligned=stat_aligned,
         n_residues=n_res,

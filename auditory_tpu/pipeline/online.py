@@ -63,6 +63,12 @@ class OnlineSndEnv:
                 "shared window grid; the online paths emit per-segment "
                 "tensors -- request mel_fbank_segment instead"
             )
+        if env_kw.get("feature_stats"):
+            raise ValueError(
+                "feature_stats is a corpus-level reduction (CorpusRunner "
+                "accumulates it across batches); the online paths would "
+                "compute and silently discard it every poll"
+            )
         self.env = SndEnv(
             cfg, sample_rate, dtype=dtype, outputs=outputs, **env_kw
         )
@@ -182,16 +188,22 @@ class OnlineSndEnv:
         """Zero-pad the tail exactly like SndEnv.Pad (sndenv.go:510-519) and
         emit the remaining segments the offline pipeline would produce on the
         padded signal (steps whose windows overrun the padded end are masked
-        to zero, matching the break-on-overrun semantics). Closes the stream;
-        a second flush emits nothing and further feed() raises."""
+        to zero, matching the break-on-overrun semantics). Closes the stream
+        EAGERLY (at call time, not first iteration -- a dropped iterator
+        must still leave the stream closed with its audio end frozen); a
+        second flush emits nothing and further feed() raises."""
         if self._closed:
-            return
+            return iter(())
         self._closed = True
         from ..dsp.frame import pad_len
 
         t = self.env.timing
         stream_end = self._stream_pos + len(self._buf)  # real audio end, fixed
         padded_end = stream_end + pad_len(stream_end, t)
+        return self._flush_emit(padded_end)
+
+    def _flush_emit(self, padded_end: int) -> Iterator[Tuple[int, SndEnvOutputs]]:
+        t = self.env.timing
         # offline SegCnt on the padded signal (sndenv.go:263-265) -- use the
         # quirk-preserving seg_cnt, NOT `k*stride + SegmentSamples <=
         # padded_end`: Go's truncation-toward-zero yields ONE (fully masked)
@@ -425,7 +437,7 @@ class MultiStreamOnline:
         return np.nonzero(ready)[0]
 
     def _build_fn(self):
-        from .batch import _quant_chan_axis, _quantize_int8
+        from .batch import _quant_chan_axis, _quantize_int8, _saturate_cast
 
         inner = self.env._build(self._span, self._add_ms)
         quantize = self._quantize
@@ -464,7 +476,12 @@ class MultiStreamOnline:
                     # bool/int leaves (step_valid) ship as raw int8
                     flat = x.reshape(x.shape[0], -1).astype(jnp.int8)
                 else:
-                    flat = x.reshape(x.shape[0], -1).astype(pack_dtype)
+                    # _saturate_cast: f32->f16 saturates at 65504 instead of
+                    # overflowing to +-inf (unnormalized DFT power exceeds
+                    # the f16 range on full-scale input)
+                    flat = _saturate_cast(
+                        x.reshape(x.shape[0], -1), pack_dtype
+                    )
                 layout[f] = (
                     tuple(x.shape[1:]), off, off + flat.shape[-1],
                     n_chan, chan_ax,
@@ -555,9 +572,16 @@ class MultiStreamOnline:
             host[f] = v
         if "step_valid" in host:
             host["step_valid"] = host["step_valid"] > 0.5
-        # the call succeeded: NOW advance stream cursors and trim history
+        # the call succeeded: NOW advance stream cursors and trim history.
+        # Per-stream leaves are COPIES, not views: a view of buf[i] would
+        # pin the entire [N, C] poll buffer (all streams x all keys) alive
+        # for as long as a consumer retains any single output.
         results = [
-            (int(i), int(self._next_seg[i]), {k: v[i] for k, v in host.items()})
+            (
+                int(i),
+                int(self._next_seg[i]),
+                {k: v[i].copy() for k, v in host.items()},
+            )
             for i in ready
         ]
         self._next_seg[ready] += 1

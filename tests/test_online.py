@@ -490,3 +490,53 @@ def test_multistream_drop_oldest_single_giant_chunk():
             np.asarray(got1[k]["mel_fbank_segment"]),
             np.asarray(offline.mel_fbank_segment[k]), atol=1e-9,
         )
+
+
+def test_online_flush_closes_eagerly():
+    """flush() must close the stream AT CALL TIME, not on first iteration of
+    the returned generator: a dropped iterator still ends the stream, and
+    feeding after flush raises (review finding, confirmed by repro)."""
+    cfg = default_cfg_2d()
+    online = OnlineSndEnv(cfg, SR, dtype=jnp.float64)
+    online.feed(tone(500.0, 0.15, SR))
+    it = online.flush()  # NOT iterated yet
+    with pytest.raises(RuntimeError):
+        list(online.feed(np.zeros(100)))
+    # the un-iterated generator still drains the frozen-at-flush stream
+    env = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    offline = env.process(env.pad(tone(500.0, 0.15, SR)))
+    got = dict(it)
+    assert len(got) == offline.power_segment.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(got[0].mel_fbank_segment),
+        np.asarray(offline.mel_fbank_segment[0]), atol=1e-9,
+    )
+
+
+def test_online_rejects_feature_stats():
+    """feature_stats is a corpus-level reduction; the online paths would
+    compute and silently discard it every poll (review finding)."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    with pytest.raises(ValueError, match="feature_stats"):
+        OnlineSndEnv(default_cfg_2d(), SR, feature_stats=True)
+    with pytest.raises(ValueError, match="feature_stats"):
+        MultiStreamOnline(default_cfg_2d(), SR, n_streams=2,
+                          feature_stats=True)
+
+
+def test_multistream_f16_saturates_instead_of_inf():
+    """float16 poll transfers must saturate out-of-range values (DC power
+    at full scale is (win)^2 = 160k > f16 max 65504), never ship inf."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    cfg = default_cfg_2d()
+    keys = ("power_segment", "step_valid")
+    ms = MultiStreamOnline(cfg, SR, n_streams=1, outputs=keys,
+                           transfer_dtype="float16")
+    ms.feed(0, np.ones(ms._post + ms.env.timing.stride_samples, np.float32))
+    res = ms.poll()
+    assert res
+    p = res[0][2]["power_segment"]
+    assert np.isfinite(p).all()
+    assert p.max() == np.float16(65504.0)  # saturated, not inf
