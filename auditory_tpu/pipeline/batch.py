@@ -222,7 +222,9 @@ def _saturate_cast(x: jnp.ndarray, td) -> jnp.ndarray:
     """Cast a leaf to the transfer dtype, SATURATING float32->float16 at
     f16 max (65504) instead of overflowing to +-inf: the unnormalized DFT
     power reaches (win*amp)^2 ~ 1.6e5 on full-scale 16 kHz input. NaN
-    propagates through the clip unchanged; non-float leaves cast as-is."""
+    propagates through the clip unchanged. Non-float leaves skip the clamp
+    but ARE cast to ``td`` (packed buffers need one uniform dtype; the
+    per-leaf tree path filters to float leaves before calling this)."""
     if td == jnp.float16 and jnp.issubdtype(x.dtype, jnp.floating):
         x = jnp.clip(x, -65504.0, 65504.0)
     return x.astype(td)
@@ -351,6 +353,16 @@ class BatchedSndEnv:
                 "segment sharding requires prev_smooth == 0 (the smoothing "
                 "recurrence couples steps within a segment only, but the "
                 "reference zeroes state per segment -- still, keep it simple)"
+            )
+        if shard_axis == "segment" and mesh is not None and pack_keys:
+            raise ValueError(
+                "shard_axis='segment' cannot be combined with pack_keys: "
+                "the packed [B, C] buffer flattens the segment axis into "
+                "byte columns, so the output sharding constraint would cut "
+                "across per-entry blocks and force XLA to reshard the "
+                "segment-sharded intermediates -- exactly the collectives "
+                "this mode exists to avoid. Pack on the batch axis, or use "
+                "unpacked outputs with segment sharding."
             )
         self.env = env
         self.mesh = mesh
@@ -513,18 +525,18 @@ class BatchedSndEnv:
             spec = P(None, axis, *([None] * (x.ndim - 2)))
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-        if pack_keys is not None:
-            def program(*args):
-                res = batch_program(*args)
-                return (seg_sharded(res[0]),) + tuple(res[1:])
-        else:
-            def program(*args):
-                res = batch_program(*args)
-                out, seg_valid, rest = res[0], res[1], res[2:]
-                out = jax.tree_util.tree_map(
-                    seg_sharded, out, is_leaf=lambda v: v is None
-                )
-                return (out, seg_sharded(seg_valid)) + rest
+        # pack_keys + segment sharding is rejected at __init__ (the packed
+        # [B, C] buffer flattens the segment axis away), so outputs here are
+        # always the unpacked tree
+        assert pack_keys is None
+
+        def program(*args):
+            res = batch_program(*args)
+            out, seg_valid, rest = res[0], res[1], res[2:]
+            out = jax.tree_util.tree_map(
+                seg_sharded, out, is_leaf=lambda v: v is None
+            )
+            return (out, seg_sharded(seg_valid)) + rest
 
         repl = replicated(self.mesh)
         return jax.jit(program, in_shardings=(repl,) * n_in), pack_meta
@@ -532,10 +544,7 @@ class BatchedSndEnv:
     def process_fn(
         self, n_samples: int, add_ms: int = 0, with_divisors: bool = False
     ):
-        key = (n_samples, add_ms, with_divisors)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = self._build(n_samples, add_ms, with_divisors)
-        return self._jit_cache[key][0]
+        return self._fn_and_meta(n_samples, add_ms, with_divisors)[0]
 
     def _fn_and_meta(
         self, n_samples: int, add_ms: int = 0, with_divisors: bool = False
@@ -730,6 +739,10 @@ class CorpusRunner:
         self.sample_rate = sample_rate
         self.transfer = transfer
         self.pipeline_depth = max(int(pipeline_depth), 1)
+        # pre-pad audio lengths recorded at decode (reset per run): the
+        # decoders return PADDED signals, whose length would inflate the
+        # reported corpus RTF by the pad fraction
+        self._true_lens: Dict[str, int] = {}
 
     # ---------------------------------------------------------------- decode
 
@@ -746,11 +759,23 @@ class CorpusRunner:
                     f"sample rate {w.sample_rate} != pipeline rate "
                     f"{self.sample_rate}"
                 )
+            if w.channels > 1:
+                # the reference's SegCnt divides by Channels()
+                # (sndenv.go:263-265); batching mixed channel counts would
+                # silently give multi-channel files ~channels x the segment
+                # count -- refuse loudly instead (failure record, not crash)
+                return path, None, None, (
+                    f"{w.channels}-channel WAV: corpus batching is "
+                    "single-channel; de-interleave first (e.g. cli process "
+                    "--channel N)"
+                )
             if self.transfer == "auto" and w.source_bit_depth <= 16:
                 sig = w.data[: w.num_frames].astype(np.int16)
                 div = w._norm_divisor()
+                self._true_lens[path] = len(sig)
                 return path, self.env.pad(sig), np.float32(div), None
             sig = w.sound_to_tensor(dtype=np.float32)
+            self._true_lens[path] = len(sig)
             return path, self.env.pad(sig), None, None
         except Exception as e:  # noqa: BLE001 - failure detection, not flow
             return path, None, None, f"{type(e).__name__}: {e}"
@@ -778,6 +803,17 @@ class CorpusRunner:
             for p in group:
                 try:
                     sr, ch, bd, nf = native.wav_info(p)
+                    if ch > 1:
+                        # same rejection as the Python _decode path: the
+                        # reference's SegCnt divides by Channels()
+                        # (sndenv.go:263-265), which single-channel
+                        # batching cannot honor
+                        metas[p] = ValueError(
+                            f"{ch}-channel WAV: corpus batching is "
+                            "single-channel; de-interleave first (e.g. "
+                            "cli process --channel N)"
+                        )
+                        continue
                     metas[p] = (sr, nf)
                     max_frames = max(max_frames, nf)
                 except Exception as e:  # noqa: BLE001 - never-fatal per file
@@ -815,6 +851,7 @@ class CorpusRunner:
                     ))
                 else:
                     sig = out[i, : lengths[i]]
+                    self._true_lens[p] = int(lengths[i])
                     results[p] = (
                         p, self.env.pad(sig), np.float32(divs[i]), None
                     )
@@ -832,6 +869,7 @@ class CorpusRunner:
                     ))
                 else:
                     sig = out[i, : lengths[i]]
+                    self._true_lens[p] = int(lengths[i])
                     results[p] = (p, self.env.pad(sig), None, None)
         for p in group:
             meta = metas[p]
@@ -896,6 +934,7 @@ class CorpusRunner:
         # stems from the FULL list: deterministic + collision-free across
         # shards, regardless of which slice this host processes
         self._stems = self._out_names(list(wav_paths))
+        self._true_lens = {}  # reset per run (pre-pad lengths, honest RTF)
         suffix = (
             f".shard{shard_index}of{num_shards}" if num_shards > 1 else ""
         )
@@ -933,6 +972,7 @@ class CorpusRunner:
         # files -- mark them partial so consumers can't mistake them for
         # corpus-wide statistics.
         self._stats_partial = False
+        self._stats_covered = 0  # ok-files whose moments the accumulator holds
         if done and self.env.feature_stats:
             prior = None
             if os.path.exists(self._stats_path):
@@ -941,7 +981,15 @@ class CorpusRunner:
                         prior = json.load(f)
                 except (OSError, json.JSONDecodeError):
                     prior = None
-            if prior and "mel_sum" in prior and not prior.get("partial"):
+            # the prior moments are only usable when they cover EXACTLY the
+            # resumed 'ok' set: an intervening run may have completed more
+            # files (flushed to the manifest) and then crashed before the
+            # stats rewrite, leaving a stale-but-unmarked stats file whose
+            # moments silently miss those files. files_covered pins this.
+            if (
+                prior and "mel_sum" in prior and not prior.get("partial")
+                and prior.get("files_covered") == len(done)
+            ):
                 self._moments_host = {
                     "sum": np.asarray(prior["mel_sum"], dtype=np.float64),
                     "sumsq": np.asarray(
@@ -949,6 +997,7 @@ class CorpusRunner:
                     ),
                     "count": np.float64(prior["count_steps"]),
                 }
+                self._stats_covered = len(done)
             else:
                 self._stats_partial = True
         t0 = time.perf_counter()
@@ -976,6 +1025,14 @@ class CorpusRunner:
         manifest_lock = threading.Lock()
         pool = ThreadPoolExecutor(max(self.decode_threads, 4))
         write_futures: List = []
+        # bounded download->write handoff: the executor's internal queue is
+        # unbounded, and each queued write_batch closure pins a whole
+        # batch's host feature arrays -- on a slow out_dir (NFS, throttled
+        # disk) that grows RSS without bound. The downloader blocks here,
+        # which propagates backpressure up through wq to dispatch.
+        self._write_slots = threading.BoundedSemaphore(
+            max(2 * self.pipeline_depth, 4)
+        )
 
         def write_worker():
             while True:
@@ -1060,6 +1117,10 @@ class CorpusRunner:
                 # resumed run can seed its accumulator)
                 "mel_sum": moments["sum"].tolist(),
                 "mel_sumsq": moments["sumsq"].tolist(),
+                # how many ok files these moments cover: the resume seed
+                # refuses a prior stats file whose coverage doesn't match
+                # the manifest's ok set exactly
+                "files_covered": self._stats_covered + stats.files_done,
             }
             if self._stats_partial:
                 payload["partial"] = True  # resumed without prior moments:
@@ -1213,6 +1274,7 @@ class CorpusRunner:
         if stat_shards:
             tot_sum = tot_sq = None
             tot_cnt = 0.0
+            tot_cov = 0
             for sp in stat_shards:
                 with open(sp) as f:
                     s = json.load(f)
@@ -1232,6 +1294,7 @@ class CorpusRunner:
                 tot_sum = ssum if tot_sum is None else tot_sum + ssum
                 tot_sq = ssq if tot_sq is None else tot_sq + ssq
                 tot_cnt += float(s["count_steps"])
+                tot_cov += int(s.get("files_covered", 0))
             cnt = max(tot_cnt, 1.0)
             mean = tot_sum / cnt
             var = np.maximum(tot_sq / cnt - mean**2, 0.0)
@@ -1241,6 +1304,7 @@ class CorpusRunner:
                 "count_steps": cnt,
                 "mel_sum": tot_sum.tolist(),
                 "mel_sumsq": tot_sq.tolist(),
+                "files_covered": tot_cov,
             }
             with open(os.path.join(out_dir, "feature_stats.json"), "w") as f:
                 json.dump(merged_stats, f)
@@ -1386,8 +1450,13 @@ class CorpusRunner:
                 np.savez(os.path.join(out_dir, stem + ".npz"), **rec)
                 return path, n_audio
 
+            # true (pre-pad) audio lengths for the stats: len(sig) here is
+            # the PADDED length (_decode pads), which would inflate the
+            # reported corpus RTF by the pad fraction (up to +9% on 1 s
+            # utterances at 16 kHz defaults)
             jobs = [
-                (i, path, len(sig)) for i, (path, sig, _) in enumerate(items)
+                (i, path, self._true_lens.get(path, len(sig)))
+                for i, (path, sig, _) in enumerate(items)
             ]
             results = [write_one(j) for j in jobs]
             with manifest_lock:
@@ -1399,4 +1468,12 @@ class CorpusRunner:
                     stats.audio_seconds += n_audio / self.sample_rate
                 manifest.flush()
 
-        write_futures.append(pool.submit(write_batch))
+        self._write_slots.acquire()  # bounded handoff (see run())
+
+        def bounded_write():
+            try:
+                write_batch()
+            finally:
+                self._write_slots.release()
+
+        write_futures.append(pool.submit(bounded_write))

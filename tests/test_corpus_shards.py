@@ -192,3 +192,28 @@ def test_writer_failure_stops_dispatch_and_resume_completes(
     assert s2.files_done == len(paths) - len(ok)
     npz = [f for f in os.listdir(out) if f.endswith(".npz")]
     assert len(npz) == len(paths)
+
+
+def test_resume_rejects_stale_stats_coverage(tmp_path):
+    """A stats file whose moments do not cover the manifest's full 'ok' set
+    (an intervening run flushed more ok records, then crashed before the
+    stats rewrite) must NOT be seeded from -- the result would silently
+    miss those files' moments. files_covered pins the coverage."""
+    cfg = default_cfg_2d()
+    paths = _make_wavs(tmp_path / "wavs", n=4)
+    out = tmp_path / "out"
+
+    CorpusRunner(cfg, SR, batch_size=2).run(paths[:2], str(out))
+    sp = out / "feature_stats.json"
+    v1 = sp.read_text()
+    assert json.loads(v1)["files_covered"] == 2
+
+    CorpusRunner(cfg, SR, batch_size=2).run(paths[:3], str(out), resume=True)
+    assert json.loads(sp.read_text())["files_covered"] == 3
+
+    # simulate the crash: manifest says 3 ok, stats rolled back to v1 (2)
+    sp.write_text(v1)
+    CorpusRunner(cfg, SR, batch_size=2).run(paths, str(out), resume=True)
+    final = json.loads(sp.read_text())
+    assert final.get("partial") is True  # refused the stale seed
+    assert final["files_covered"] == 1   # this run's moments only
