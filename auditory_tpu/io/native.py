@@ -52,27 +52,13 @@ def _load() -> Optional[ctypes.CDLL]:
     so = os.path.join(os.path.dirname(__file__), "libauditory_io.so")
     if not os.path.exists(so):
         return None
-    lib = ctypes.CDLL(so)
-    lib.auditory_wav_info.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int64),
-    ]
-    lib.auditory_wav_info.restype = ctypes.c_int32
-    lib.auditory_wav_decode_batch.argtypes = [
-        ctypes.c_char_p,
-        ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int64,
-        ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_int32,
-    ]
-    lib.auditory_wav_decode_batch.restype = ctypes.c_int32
+    try:
+        lib = ctypes.CDLL(so)
+        _bind_base(lib)
+    except (OSError, AttributeError):
+        # a stale/partial .so missing a BASE symbol must degrade to the
+        # pure-Python fallback (available() -> False), not crash the run
+        return None
     # the i16 entry point arrived later: a stale .so (built before it) must
     # degrade to the float path, not break the whole native decoder
     global _has_i16
@@ -97,6 +83,29 @@ def _load() -> Optional[ctypes.CDLL]:
     return lib
 
 
+def _bind_base(lib: ctypes.CDLL) -> None:
+    lib.auditory_wav_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.auditory_wav_info.restype = ctypes.c_int32
+    lib.auditory_wav_decode_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    lib.auditory_wav_decode_batch.restype = ctypes.c_int32
+
+
 def available() -> bool:
     return _load() is not None
 
@@ -110,7 +119,7 @@ def wav_info(path: str) -> Tuple[int, int, int, int]:
     ch = ctypes.c_int32()
     bd = ctypes.c_int32()
     nf = ctypes.c_int64()
-    st = lib.auditory_wav_info(path.encode(), sr, ch, bd, nf)
+    st = lib.auditory_wav_info(os.fsencode(path), sr, ch, bd, nf)
     if st != 0:
         raise IOError(f"{path}: {STATUS_NAMES.get(st, st)}")
     return sr.value, ch.value, bd.value, nf.value
@@ -134,8 +143,11 @@ def decode_batch(
     if lib is None:
         raise RuntimeError("native IO library not built (make -C csrc)")
     n = len(paths)
-    blob = b"\0".join(p.encode() for p in paths) + b"\0"
-    out = np.zeros((n, max_samples), dtype=np.float32)
+    # os.fsencode, not str.encode: surrogate-escaped (non-UTF-8)
+    # filenames must reach fopen as their original filesystem bytes
+    blob = b"\0".join(os.fsencode(p) for p in paths) + b"\0"
+    # np.empty: the C workers memset every row before decoding into it
+    out = np.empty((n, max_samples), dtype=np.float32)
     statuses = np.zeros(n, dtype=np.int32)
     lengths = np.zeros(n, dtype=np.int64)
     srs = np.zeros(n, dtype=np.int32)
@@ -180,8 +192,10 @@ def decode_batch_i16(
             "make -C csrc"
         )
     n = len(paths)
-    blob = b"\0".join(p.encode() for p in paths) + b"\0"
-    out = np.zeros((n, max_samples), dtype=np.int16)
+    # os.fsencode, not str.encode: surrogate-escaped (non-UTF-8)
+    # filenames must reach fopen as their original filesystem bytes
+    blob = b"\0".join(os.fsencode(p) for p in paths) + b"\0"
+    out = np.empty((n, max_samples), dtype=np.int16)  # C memsets rows
     statuses = np.zeros(n, dtype=np.int32)
     lengths = np.zeros(n, dtype=np.int64)
     srs = np.zeros(n, dtype=np.int32)

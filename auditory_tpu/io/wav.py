@@ -25,7 +25,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["Wave", "load_wav", "write_wav"]
+__all__ = ["Wave", "float_to_wave", "load_wav", "write_wav"]
 
 
 @dataclass

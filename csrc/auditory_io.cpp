@@ -53,22 +53,44 @@ uint16_t rd_u16(const uint8_t* p) {
   return (uint16_t)p[0] | ((uint16_t)p[1] << 8);
 }
 
+int64_t file_size_of(FILE* f) {
+  long pos = ftell(f);
+  if (fseek(f, 0, SEEK_END) != 0) return -1;
+  long end = ftell(f);
+  fseek(f, pos, SEEK_SET);
+  return (int64_t)end;
+}
+
 int32_t parse_header(FILE* f, WavInfo* info) {
+  const int64_t fsz = file_size_of(f);
   uint8_t hdr[12];
   if (fread(hdr, 1, 12, f) != 12) return ERR_RIFF;
   if (memcmp(hdr, "RIFF", 4) != 0 || memcmp(hdr + 8, "WAVE", 4) != 0)
     return ERR_RIFF;
 
-  // walk chunks
+  // walk chunks. Chunk sizes are UNTRUSTED: cap every allocation/seek
+  // against the real file size (a corrupt size like 0xFFFFFFFF would
+  // otherwise drive a multi-GB allocation -- std::bad_alloc escaping a
+  // worker thread terminates the whole process -- or, computed in uint32,
+  // wrap the skip to 0 and loop misparsing the body as chunk headers).
   for (;;) {
     uint8_t ch[8];
     if (fread(ch, 1, 8, f) != 8) return info->n_data_bytes ? OK : ERR_FMT;
     uint32_t sz = rd_u32(ch + 4);
+    const int64_t skip = (int64_t)sz + (sz & 1);  // 64-bit: no wrap
     if (memcmp(ch, "fmt ", 4) == 0) {
+      if (sz < 16 || (int64_t)sz > fsz) return ERR_FMT;
       std::vector<uint8_t> body(sz);
       if (fread(body.data(), 1, sz, f) != sz) return ERR_FMT;
-      if (sz < 16) return ERR_FMT;
       info->format = rd_u16(body.data());
+      if (info->format == 0xFFFE && sz >= 40) {
+        // WAVE_FORMAT_EXTENSIBLE: the effective format is the first two
+        // bytes of the sub-format GUID in the extension (PCM=1, float=3);
+        // common in pro-audio exports -- the pure-Python fallback (stdlib
+        // wave on Python >= 3.12) decodes these, so the native tier must
+        // too rather than regress them to ERR_UNSUPPORTED
+        info->format = rd_u16(body.data() + 24);
+      }
       info->channels = rd_u16(body.data() + 2);
       info->sample_rate = (int32_t)rd_u32(body.data() + 4);
       info->bit_depth = rd_u16(body.data() + 14);
@@ -76,11 +98,16 @@ int32_t parse_header(FILE* f, WavInfo* info) {
     } else if (memcmp(ch, "data", 4) == 0) {
       info->n_data_bytes = sz;
       info->data_offset = ftell(f);
+      // a declared size past EOF means a truncated file: clamp so the
+      // decoder's allocation is bounded by reality (it then reports
+      // ERR_TRUNCATED via its short-read check or decodes what exists)
+      if (fsz >= 0 && info->n_data_bytes > fsz - info->data_offset)
+        return ERR_TRUNCATED;
       // keep walking? data is what we need; fmt usually precedes data
       if (info->format != 0) return OK;
-      fseek(f, (long)(sz + (sz & 1)), SEEK_CUR);
+      if (fseek(f, (long)skip, SEEK_CUR) != 0) return ERR_FMT;
     } else {
-      fseek(f, (long)(sz + (sz & 1)), SEEK_CUR);
+      if (fseek(f, (long)skip, SEEK_CUR) != 0) return ERR_FMT;
     }
   }
 }
@@ -124,11 +151,13 @@ int32_t decode_one(const char* path, float* out, int64_t max_samples,
     return ERR_UNSUPPORTED;
   }
 
+  if (channel >= info.channels) { fclose(f); return ERR_UNSUPPORTED; }
+
   int64_t total_samples = info.n_data_bytes / bytes_per;
   int64_t n_frames = total_samples / info.channels;
-  // reference SoundToTensor: first n_frames interleaved samples
-  int64_t want = (channel < 0) ? n_frames : n_frames;
-  if (want > max_samples) { fclose(f); return ERR_TOO_LONG; }
+  // reference SoundToTensor: first n_frames interleaved samples (the
+  // per-channel path emits the same count, one sample per frame)
+  if (n_frames > max_samples) { fclose(f); return ERR_TOO_LONG; }
 
   std::vector<uint8_t> raw(info.n_data_bytes);
   fseek(f, (long)info.data_offset, SEEK_SET);
@@ -162,13 +191,11 @@ int32_t decode_one(const char* path, float* out, int64_t max_samples,
 
   if (channel < 0) {
     for (int64_t i = 0; i < n_frames; ++i) out[i] = (float)sample_at(i);
-    *n_out = n_frames;
   } else {
-    if (channel >= info.channels) return ERR_UNSUPPORTED;
     for (int64_t i = 0; i < n_frames; ++i)
       out[i] = (float)sample_at(i * info.channels + channel);
-    *n_out = n_frames;
   }
+  *n_out = n_frames;
   return OK;
 }
 
@@ -197,6 +224,7 @@ int32_t decode_one_i16(const char* path, int16_t* out, int64_t max_samples,
         (info.format == 3 && info.bit_depth == 32);
     return decodable ? ERR_NOT_I16 : ERR_UNSUPPORTED;
   }
+  if (channel >= info.channels) { fclose(f); return ERR_UNSUPPORTED; }
   int bytes_per = info.bit_depth / 8;
   int64_t total_samples = info.n_data_bytes / bytes_per;
   int64_t n_frames = total_samples / info.channels;
@@ -218,7 +246,6 @@ int32_t decode_one_i16(const char* path, int16_t* out, int64_t max_samples,
   if (channel < 0) {
     for (int64_t i = 0; i < n_frames; ++i) out[i] = sample_at(i);
   } else {
-    if (channel >= info.channels) return ERR_UNSUPPORTED;
     for (int64_t i = 0; i < n_frames; ++i)
       out[i] = sample_at(i * info.channels + channel);
   }
@@ -280,8 +307,17 @@ int32_t auditory_wav_decode_batch(const char* paths_blob, int32_t n_files,
       int32_t ch_n = 0, bd = 0;
       int64_t n = 0;
       memset(out + (int64_t)i * max_samples, 0, sizeof(float) * max_samples);
-      int32_t st = decode_one(paths[i], out + (int64_t)i * max_samples,
-                              max_samples, channel, &srs[i], &ch_n, &bd, &n);
+      int32_t st;
+      try {
+        st = decode_one(paths[i], out + (int64_t)i * max_samples,
+                        max_samples, channel, &srs[i], &ch_n, &bd, &n);
+      } catch (...) {
+        // per-file error contract: an exception (e.g. std::bad_alloc on a
+        // corrupt size that slipped the header caps) must never escape the
+        // worker -- std::terminate would kill the whole corpus run
+        st = ERR_FMT;
+        n = 0;
+      }
       statuses[i] = st;
       lengths[i] = n;
       if (st == OK) ok_count.fetch_add(1);
@@ -319,9 +355,14 @@ int32_t auditory_wav_decode_batch_i16(const char* paths_blob, int32_t n_files,
       if (i >= n_files) return;
       int64_t n = 0;
       memset(out + (int64_t)i * max_samples, 0, sizeof(int16_t) * max_samples);
-      int32_t st = decode_one_i16(paths[i], out + (int64_t)i * max_samples,
-                                  max_samples, channel, &srs[i], &divisors[i],
-                                  &n);
+      int32_t st;
+      try {
+        st = decode_one_i16(paths[i], out + (int64_t)i * max_samples,
+                            max_samples, channel, &srs[i], &divisors[i], &n);
+      } catch (...) {
+        st = ERR_FMT;  // see the float worker: never let an exception
+        n = 0;         // escape a worker thread (std::terminate)
+      }
       statuses[i] = st;
       lengths[i] = n;
       if (st == OK) ok_count.fetch_add(1);

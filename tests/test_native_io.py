@@ -75,3 +75,76 @@ def test_native_too_long(tmp_path):
     write_wav(p, float_to_wave(tone(500, 0.1, 16000), 16000))
     out, lengths, _, errors = native.decode_batch([p], 100)
     assert errors[0] == "file longer than buffer"
+
+
+pytestmark_native = pytest.mark.skipif(
+    not native.available(), reason="native lib not built"
+)
+
+
+@pytestmark_native
+def test_native_corrupt_chunk_sizes_are_per_file_errors(tmp_path):
+    """Untrusted chunk sizes must become per-file error records, never a
+    multi-GB allocation or a wrapped chunk-skip loop (review findings).
+    Two corruptions: a data chunk declaring ~4 GB, and a pre-data junk
+    chunk of size 0xFFFFFFFF (whose 32-bit skip would wrap to 0)."""
+    import struct
+
+    good = str(tmp_path / "good.wav")
+    write_wav(good, float_to_wave(tone(500.0, 0.05, 16000), 16000))
+
+    def wav_bytes(data_sz=None, junk_sz=None, n_data=64):
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if junk_sz is not None:
+            body += b"JUNK" + struct.pack("<I", junk_sz)  # no junk payload
+        data = bytes(n_data)
+        body += b"data" + struct.pack(
+            "<I", data_sz if data_sz is not None else n_data
+        ) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    huge = str(tmp_path / "huge.wav")
+    open(huge, "wb").write(wav_bytes(data_sz=0xFFFFFFF0))
+    wrap = str(tmp_path / "wrap.wav")
+    open(wrap, "wb").write(wav_bytes(junk_sz=0xFFFFFFFF))
+
+    out, lengths, srs, errors = native.decode_batch(
+        [good, huge, wrap], max_samples=16000
+    )
+    assert errors[0] is None and lengths[0] == 800
+    assert errors[1] is not None  # truncated/bad, not a crash
+    assert errors[2] is not None
+
+
+@pytestmark_native
+def test_native_wave_format_extensible(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) PCM must decode identically to the
+    plain-PCM encoding of the same samples (the Python fallback handles
+    these; the native tier must not regress them)."""
+    import struct
+
+    sig = tone(700.0, 0.05, 16000)
+    plain = str(tmp_path / "plain.wav")
+    write_wav(plain, float_to_wave(sig, 16000))
+    ref = load_wav(plain)
+    data = ref.data[: ref.num_frames].astype("<i2").tobytes()
+
+    # extensible fmt chunk: cbSize=22, validbits=16, mask=0, GUID with
+    # sub-format PCM (=1) in the first two bytes
+    fmt = struct.pack("<HHIIHHHHI", 0xFFFE, 1, 16000, 32000, 2, 16, 22, 16, 0)
+    fmt += struct.pack("<H", 1) + bytes(14)  # sub-format GUID
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    ext = str(tmp_path / "ext.wav")
+    open(ext, "wb").write(
+        b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    )
+
+    out, lengths, srs, errors = native.decode_batch([ext], max_samples=16000)
+    assert errors[0] is None, errors
+    np.testing.assert_allclose(
+        out[0, : lengths[0]],
+        ref.data[: ref.num_frames].astype(np.float64) / 32767.0,
+        atol=1e-7,
+    )
