@@ -331,10 +331,17 @@ def cmd_segment(args) -> int:
         sb, eb = (b_start if b_start is not None else start_ms,
                   b_end if b_end is not None else end_ms)
         pb["slice"] = f"{b_label or label or ''} {sb:.0f}-{eb:.0f} ms"
-        write_compare_html(
-            arrays, args.html, params_a=pa, params_b=pb, diff=res["diff"],
-            title=f"A/B compare: {os.path.basename(args.file)}",
-        )
+        try:
+            write_compare_html(
+                arrays, args.html, params_a=pa, params_b=pb,
+                diff=res["diff"],
+                title=f"A/B compare: {os.path.basename(args.file)}",
+            )
+        except RuntimeError as e:
+            # matplotlib absent: same clean gating as cmd_viz (the npz and
+            # diff JSON above are already written/printed)
+            print(f"--html skipped: {e}", file=sys.stderr)
+            return 2
         print(f"html report -> {args.html}")
     return 0
 
@@ -405,12 +412,10 @@ def cmd_viz(args) -> int:
                     phases=(0.0, 1.5708) if args.gabor_phases == 2 else (0.0,)
                 ),
             )
-            import os as _os
-
-            _os.makedirs(args.out, exist_ok=True)
+            os.makedirs(args.out, exist_ok=True)
             written.append(
                 viz.render_gabor_bank(
-                    gset, _os.path.join(args.out, "gabor_bank.png")
+                    gset, os.path.join(args.out, "gabor_bank.png")
                 )
             )
     except RuntimeError as e:
@@ -441,8 +446,6 @@ def cmd_play(args) -> int:
     rate/channels/depth to that file (headless fallback, rc 0); else report
     and rc 2.
     """
-    import os
-
     if not os.path.exists(args.file):
         # PlayIt's missing-file message (play.go:139-141)
         print(f"File: {args.file} not found", file=sys.stderr)
@@ -491,8 +494,6 @@ def cmd_play(args) -> int:
 
 
 def main(argv=None) -> int:
-    import os
-
     if os.environ.get("AUDITORY_TPU_CPU"):
         # must run before any jax op; the JAX_PLATFORMS env var is ignored
         # under the axon sitecustomize
@@ -649,7 +650,7 @@ def main(argv=None) -> int:
                    " default: file header")
     p.add_argument("--channels", type=int, default=None,
                    help="channel count (play.go -channels); default: header")
-    p.add_argument("--depth", type=int, default=None,
+    p.add_argument("--depth", type=int, default=None, choices=(1, 2, 3, 4),
                    help="bit depth in BYTES like the reference (play.go"
                    " -depth); default: header")
     p.add_argument("--out-wav", default=None,

@@ -325,6 +325,19 @@ def compare_segments(
             "active_frac_delta": sb["active_frac"] - sa["active_frac"],
         }
         if na.shape == nb.shape:
-            entry["max_abs_diff"] = float(np.max(np.abs(na - nb))) if na.size else 0.0
+            # NaN-aware (the NaN mel-triangle quirk makes NaN a legitimate
+            # value): max_abs_diff is the max over positions where BOTH
+            # sides are finite (plain np.max would be NaN even for
+            # identical sides, hiding real differences in the report and
+            # emitting non-strict JSON), and nan_mismatch separately flags
+            # NaN placement differing between the sides.
+            d = np.abs(na - nb)
+            finite = np.isfinite(d)
+            entry["max_abs_diff"] = (
+                float(d[finite].max()) if finite.any() else 0.0
+            )
+            mismatch = np.isnan(na) != np.isnan(nb)
+            if mismatch.any():
+                entry["nan_mismatch"] = int(mismatch.sum())
         diff[k] = entry
     return {"a": out_a, "b": out_b, "diff": diff}

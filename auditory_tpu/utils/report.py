@@ -79,7 +79,11 @@ def _diff_table(diff: Mapping[str, Mapping]) -> str:
             continue
         a, b = e["a"], e["b"]
         mad = e.get("max_abs_diff")
-        differs = (mad is None) or (mad > 0) or a["shape"] != b["shape"]
+        nan_mm = int(e.get("nan_mismatch", 0))
+        differs = (
+            (mad is None) or (mad > 0) or nan_mm > 0
+            or a["shape"] != b["shape"]
+        )
         rows.append(
             f"<tr{' class=differs' if differs else ''}>"
             f"<td class=key>{html.escape(k)}</td>"
@@ -89,7 +93,9 @@ def _diff_table(diff: Mapping[str, Mapping]) -> str:
             f"<td>{_fmt(a['active_frac'])}</td>"
             f"<td>{_fmt(b['active_frac'])}</td>"
             f"<td>{_fmt(e['active_frac_delta'])}</td>"
-            f"<td>{'—' if mad is None else _fmt(mad)}</td></tr>"
+            f"<td>{'—' if mad is None else _fmt(mad)}"
+            + (f" (+{nan_mm} NaN-placement)" if nan_mm else "")
+            + "</td></tr>"
         )
     return "<table>" + head + "".join(rows) + "</table>"
 

@@ -46,10 +46,12 @@ def _require_mpl():
 def _cmap_and_norm(arr: np.ndarray):
     """Sequential ramp for magnitudes; diverging ramp centered at 0 for
     signed data (polarity must get a neutral midpoint, not a hue)."""
-    # nan-aware: the pipeline legitimately emits NaN mel values (the NaN
-    # triangle quirk); NaN color limits would blank the panel
-    amin = float(np.nanmin(arr)) if np.any(np.isfinite(arr)) else 0.0
-    amax = float(np.nanmax(arr)) if np.any(np.isfinite(arr)) else 1.0
+    # nan- AND inf-aware: the pipeline legitimately emits NaN mel values
+    # (the NaN triangle quirk), and external npz files can carry infs;
+    # non-finite color limits would blank or degenerate the panel
+    finite = arr[np.isfinite(arr)]
+    amin = float(finite.min()) if finite.size else 0.0
+    amax = float(finite.max()) if finite.size else 1.0
     if amin < 0 < amax:
         bound = max(abs(amin), abs(amax))
         return _DIV_CMAP, -bound, bound
@@ -84,8 +86,15 @@ def render_array(
         ax.set_title(title, fontsize=10)
         ax.grid(alpha=0.25, lw=0.5)
     elif arr.ndim == 2:
+        # cap the figure size: figsize scales with the array but matplotlib
+        # aborts above 2^16 pixels per side; imshow resamples fine at the
+        # cap (an 8-minute utterance's [n_seg, steps] energy would
+        # otherwise exceed the limit at dpi 100+)
         fig, ax = plt.subplots(
-            figsize=(max(3.0, arr.shape[1] / 8), max(2.5, arr.shape[0] / 8))
+            figsize=(
+                min(max(3.0, arr.shape[1] / 8), 60.0),
+                min(max(2.5, arr.shape[0] / 8), 60.0),
+            )
         )
         cmap, vmin, vmax = _cmap_and_norm(arr)
         im = ax.imshow(
@@ -145,7 +154,12 @@ def _compare_pairs(data: Mapping[str, np.ndarray]) -> List[str]:
 
 
 def _as_2d(arr: np.ndarray) -> np.ndarray:
-    """Collapse leading axes so a tensor fits one comparison heatmap."""
+    """Collapse leading axes so a tensor fits one comparison heatmap
+    (1-D arrays become one-row heatmaps: a mixed-rank A/B pair -- e.g. a
+    config change that collapses an axis -- must still render side by side
+    rather than crash on ``shape[1]``)."""
+    if arr.ndim == 1:
+        return arr[None, :]
     if arr.ndim <= 2:
         return arr
     return arr.reshape(-1, arr.shape[-1])
@@ -202,8 +216,8 @@ def render_compare(
             a2, b2 = _as_2d(a), _as_2d(b)
             same = a2.shape == b2.shape
             ncols = 3 if same else 2
-            width = max(3.0, max(a2.shape[1], b2.shape[1]) / 8)
-            height = max(2.5, max(a2.shape[0], b2.shape[0]) / 8)
+            width = min(max(3.0, max(a2.shape[1], b2.shape[1]) / 8), 60.0)
+            height = min(max(2.5, max(a2.shape[0], b2.shape[0]) / 8), 60.0)
             fig, axes = plt.subplots(
                 1, ncols, figsize=(width * ncols, height), squeeze=False
             )
