@@ -79,6 +79,14 @@ def extract_windows(
 
 def tail_len(n: int, timing: DerivedTiming) -> int:
     """Samples beyond the last full stride (sndenv.go:503-507; Go %)."""
+    if timing.stride_samples <= 0:
+        # mirror the Go integer-division-by-zero panic (sndenv.go:506): a
+        # sub-sample stride_ms rounds to 0 samples at low rates, and
+        # np.fmod(x, 0) would silently return 0 instead of refusing
+        raise ValueError(
+            f"stride_samples={timing.stride_samples}: the stride rounds to "
+            "zero samples at this rate (the reference panics here)"
+        )
     temp = n - timing.segment_samples
     return int(np.fmod(temp, timing.stride_samples))
 
@@ -87,6 +95,11 @@ def pad_len(n: int, timing: DerivedTiming) -> int:
     """Right-pad length so ``n`` divides evenly into strides
     (sndenv.go:510-519; the single source of truth for the Pad arithmetic,
     also used by the online flush)."""
+    if timing.step_samples <= 0:
+        raise ValueError(
+            f"step_samples={timing.step_samples}: the step rounds to zero "
+            "samples at this rate (the reference panics here)"
+        )
     tail = tail_len(n, timing)
     return (
         timing.segment_samples

@@ -94,7 +94,13 @@ def resize_segment(
 
 class SegmentPipeline:
     """Process time slices of an utterance (one phone/CV at a time, or a
-    batch of equal-length slices)."""
+    batch of equal-length slices).
+
+    DOCUMENTED DEVIATION: gbv.go's ProcessSetup force-sets
+    ``Mel.FBank.NFilters = 32`` (gbv.go:497) and ``LoHz = 0`` (gbv.go:509)
+    regardless of user configuration; this class honors arbitrary
+    ``MelParams`` instead (a capability extension). To reproduce a literal
+    gaborview run, pass the defaults (32 filters, lo_hz=0)."""
 
     def __init__(
         self,
@@ -176,6 +182,9 @@ class SegmentPipeline:
         return start_ms, end_ms, self.steps_total(start_ms, end_ms)
 
     def _program(self, n_samples: int, steps: int):
+        del n_samples  # the program reads signal.shape[-1]; the jit
+        # cache key carries the length so one entry per (S, steps)
+
         mel_w = jnp.asarray(self.mel_des.weights, dtype=self.dtype)
         dct_m = jnp.asarray(self.dct_mat, dtype=self.dtype)
         gab = jnp.asarray(self.gabor_bank, dtype=self.dtype)
@@ -233,24 +242,30 @@ class SegmentPipeline:
                 if self.kwta.on
                 else graw
             )
+            # inputs are always [B, S] (process() normalizes); drop the
+            # grid's singleton "segment" axis but KEEP the batch axis --
+            # indexing [0] here would silently discard slices 1..B-1.
+            # step_valid is shared across the batch (same slice geometry).
             return {
-                "power_segment": jnp.swapaxes(power, -1, -2)[0],
-                "log_power_segment": jnp.swapaxes(logp, -1, -2)[0],
-                "mel_fbank_segment": mel_fs[0],
-                "energy": en[0],
+                "power_segment": jnp.swapaxes(power, -1, -2)[:, 0],
+                "log_power_segment": jnp.swapaxes(logp, -1, -2)[:, 0],
+                "mel_fbank_segment": mel_fs[:, 0],
+                "energy": en[:, 0],
                 "mfcc_segment": (
-                    jnp.swapaxes(mfcc, -1, -2)[0] if mfcc is not None else None
+                    jnp.swapaxes(mfcc, -1, -2)[:, 0]
+                    if mfcc is not None else None
                 ),
                 "mfcc_deltas": (
-                    jnp.swapaxes(deltas, -1, -2)[0] if deltas is not None else None
+                    jnp.swapaxes(deltas, -1, -2)[:, 0]
+                    if deltas is not None else None
                 ),
                 "mfcc_delta_deltas": (
-                    jnp.swapaxes(ddeltas, -1, -2)[0]
+                    jnp.swapaxes(ddeltas, -1, -2)[:, 0]
                     if ddeltas is not None
                     else None
                 ),
-                "gabor_raw": graw[0],
-                "gabor_kwta": gk[0],
+                "gabor_raw": graw[:, 0],
+                "gabor_kwta": gk[:, 0],
                 "step_valid": valid[0],
             }
 
@@ -259,22 +274,58 @@ class SegmentPipeline:
     def process(
         self, signal: np.ndarray, start_ms: float, end_ms: float
     ) -> Dict[str, jnp.ndarray]:
-        """ProcessSetup + Process for one [start, end] slice (gbv.go:371-625)."""
+        """ProcessSetup + Process for one [start, end] slice (gbv.go:371-625).
+
+        ``signal`` may be 1-D (one utterance; outputs have no batch axis) or
+        [B, S] (B equal-length utterances sharing the slice; every output
+        except the shared ``step_valid`` gains a leading batch axis)."""
         start_ms, end_ms, steps = self.setup(start_ms, end_ms)
         signal = jnp.asarray(signal)
-        key = (signal.shape[-1], steps)
+        if signal.ndim not in (1, 2):
+            raise ValueError(
+                f"signal must be 1-D or [B, S], got shape {signal.shape}"
+            )
+        squeeze = signal.ndim == 1
+        sig2 = signal[None] if squeeze else signal
+        if sig2.shape[-1] > np.iinfo(np.int32).max - self.win_samples:
+            # int32 window starts would wrap (same loud refusal as
+            # frame.window_starts and StreamingProcessor.load)
+            raise ValueError(
+                f"signal length {sig2.shape[-1]} exceeds the int32 "
+                "window-start range; slice the utterance first"
+            )
+        key = (sig2.shape[-1], steps)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(self._program(signal.shape[-1], steps))
+            self._jit_cache[key] = jax.jit(self._program(sig2.shape[-1], steps))
         start_sample = msec_to_samples(start_ms, self.sample_rate)
-        return self._jit_cache[key](signal, jnp.asarray(start_sample))
+        out = self._jit_cache[key](sig2, jnp.asarray(start_sample))
+        if squeeze:
+            out = {
+                k: (
+                    v[0]
+                    if v is not None and k != "step_valid"
+                    else v
+                )
+                for k, v in out.items()
+            }
+        return out
 
 
 def _activity_summary(arr: np.ndarray) -> Dict[str, float]:
+    """NaN-aware side stats: the NaN mel-triangle quirk makes NaN a
+    legitimate value, and a NaN max/mean would leak non-strict JSON through
+    ``cli segment --compare``'s json.dumps."""
+    finite = arr[np.isfinite(arr)] if arr.size else arr
     return {
         "shape": list(arr.shape),
-        "max_abs": float(np.max(np.abs(arr))) if arr.size else 0.0,
-        "mean": float(arr.mean()) if arr.size else 0.0,
+        "max_abs": float(np.max(np.abs(finite))) if finite.size else 0.0,
+        "mean": float(finite.mean()) if finite.size else 0.0,
         "active_frac": float(np.mean(arr != 0)) if arr.size else 0.0,
+        **(
+            {"nan_frac": float(np.isnan(arr).mean())}
+            if arr.size and np.isnan(arr).any()
+            else {}
+        ),
     }
 
 

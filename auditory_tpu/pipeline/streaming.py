@@ -119,14 +119,9 @@ class StreamingProcessor:
     # processspeech.go:406-422 (same arithmetic as sndenv.go's Pad --
     # frame.pad_len is the single source of truth)
     def pad(self, signal: np.ndarray) -> np.ndarray:
-        from ..dsp.frame import pad_len
+        from ..dsp.frame import pad_signal
 
-        n = pad_len(signal.shape[-1], self.timing)
-        pad_shape = signal.shape[:-1] + (n,)
-        return np.concatenate(
-            [signal, np.full(pad_shape, self.pad_value, dtype=signal.dtype)],
-            axis=-1,
-        )
+        return pad_signal(signal, self.timing, self.pad_value)
 
     def load(self, signal: np.ndarray, pad: bool = False) -> None:
         """Load a new sound; resets the segment cursor
@@ -143,7 +138,19 @@ class StreamingProcessor:
         assert signal.shape[0] == self.channels
         if pad:
             signal = self.pad(signal)
+        if signal.shape[-1] > np.iinfo(np.int32).max - self.timing.win_samples:
+            # same loud refusal as frame.window_starts: int32 window starts
+            # would wrap on a >2^31-sample signal and silently read the
+            # left zero-pad with valid=True
+            raise ValueError(
+                f"signal length {signal.shape[-1]} exceeds the int32 "
+                "window-start range; split the stream"
+            )
         self.signal = signal
+        # upload ONCE: process_segment runs per segment, and re-converting
+        # the full host array each call would re-pay the host->device
+        # transfer hundreds of times on long files
+        self._signal_dev = jnp.asarray(signal)
         self.segment = -1
         self.more_segments = True
 
@@ -225,12 +232,17 @@ class StreamingProcessor:
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._program(n))
         out = self._jit_cache[key](
-            jnp.asarray(self.signal), jnp.asarray(self.segment)
+            self._signal_dev, jnp.asarray(self.segment)
         )
         # SoundToWindow failure semantics (processspeech.go:340-345): any
-        # step whose window overruns the signal sets MoreSegments=false
-        # (the reference breaks its step loop; our batched program masks
-        # the step and reports it in step_valid)
+        # step whose window overruns the signal sets MoreSegments=false.
+        # DOCUMENTED DEVIATION: the reference still runs the DFT/mel/DCT on
+        # the FAILING step with the previous step's stale window
+        # (ProcessStep calls the filters unconditionally,
+        # processspeech.go:357-364) and never re-zeroes the segment
+        # tensors, so trailing steps keep segment N-1's columns; we zero
+        # the overrunning steps and report them in step_valid instead --
+        # stale-window garbage is mutable-state residue, not signal.
         if not bool(np.all(np.asarray(out["step_valid"]))):
             self.more_segments = False
         remaining = n - self.timing.segment_samples * (self.segment + 1)

@@ -348,3 +348,35 @@ def test_write_compare_html_mapping_and_only_in(tmp_path):
     assert "unit test" in src
     assert "only computed on side A" in src
     assert src.count("data:image/png;base64,") == 1  # keys filter honored
+
+
+def test_segment_pipeline_batched_slices():
+    """[B, S] input: every slice is processed (review finding: the previous
+    code returned batch element 0 with a stray axis and silently discarded
+    slices 1..B-1); each row must equal its own single-slice run."""
+    from auditory_tpu.pipeline.segments import SegmentPipeline
+
+    sr = 16000
+    pipe = SegmentPipeline(sr)
+    rng = np.random.default_rng(9)
+    # dithered tones (CLAUDE.md): log-mel of a PURE tone reads the FFT
+    # noise floor in stop bins, which differs meaninglessly across lowerings
+    sigs = np.stack([
+        tone(500.0 + 300 * i, 1.0, sr) + 0.01 * rng.standard_normal(sr)
+        for i in range(3)
+    ]).astype(np.float32)
+    batch = pipe.process(sigs, 100.0, 300.0)
+    assert batch["mel_fbank_segment"].shape[0] == 3
+    assert batch["step_valid"].ndim == 1  # shared slice geometry
+    for i in range(3):
+        one = pipe.process(sigs[i], 100.0, 300.0)
+        # f32-roundoff tolerance: XLA lowers the B=3 and B=1 GEMMs with
+        # different tilings, so bitwise equality does not hold
+        np.testing.assert_allclose(
+            np.asarray(batch["mel_fbank_segment"][i]),
+            np.asarray(one["mel_fbank_segment"]), rtol=1e-5, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch["gabor_kwta"][i]),
+            np.asarray(one["gabor_kwta"]), rtol=1e-4, atol=1e-3,
+        )
