@@ -20,7 +20,6 @@ including the 4-D clamping against the caller-provided output shape
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -54,6 +53,21 @@ def gabor_out_counts(
         f_max = min(pools_y * gset.stride_y, n_freq - gset.stride_y)
     t_count = max(0, -(-t_max // gset.stride_x))  # ceil(t_max / stride)
     f_count = max(0, -(-f_max // gset.stride_y))
+    if out_pools is not None:
+        # clamp to the VALID conv range so this public count always matches
+        # what convolve() emits. DOCUMENTED DEVIATION: when stride < size
+        # the Go loop bounds (above) can exceed the valid range, where the
+        # reference's behavior diverges by axis -- a time-axis overrun
+        # silently reads the next frequency row through etensor's row-major
+        # flat indexing (garbage, no panic; gabor.go:264-277), a
+        # frequency-axis overrun panics, and the refemu oracle raises
+        # IndexError. We emit only valid positions on both axes.
+        t_count = min(
+            t_count, max(0, (n_time - gset.size_x) // gset.stride_x + 1)
+        )
+        f_count = min(
+            f_count, max(0, (n_freq - gset.size_y) // gset.stride_y + 1)
+        )
     return f_count, t_count
 
 
@@ -110,8 +124,8 @@ def convolve(
         precision=precision,
         preferred_element_type=x.dtype,
     )  # [B, nf, outY, outX]
-    # A 4-D out_pools larger than the valid conv range would make the
-    # reference index out of bounds (a Go panic); clamp instead.
+    # gabor_out_counts is already clamped to the valid conv range (see its
+    # DOCUMENTED DEVIATION note); this min() is a residual shape safety net
     f_count = min(f_count, out.shape[2])
     t_count = min(t_count, out.shape[3])
     out = out[:, :, :f_count, :t_count]

@@ -220,9 +220,14 @@ def kwta_layer(
     ext_gi: Optional[jnp.ndarray] = None,
     return_inhibs: bool = False,
 ):
-    """Layer-level kwta: one FFFB inhibition group over the whole tensor."""
+    """Layer-level kwta: one FFFB inhibition group over the whole tensor.
+
+    With ``params.on=False`` the input passes through UNCHANGED (its dtype
+    included -- the on-path settles in float32); the inhibs record then
+    carries the standard 'layer'/'pool' keys with empty states so consumers
+    written against the on-path contract don't KeyError."""
     if not params.on:
-        return (raw, {}) if return_inhibs else raw
+        return (raw, {"layer": {}, "pool": {}}) if return_inhibs else raw
     ge = raw.astype(jnp.float32)
     eg = jnp.zeros_like(ge) if ext_gi is None else ext_gi.astype(ge.dtype)
     return _settle(params, ge, eg, pool_axes=None, return_inhibs=return_inhibs)
@@ -237,9 +242,10 @@ def kwta_pool(
 ):
     """Pool-level kwta: FFFB per pool (the inner ``pool_axes`` dims, i.e. the
     [2, n_filters] units of one (fIdx, tIdx) pool in the 4-D layout) combined
-    with a layer-level group via max."""
+    with a layer-level group via max. Off-path contract: see
+    :func:`kwta_layer` (passthrough dtype, keyed-but-empty inhibs)."""
     if not params.on:
-        return (raw, {}) if return_inhibs else raw
+        return (raw, {"layer": {}, "pool": {}}) if return_inhibs else raw
     ge = raw.astype(jnp.float32)
     eg = jnp.zeros_like(ge) if ext_gi is None else ext_gi.astype(ge.dtype)
     return _settle(
