@@ -376,7 +376,8 @@ class SndEnvConfig:
 def clamp_mel_to_nyquist(cfg: "SndEnvConfig", sample_rate: int) -> "SndEnvConfig":
     """Lower ``mel.fbank.hi_hz`` to the Nyquist frequency when it exceeds it.
 
-    The reference default HiHz=8000 (mel.go:124) is only valid at sample
+    The reference default HiHz=8000 (mel.go:173, FilterBank.Defaults) is
+    only valid at sample
     rates >= 16 kHz; below that every user must lower it (SndEnv rejects the
     config otherwise). Benchmarks and tools that sweep sample rates share
     this helper so low-rate rows run the same config any real user would.

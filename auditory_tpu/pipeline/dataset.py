@@ -48,8 +48,13 @@ class FeatureDataset:
         )
         if not self.stems:
             raise FileNotFoundError(f"no .npz feature files in {out_dir}")
-        first = self.load(self.stems[0])
-        self.keys = tuple(keys) if keys is not None else tuple(first)
+        # key discovery reads the npz DIRECTORY only (z.files) -- load()
+        # would decompress every array of the first file just to list names
+        with np.load(
+            os.path.join(out_dir, self.stems[0] + ".npz")
+        ) as z:
+            first = tuple(z.files)
+        self.keys = tuple(keys) if keys is not None else first
         missing = set(self.keys) - set(first)
         if missing:
             raise ValueError(
@@ -116,6 +121,13 @@ class FeatureDataset:
         silence frames carry the (0 - mean)/std value."""
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
+        if normalize and "mel_fbank_segment" not in self.keys:
+            # the per-band stats apply to the mel tensor only; silently
+            # yielding unnormalized features would betray normalize=True
+            raise ValueError(
+                "normalize=True requires 'mel_fbank_segment' among the "
+                f"loaded keys (have {sorted(self.keys)})"
+            )
         order = np.arange(len(self.stems))
         if seed is not None:
             np.random.default_rng(seed).shuffle(order)

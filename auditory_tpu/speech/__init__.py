@@ -16,10 +16,15 @@ def scan_lines(text: str) -> List[str]:
     files parse identically to LF files (every reference loader reads via
     ScanLines; a bare ``split('\\n')`` would leave '\\r' on each line and,
     worse, treat a CRLF blank line as non-blank, breaking the loaders'
-    blank-line stop conditions)."""
+    blank-line stop conditions). Like Go's Scan(), a file ENDING with a
+    newline yields no final empty token ('a\\n' -> ['a'], 'a\\n\\n' ->
+    ['a', ''])."""
+    parts = text.split("\n")
+    if parts and parts[-1] == "" and text.endswith("\n"):
+        parts.pop()
     return [
         line[:-1] if line.endswith("\r") else line
-        for line in text.split("\n")
+        for line in parts
     ]
 
 

@@ -31,12 +31,13 @@ _SETS = {"I": CVS_I, "III": CVS_III, "IV": CVS_IV, "V": CVS_V, "VI": CVS_VI}
 
 
 def load_transcription(fn: str) -> List[str]:
-    """Space-split last line of the file (synthcvs.go:36-53)."""
+    """Space-split LAST SCANNED line of the file (synthcvs.go:36-53) --
+    faithfully including the quirk that a file ending in a blank line
+    yields [''] (Go keeps the literal last token, blank or not)."""
     with open(fn, "r") as fp:
         s = ""
         for line in scan_lines(fp.read()):
-            if line:
-                s = line
+            s = line
     return s.split(" ")
 
 
@@ -55,13 +56,20 @@ def load_times(fn: str, names: List[str]) -> List[Unit]:
         u = Unit()
         units.append(u)
         fields = t.split()
+        if len(fields) < 2:
+            # the reference panics on cvs[0]/cvs[1] for a short line
+            # (synthcvs.go:81-88); swallowing it would silently consume a
+            # name and misalign every subsequent unit
+            raise ValueError(
+                f"{fn}: malformed times line {t!r} (need '<start> <end>')"
+            )
         try:
             u.start = float(fields[0]) * 1000.0
-        except (ValueError, IndexError):
-            pass
+        except ValueError:
+            pass  # Go: ParseFloat err leaves the zero value (synthcvs.go:82)
         try:
             u.end = float(fields[1]) * 1000.0
-        except (ValueError, IndexError):
+        except ValueError:
             pass
         u.name = names[i]
         i += 1

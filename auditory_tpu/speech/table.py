@@ -39,8 +39,16 @@ class SoundsTable:
 
     def add_sequence(self, seq: Sequence) -> None:
         self.sequences.append(seq)
-        fpth, nm = os.path.split(seq.file)
-        nm = os.path.splitext(nm)[0]
+        # gbv.go:650,690-693: TrimSuffix('.wav') THEN strip from the last
+        # remaining dot -- a multi-dot stem 'a.b.wav' yields File 'a', not
+        # 'a.b' (os.path.splitext alone would keep 'a.b')
+        fn = seq.file
+        if fn.endswith(".wav"):
+            fn = fn[: -len(".wav")]
+        fpth, nm = os.path.split(fn)
+        i = nm.rfind(".")
+        if i > 0:
+            nm = nm[:i]
         splits = [s for s in fpth.split(os.sep) if s]
         short_dir = os.sep.join(splits[-2:]) if splits else fpth
         for u in seq.units:

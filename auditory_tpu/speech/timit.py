@@ -162,8 +162,7 @@ def load_text(fn: str) -> str:
     with open(fn, "r") as fp:
         s = ""
         for line in scan_lines(fp.read()):
-            if line:
-                s = line
+            s = line  # literal last scanned line, blank or not (Go quirk)
     digits = "0123456789"
     s = s.lstrip(digits).lstrip(" ").lstrip(digits).lstrip(" ")
     return s

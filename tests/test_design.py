@@ -165,7 +165,7 @@ def test_gabor_kernel_larger_than_plane_raises():
 
 def test_clamp_mel_to_nyquist():
     """The shared bench/tool helper: lowers hi_hz to sr/2 only when the
-    default exceeds Nyquist (reference default HiHz=8000, mel.go:124)."""
+    default exceeds Nyquist (reference default HiHz=8000, mel.go:173)."""
     from auditory_tpu.config import SndEnvConfig, clamp_mel_to_nyquist
 
     cfg = SndEnvConfig()
