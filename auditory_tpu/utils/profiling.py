@@ -79,15 +79,20 @@ class StepTimer:
     @contextlib.contextmanager
     def step(self, n_audio_samples: int) -> Iterator[None]:
         t0 = time.perf_counter()
+        ok = False
         try:
             yield
+            ok = True
         finally:
-            # count the step even when it raises (e.g. a flaky remote
-            # compile): an uncounted failed step would silently inflate RTF
+            # count the WALL time even when the step raises (e.g. a flaky
+            # remote compile) -- dropping it would inflate RTF -- but count
+            # the AUDIO only on success: a caught-and-retried failure would
+            # otherwise count the same audio twice while processing it once
             dt = time.perf_counter() - t0
             self.steps += 1
             self.wall_seconds += dt
-            self.audio_seconds += n_audio_samples / self.sample_rate
+            if ok:
+                self.audio_seconds += n_audio_samples / self.sample_rate
 
     @property
     def rtf(self) -> float:

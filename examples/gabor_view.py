@@ -26,6 +26,9 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from auditory_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat TPU runs skip the flaky compile
     root = argv[0] if len(argv) > 0 else "."
     want = argv[1] if len(argv) > 1 else None
 

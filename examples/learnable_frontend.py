@@ -30,7 +30,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from train_phone_classifier import synth_token  # noqa: E402
+from train_phone_classifier import (  # noqa: E402
+    assemble_batch,
+    synth_token,
+)
 
 
 def main() -> None:
@@ -52,10 +55,14 @@ def main() -> None:
     import jax.numpy as jnp
     import optax
 
+    from auditory_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat TPU runs skip the flaky compile
+
     from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
     from auditory_tpu.dsp.design import gabor_filters
     from auditory_tpu.dsp.gabor import convolve
-    from auditory_tpu.pipeline.batch import BatchedSndEnv, bucket_length
+    from auditory_tpu.pipeline.batch import BatchedSndEnv
     from auditory_tpu.pipeline.sndenv import SndEnv
 
     sr = 16000
@@ -73,11 +80,7 @@ def main() -> None:
     n_total = args.classes * args.n_per_class
     labels = np.repeat(np.arange(args.classes), args.n_per_class)
     sigs = [env.pad(synth_token(c, rng, sr)) for c in labels]
-    n_pad = bucket_length(max(len(s) for s in sigs), env.timing)
-    batch = np.zeros((n_total, n_pad), np.float32)
-    for i, s in enumerate(sigs):
-        batch[i, : len(s)] = s
-    lengths = np.array([len(s) for s in sigs], np.int32)
+    batch, lengths = assemble_batch(sigs, env.timing)
 
     out, _ = benv.process(batch, lengths)
     # mel_fbank_segment is [N, seg, n_mel, steps] -- exactly the [freq, time]
@@ -117,6 +120,15 @@ def main() -> None:
             logits, y
         ).mean()
 
+    # jitted eval paths: eager per-op dispatch pays per-op compiles through
+    # the flaky TPU tunnel every 50 steps
+    loss_jit = jax.jit(loss_fn)
+
+    @jax.jit
+    def predict(p, x):
+        z = featurize(p["filters"], x)
+        return jnp.argmax(z @ p["w"] + p["b"], -1)
+
     @jax.jit
     def step(p, s, x, y):
         loss, grads = jax.value_and_grad(loss_fn)(p, x, y)
@@ -124,9 +136,7 @@ def main() -> None:
         return optax.apply_updates(p, updates), s, loss
 
     def accuracy(p, idx):
-        z = featurize(p["filters"], mel_d[idx])
-        pred = jnp.argmax(z @ p["w"] + p["b"], -1)
-        return float((pred == labels_d[idx]).mean())
+        return float((predict(p, mel_d[idx]) == labels_d[idx]).mean())
 
     # ---- optional orbax checkpoint/resume --------------------------------
     ckptr = None
@@ -143,9 +153,17 @@ def main() -> None:
             "params": params, "opt_state": opt_state,
             "step": jnp.asarray(0),
         }
+        import re
+
+        # strict name filter: an interrupted save leaves an orbax staging
+        # dir like 'step_100.orbax-checkpoint-tmp-<ts>' behind, which a
+        # loose startswith+int parse would crash on -- resume must consider
+        # only COMMITTED checkpoints
         done = sorted(
-            (int(d.split("_")[1]), d) for d in os.listdir(ckdir)
-            if d.startswith("step_")
+            (int(m.group(1)), d)
+            for d in os.listdir(ckdir)
+            for m in [re.fullmatch(r"step_(\d+)", d)]
+            if m
         )
         if done:
             st = ckptr.restore(
@@ -163,8 +181,9 @@ def main() -> None:
             )
 
     xtr, ytr = mel_d[tr], labels_d[tr]
-    loss = loss_fn(params, xtr, ytr)  # defined even with --steps 0
-    first_loss = float(loss)
+    loss = loss_jit(params, xtr, ytr)  # defined even with --steps 0; on a
+    # resumed run this is the RESUMED params' loss, labeled accordingly
+    first_loss = float(loss)  # on a resumed run: the resumed params' loss
     for i in range(start_step, args.steps):
         params, opt_state, loss = step(params, opt_state, xtr, ytr)
         if (i + 1) % args.ckpt_every == 0 and ckptr is not None:

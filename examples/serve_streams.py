@@ -45,6 +45,10 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from auditory_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat TPU runs skip the flaky compile
+
     from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
     from auditory_tpu.pipeline.online import MultiStreamOnline
 
@@ -102,6 +106,9 @@ def main() -> None:
         print(f"median poll: {np.median(poll_ms):.2f} ms per "
               f"{args.streams}-stream batch")
     print(f"audio processed: {audio_sec:.1f} s")
+    # segs > 0 first: with zero emissions the balance check is vacuously
+    # true and SERVE_OK would be a false positive
+    assert segs > 0, "no segments emitted (audio shorter than one segment?)"
     assert all(v == segs // args.streams for v in got.values())
     print("SERVE_OK")
 

@@ -37,6 +37,19 @@ def synth_token(cls: int, rng: np.random.Generator, sr: int = 16000,
     return sig.astype(np.float32)
 
 
+def assemble_batch(sigs, timing):
+    """Pack variable-length signals into one zero-padded [N, n_pad] batch
+    (bucketed length) + true lengths; shared by the training examples."""
+    from auditory_tpu.pipeline.batch import bucket_length
+
+    n_pad = bucket_length(max(len(s) for s in sigs), timing)
+    batch = np.zeros((len(sigs), n_pad), np.float32)
+    for i, s in enumerate(sigs):
+        batch[i, : len(s)] = s
+    lengths = np.array([len(s) for s in sigs], np.int32)
+    return batch, lengths
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
@@ -86,11 +99,7 @@ def main() -> None:
 
     if args.features == "inline":
         benv = BatchedSndEnv(env)
-        n_pad = bucket_length(max(len(s) for s in sigs), env.timing)
-        batch = np.zeros((n_total, n_pad), np.float32)
-        for i, s in enumerate(sigs):
-            batch[i, : len(s)] = s
-        lengths = np.array([len(s) for s in sigs], np.int32)
+        batch, lengths = assemble_batch(sigs, env.timing)
         out, _ = benv.process(batch, lengths)
         feats = jnp.reshape(out.gabor_kwta, (n_total, -1))  # stays on device
     else:
@@ -107,7 +116,9 @@ def main() -> None:
             p = f"{tmp.name}/tok_c{c}_{i:04d}.wav"
             write_wav(p, float_to_wave(s, sr))
             paths.append(p)
-        cls_of = lambda path: int(path.rsplit("_c", 1)[1].split("_")[0])
+        # ONE parser for the tok_c<class>_<idx>.wav stem scheme, shared by
+        # the device route (full paths) and FeatureDataset (bare stems)
+        cls_of = lambda name: int(name.rsplit("_c", 1)[1].split("_")[0])
         runner = CorpusRunner(
             cfg, sr, batch_size=64, save_keys=("gabor_kwta",),
             feature_stats=False,
@@ -135,8 +146,7 @@ def main() -> None:
             out_dir = f"{tmp.name}/out"
             runner.run(paths, out_dir)
             ds = FeatureDataset(
-                out_dir, keys=("gabor_kwta",),
-                label_fn=lambda stem: int(stem.rsplit("_c", 1)[1].split("_")[0]),
+                out_dir, keys=("gabor_kwta",), label_fn=cls_of,
             )
             rows, lab_rows = [], []
             for b in ds.batches(64):
