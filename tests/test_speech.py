@@ -239,3 +239,45 @@ def test_vowels_delegates_to_synthcvs():
     assert vowels._load_times is synthcvs.load_times
     assert vowels._load_transcription is synthcvs.load_transcription
     assert grafestes._load_times is synthcvs.load_times
+
+
+def test_scan_lines_go_scanner_semantics():
+    """bufio.ScanLines parity: a file ENDING with a newline yields no final
+    empty token; interior blank lines and CRLF are preserved/normalized.
+    The loaders' last-scanned-line and blank-line-break quirks depend on
+    this exactly (review finding: the old split added a spurious '')."""
+    from auditory_tpu.speech import scan_lines
+
+    assert scan_lines("a b\n") == ["a b"]
+    assert scan_lines("a b") == ["a b"]
+    assert scan_lines("a b\n\n") == ["a b", ""]
+    assert scan_lines("a\r\nb\r\n") == ["a", "b"]
+    assert scan_lines("") == [""]
+
+
+def test_load_transcription_keeps_literal_last_line(tmp_path):
+    """synthcvs.go:36-53 keeps the literal LAST SCANNED line -- a file whose
+    last line is blank yields [''] (quirk), one ending at the names line
+    yields the names."""
+    from auditory_tpu.speech import synthcvs
+
+    p1 = tmp_path / "t1.txt"
+    p1.write_text("da go pa\n")
+    assert synthcvs.load_transcription(str(p1)) == ["da", "go", "pa"]
+    p2 = tmp_path / "t2.txt"
+    p2.write_text("da go pa\n\n")
+    assert synthcvs.load_transcription(str(p2)) == [""]
+
+
+def test_load_times_short_line_raises(tmp_path):
+    """A malformed times line (fewer than two fields) must fail loudly (the
+    reference panics, synthcvs.go:81-88) instead of silently consuming a
+    name and misaligning every later unit."""
+    import pytest
+
+    from auditory_tpu.speech import synthcvs
+
+    p = tmp_path / "t.times"
+    p.write_text("0.0 0.5\n \n0.5 1.0\n")
+    with pytest.raises(ValueError, match="malformed"):
+        synthcvs.load_times(str(p), ["da", "go"])
