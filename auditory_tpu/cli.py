@@ -391,6 +391,25 @@ def cmd_table(args) -> int:
     return 0
 
 
+def _open_external(paths, tool=None) -> None:
+    """Launch a host tool on artifact files without waiting -- the analog
+    of the reference's Audacity shell-out (gaborview gbv.go:891-902, which
+    exec.Command's an external editor on the current sound file). Tool
+    resolution: explicit arg > $AUDITORY_TPU_OPEN > xdg-open."""
+    import subprocess
+
+    tool = tool or os.environ.get("AUDITORY_TPU_OPEN") or "xdg-open"
+    for p in paths:
+        try:
+            subprocess.Popen(
+                [tool, p], stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        except OSError as e:
+            print(f"open: {tool} {p}: {e}", file=sys.stderr)
+            return
+
+
 def cmd_viz(args) -> int:
     """Headless PNG rendering of pipeline outputs and the gabor bank --
     the reference's tensor-grid validation surface (gbv.go:1209-1313,
@@ -427,6 +446,8 @@ def cmd_viz(args) -> int:
         return 1
     for p in written:
         print(p)
+    if getattr(args, "open", False):
+        _open_external(written)
     return 0
 
 
@@ -641,6 +662,9 @@ def main(argv=None) -> int:
                    help="also render the (default-spec) gabor filter bank")
     p.add_argument("--gabor-size", type=int, default=9)
     p.add_argument("--gabor-phases", type=int, default=2, choices=(1, 2))
+    p.add_argument("--open", action="store_true",
+                   help="launch the rendered files in an external viewer "
+                   "($AUDITORY_TPU_OPEN or xdg-open; gbv.go:891-902 analog)")
     p.set_defaults(fn=cmd_viz)
 
     p = sub.add_parser("play", help="play a WAV on the host audio device")
@@ -674,7 +698,18 @@ def main(argv=None) -> int:
             try:
                 jax.config.update("jax_platforms", "cpu")
             except RuntimeError:
-                pass  # backend already initialized (in-process caller)
+                # backend already initialized (in-process caller). Only
+                # safe if it initialized as CPU -- proceeding on TPU dies
+                # later with an opaque compile error (no f64 on device)
+                if jax.default_backend() != "cpu":
+                    print(
+                        "error: --f64 requires the CPU backend, but JAX "
+                        f"already initialized on '{jax.default_backend()}'"
+                        "; set jax_platforms='cpu' (or env "
+                        "AUDITORY_TPU_CPU=1) before the first jax op",
+                        file=sys.stderr,
+                    )
+                    return 1
     try:
         return args.fn(args)
     except (FileNotFoundError, IsADirectoryError) as e:

@@ -18,7 +18,9 @@ def scan_lines(text: str) -> List[str]:
     worse, treat a CRLF blank line as non-blank, breaking the loaders'
     blank-line stop conditions). Like Go's Scan(), a file ENDING with a
     newline yields no final empty token ('a\\n' -> ['a'], 'a\\n\\n' ->
-    ['a', ''])."""
+    ['a', '']), and EMPTY input yields zero tokens ('' -> [])."""
+    if not text:
+        return []
     parts = text.split("\n")
     if parts and parts[-1] == "" and text.endswith("\n"):
         parts.pop()

@@ -70,6 +70,14 @@ def main() -> None:
                      "pass one or the other, not both")
         args.precision = "default"
 
+    import os
+
+    if os.environ.get("AUDITORY_TPU_CPU"):
+        # must run before any jax op; the JAX_PLATFORMS env var is ignored
+        # under the axon sitecustomize (same escape hatch as the CLI)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
@@ -134,9 +142,21 @@ def main() -> None:
     # serialized regardless). Repeat the timed loop so the reported number
     # carries its measured spread (VERDICT r2 #5: single-run headlines hid
     # ~±10% weather variance).
+    # link-health canary: one fixed-size D2H copy per repeat, classified
+    # into a `regime` field so a depressed-relay capture is tagged at
+    # measurement time instead of caught by post-hoc sanity review
+    from auditory_tpu.utils.canary import (
+        classify_link, d2h_canary, make_canary_buffer,
+    )
+
+    canary_buf = make_canary_buffer(jnp, jax.device_put)
+    d2h_canary(canary_buf)  # warm the copy path
+
     audio_seconds = float(lengths.sum()) / sr * args.iters
     rtfs = []
+    canaries = []
     for _ in range(max(1, args.repeats)):
+        canaries.append(d2h_canary(canary_buf))
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out, _ = fn(signals_d, lengths_d)
@@ -162,6 +182,9 @@ def main() -> None:
                 "min": round(min(rtfs), 1),
                 "max": round(max(rtfs), 1),
                 "repeats": len(rtfs),
+                "precision": args.precision,
+                "canary_d2h_ms": round(1e3 * float(np.median(canaries)), 2),
+                "regime": classify_link(canaries),
             }
         )
     )

@@ -98,11 +98,16 @@ int32_t parse_header(FILE* f, WavInfo* info) {
     } else if (memcmp(ch, "data", 4) == 0) {
       info->n_data_bytes = sz;
       info->data_offset = ftell(f);
-      // a declared size past EOF means a truncated file: clamp so the
-      // decoder's allocation is bounded by reality (it then reports
-      // ERR_TRUNCATED via its short-read check or decodes what exists)
-      if (fsz >= 0 && info->n_data_bytes > fsz - info->data_offset)
-        return ERR_TRUNCATED;
+      // a declared size past EOF means a truncated (or still-being-
+      // written) file: clamp to the bytes actually present so the
+      // allocation is bounded by reality and the decoder emits what
+      // exists -- matching the Python-wave fallback tier, which also
+      // decodes the available frames of such files (tier consistency:
+      // corpus results must not depend on which decoder tier ran)
+      if (fsz >= 0 && info->n_data_bytes > fsz - info->data_offset) {
+        int64_t avail = fsz - info->data_offset;
+        info->n_data_bytes = avail > 0 ? avail : 0;
+      }
       // keep walking? data is what we need; fmt usually precedes data
       if (info->format != 0) return OK;
       if (fseek(f, (long)skip, SEEK_CUR) != 0) return ERR_FMT;

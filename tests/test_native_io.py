@@ -84,10 +84,12 @@ pytestmark_native = pytest.mark.skipif(
 
 @pytestmark_native
 def test_native_corrupt_chunk_sizes_are_per_file_errors(tmp_path):
-    """Untrusted chunk sizes must become per-file error records, never a
-    multi-GB allocation or a wrapped chunk-skip loop (review findings).
-    Two corruptions: a data chunk declaring ~4 GB, and a pre-data junk
-    chunk of size 0xFFFFFFFF (whose 32-bit skip would wrap to 0)."""
+    """Untrusted chunk sizes must never cause a multi-GB allocation or a
+    wrapped chunk-skip loop (review findings). Two corruptions: a data
+    chunk declaring ~4 GB (clamped to the bytes present -- the truncated
+    file decodes what exists, matching the Python-wave fallback tier),
+    and a pre-data junk chunk of size 0xFFFFFFFF (whose 32-bit skip
+    would wrap to 0 -- a per-file error record)."""
     import struct
 
     good = str(tmp_path / "good.wav")
@@ -113,7 +115,9 @@ def test_native_corrupt_chunk_sizes_are_per_file_errors(tmp_path):
         [good, huge, wrap], max_samples=16000
     )
     assert errors[0] is None and lengths[0] == 800
-    assert errors[1] is not None  # truncated/bad, not a crash
+    # declared-past-EOF data clamps to the 64 bytes present: 32 samples,
+    # exactly what the Python tier decodes for the same file
+    assert errors[1] is None and lengths[1] == 32
     assert errors[2] is not None
 
 

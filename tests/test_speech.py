@@ -252,7 +252,7 @@ def test_scan_lines_go_scanner_semantics():
     assert scan_lines("a b") == ["a b"]
     assert scan_lines("a b\n\n") == ["a b", ""]
     assert scan_lines("a\r\nb\r\n") == ["a", "b"]
-    assert scan_lines("") == [""]
+    assert scan_lines("") == []  # Go Scan() yields zero tokens on empty input
 
 
 def test_load_transcription_keeps_literal_last_line(tmp_path):
