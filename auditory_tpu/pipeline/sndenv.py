@@ -220,7 +220,10 @@ class SndEnv:
         self.analysis_win = design.analysis_window(
             cfg.dft.window_fn, self.timing.win_samples
         )
-        if spectrum_method in ("matmul", "conv", "frames") or self.use_pallas:
+        if (
+            spectrum_method in ("matmul", "conv", "frames", "factored")
+            or self.use_pallas
+        ):
             cos_m, sin_m = design.dft_matrices(self.timing.win_samples)
             if self.analysis_win is not None:
                 # fold the analysis window into the DFT basis rows
@@ -229,6 +232,27 @@ class SndEnv:
             self.dft_basis = (cos_m, sin_m)
         else:
             self.dft_basis = None
+        self.factored_plan = None
+        if spectrum_method == "factored":
+            from ..dsp.dft import factored_dft_plan
+
+            if self.analysis_win is not None:
+                raise ValueError(
+                    "spectrum_method='factored' requires the reference's "
+                    "rectangular window (window_fn=None): a nontrivial "
+                    "analysis window can't be factored across the two "
+                    "Cooley-Tukey stages"
+                )
+            self.factored_plan = factored_dft_plan(
+                self.timing.win_samples, self.timing.step_samples
+            )
+            if self.factored_plan is None:
+                raise ValueError(
+                    "spectrum_method='factored': no W = N1*N2 split exists "
+                    f"for win={self.timing.win_samples}, "
+                    f"step={self.timing.step_samples} (N2 must divide both; "
+                    "prime/coprime geometries stay on 'frames'/'conv')"
+                )
 
         self._orients = tuple(
             s.with_defaults().orientation for s in cfg.gabor.active_specs()
@@ -332,10 +356,12 @@ class SndEnv:
         power, logp = dft_power_pipeline(
             windows,
             self.cfg.dft,
-            # 'conv' exists only on the uniform window grid; off-grid the
-            # identical math runs as the windows @ basis matmul
+            # 'conv'/'frames'/'factored' exist only on the uniform window
+            # grid; off-grid the identical math runs as the windows @
+            # basis matmul
             method=(
-                "matmul" if self.spectrum_method in ("conv", "frames")
+                "matmul"
+                if self.spectrum_method in ("conv", "frames", "factored")
                 else self.spectrum_method
             ),
             basis=basis,
@@ -449,17 +475,20 @@ class SndEnv:
 
                     mel_vals = mel_renorm(mel_vals, cfg.mel.fbank)
             elif map_idx is not None and self.spectrum_method in (
-                "matmul", "conv", "frames"
+                "matmul", "conv", "frames", "factored"
             ):
                 # uniform window grid, no materialized windows and no
                 # gather: 'frames' = J shifted dense GEMMs over
                 # step-aligned frames (power_spectrum_frames); 'conv' =
-                # ONE strided conv (power_spectrum_conv). 'matmul' (the
-                # default) auto-selects by stride alignment + window size
+                # ONE strided conv (power_spectrum_conv); 'factored' =
+                # two-stage Cooley-Tukey GEMMs (power_spectrum_factored,
+                # composite windows only). 'matmul' (the default)
+                # auto-selects by stride alignment + window size
                 # (preferred_spectrum_frontend: measured dispatch rule).
                 from ..dsp.dft import (
                     log_power,
                     power_spectrum_conv,
+                    power_spectrum_factored,
                     power_spectrum_frames,
                     preferred_spectrum_frontend,
                 )
@@ -469,19 +498,35 @@ class SndEnv:
                     method = preferred_spectrum_frontend(
                         t.step_samples, t.win_samples
                     )
-                frontend = (
-                    power_spectrum_frames
-                    if method == "frames"
-                    else power_spectrum_conv
-                )
-                power = frontend(
-                    signals,
-                    basis,
-                    t.step_samples,
-                    int(flat_starts_np[0]),
-                    int(flat_starts_np.shape[0]),
-                    precision=self.matmul_precision,
-                )
+                if method == "factored":
+                    if self.factored_plan is None:  # auto-dispatch route
+                        from ..dsp.dft import factored_dft_plan
+
+                        self.factored_plan = factored_dft_plan(
+                            t.win_samples, t.step_samples
+                        )
+                    power = power_spectrum_factored(
+                        signals,
+                        self.factored_plan,
+                        t.step_samples,
+                        int(flat_starts_np[0]),
+                        int(flat_starts_np.shape[0]),
+                        precision=self.matmul_precision,
+                    )
+                else:
+                    frontend = (
+                        power_spectrum_frames
+                        if method == "frames"
+                        else power_spectrum_conv
+                    )
+                    power = frontend(
+                        signals,
+                        basis,
+                        t.step_samples,
+                        int(flat_starts_np[0]),
+                        int(flat_starts_np.shape[0]),
+                        precision=self.matmul_precision,
+                    )
                 need_full_logp = (
                     self.outputs is None or "log_power_segment" in self.outputs
                 )

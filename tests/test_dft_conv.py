@@ -192,3 +192,102 @@ def test_preferred_frontend_rate_grid():
             preferred_spectrum_frontend(t.step_samples, t.win_samples)
             == method
         ), sr
+
+
+@pytest.mark.parametrize(
+    "w,step,offset0",
+    [
+        (1200, 480, -960),  # 48 kHz geometry incl. border windows
+        (1200, 480, 0),
+        (800, 320, -640),   # 32 kHz geometry
+        (400, 160, -320),   # 16 kHz geometry
+        (400, 160, 137),    # positive offset
+        (200, 80, -160),    # 8 kHz geometry
+    ],
+)
+def test_factored_matches_gather_matmul(w, step, offset0):
+    """The two-stage Cooley-Tukey frontend is exact math: it must agree
+    with the dense gather+matmul formulation bit-tight in f64 on every
+    composite geometry, incl. left zero-fill and overrun windows."""
+    from auditory_tpu.dsp.dft import factored_dft_plan, power_spectrum_factored
+
+    plan = factored_dft_plan(w, step)
+    assert plan is not None, (w, step)
+    assert plan.n1 * plan.n2 == w and step % plan.n2 == 0
+
+    rng = np.random.default_rng(hash((w, step, offset0, 7)) % 2**31)
+    b, n_windows = 3, 9
+    s = max((n_windows - 2) * step + offset0 + w, w // 2 + 1)
+    signals = rng.standard_normal((b, s))
+    cos_m, sin_m = dft_matrices(w)
+    basis = (jnp.asarray(cos_m), jnp.asarray(sin_m))
+
+    got = np.asarray(
+        power_spectrum_factored(
+            jnp.asarray(signals), plan, step, offset0, n_windows
+        )
+    )
+    want, valid = _reference_power(signals, w, step, offset0, n_windows, basis)
+    assert got.shape == want.shape == (b, n_windows, w // 2 + 1)
+    got = got * valid[None, :, None]
+    scale = np.abs(want).max() or 1.0
+    np.testing.assert_allclose(got / scale, want / scale, atol=1e-12)
+
+
+def test_factored_plan_rejects_coprime_geometries():
+    """Prime/coprime (win, step) admit no N2 | gcd split: 44.1 kHz
+    (1102, 441) and 22.05 kHz (551, 221) stay on the frames path."""
+    from auditory_tpu.dsp.dft import factored_dft_plan
+
+    assert factored_dft_plan(1102, 441) is None
+    assert factored_dft_plan(551, 221) is None
+    assert factored_dft_plan(16, 1) is None  # step too small
+    # small windows: the dense basis is already one well-tiled GEMM and
+    # the padded-MAC model correctly refuses to split it
+    assert factored_dft_plan(64, 64) is None
+
+
+def test_factored_sndenv_48k_matches_conv_pipeline():
+    """spectrum_method='factored' through the full pipeline at 48 kHz
+    must match an explicit conv run to f32 roundoff."""
+    from auditory_tpu.config import SndEnvConfig, clamp_mel_to_nyquist
+    from auditory_tpu.pipeline.sndenv import SndEnv
+
+    sr = 48000
+    rng = np.random.default_rng(13)
+    sig = (0.2 * np.sin(2 * np.pi * 1000 * np.arange(sr) / sr)
+           + 0.02 * rng.standard_normal(sr)).astype(np.float32)
+    cfg = clamp_mel_to_nyquist(SndEnvConfig(), sr)
+    outs = ("power_segment", "mel_fbank_segment", "step_valid")
+    fac = SndEnv(cfg, sr, dtype=jnp.float32, spectrum_method="factored",
+                 outputs=outs)
+    assert fac.factored_plan is not None
+    conv = SndEnv(cfg, sr, dtype=jnp.float32, spectrum_method="conv",
+                  outputs=outs)
+    of = fac.process(fac.pad(sig))
+    oc = conv.process(conv.pad(sig))
+    pf, pc = np.asarray(of.power_segment), np.asarray(oc.power_segment)
+    assert np.abs(pf - pc).max() / np.abs(pc).max() < 1e-5
+    mf, mc = np.asarray(of.mel_fbank_segment), np.asarray(oc.mel_fbank_segment)
+    np.testing.assert_allclose(mf, mc, atol=5e-4)
+
+
+def test_factored_sndenv_rejections():
+    """'factored' refuses coprime geometries and analysis windows with
+    clear errors instead of silently falling back."""
+    import dataclasses
+
+    from auditory_tpu.config import SndEnvConfig, clamp_mel_to_nyquist
+    from auditory_tpu.pipeline.sndenv import SndEnv
+
+    outs = ("mel_fbank_segment", "step_valid")
+    cfg = clamp_mel_to_nyquist(SndEnvConfig(), 44100)
+    with pytest.raises(ValueError, match="no W = N1\\*N2 split"):
+        SndEnv(cfg, 44100, spectrum_method="factored", outputs=outs)
+
+    cfg16 = SndEnvConfig()
+    cfg16 = dataclasses.replace(
+        cfg16, dft=dataclasses.replace(cfg16.dft, window_fn="hamming")
+    )
+    with pytest.raises(ValueError, match="rectangular"):
+        SndEnv(cfg16, 16000, spectrum_method="factored", outputs=outs)
