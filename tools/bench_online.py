@@ -124,7 +124,18 @@ def main() -> None:
         dropped0 = sum(
             ms2.dropped_segments(s) for s in range(args.streams)
         )
+        # link-health canary per poll cycle: a fixed tiny D2H copy timed
+        # right before each poll. If the poll-latency tail correlates with
+        # canary stalls, the tail is the relay's, not the poll path's
+        # (VERDICT r3 #5: attribute or fix the p99/p50 = 1.76x tail).
+        import jax
+
+        from auditory_tpu.utils.canary import d2h_canary, make_canary_buffer
+
+        canary_buf = make_canary_buffer(jnp, jax.device_put)
+        d2h_canary(canary_buf)  # warm the copy path
         lat2 = []
+        canary2 = []
         n_seg2 = 0
         for _ in range(args.chunks):
             for s in range(args.streams):
@@ -132,12 +143,24 @@ def main() -> None:
                     s, (0.1 * rng.standard_normal(4 * chunk_n))
                     .astype(np.float32),
                 )
+            canary2.append(d2h_canary(canary_buf))
             t0 = time.perf_counter()
             n_seg2 += sum(1 for _ in ms2.poll())
             lat2.append(time.perf_counter() - t0)
         dropped = sum(
             ms2.dropped_segments(s) for s in range(args.streams)
         ) - dropped0
+        lat_a, can_a = np.asarray(lat2), np.asarray(canary2)
+        # attribution: mean canary inside the slowest poll decile vs
+        # overall median -- >> 1 means the tail rides relay stalls
+        tail = lat_a >= np.quantile(lat_a, 0.9)
+        can_med = float(np.median(can_a)) or 1e-9
+        tail_ratio = float(can_a[tail].mean()) / can_med
+        corr = (
+            float(np.corrcoef(lat_a, can_a)[0, 1])
+            if len(lat_a) > 2 and lat_a.std() > 0 and can_a.std() > 0
+            else 0.0
+        )
         print(json.dumps({
             "metric": "multistream_overload_4x",
             "streams": args.streams,
@@ -148,6 +171,10 @@ def main() -> None:
             "drop_frac": round(
                 dropped / max(dropped + n_seg2, 1), 3
             ),
+            "canary_p50_ms": round(can_med * 1e3, 2),
+            "canary_p99_ms": round(float(np.quantile(can_a, 0.99)) * 1e3, 2),
+            "canary_tail_ratio": round(tail_ratio, 2),
+            "poll_canary_corr": round(corr, 3),
         }))
 
 

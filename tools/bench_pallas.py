@@ -78,6 +78,12 @@ def main() -> None:
                              matmul_precision="high")),
         ("frames_default", dict(spectrum_method="frames",
                                 matmul_precision="default")),
+        ("factored_highest", dict(spectrum_method="factored",
+                                  matmul_precision="highest")),
+        ("factored_high", dict(spectrum_method="factored",
+                               matmul_precision="high")),
+        ("factored_default", dict(spectrum_method="factored",
+                                  matmul_precision="default")),
         ("pallas_6", dict(use_pallas=True, pallas_passes=6)),
         ("pallas_3", dict(use_pallas=True, pallas_passes=3)),
         ("pallas_1", dict(use_pallas=True, pallas_passes=1)),
@@ -100,6 +106,13 @@ def main() -> None:
         print(json.dumps({"skipped": "pallas variants: geometry unsupported "
                           "(residue period/VMEM)", "step": t.step_samples}))
         variants = [v for v in variants if not v[0].startswith("pallas")]
+
+    from auditory_tpu.dsp.dft import factored_dft_plan
+
+    if factored_dft_plan(t.win_samples, t.step_samples) is None:
+        print(json.dumps({"skipped": "factored variants: no N1*N2 split",
+                          "win": t.win_samples, "step": t.step_samples}))
+        variants = [v for v in variants if not v[0].startswith("factored")]
 
     rng = np.random.default_rng(0)
     for name, kw in variants:
