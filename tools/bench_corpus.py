@@ -60,6 +60,12 @@ def main():
                     help="int8 per-channel quantized transfer (lossy)")
     ap.add_argument("--stages", action="store_true",
                     help="also time the stages serialized (no overlap)")
+    ap.add_argument("--save-keys", default=None,
+                    help="comma-separated output keys to save (default "
+                    "mel_fbank_segment,gabor_kwta). power_segment,"
+                    "log_power_segment at 44.1 kHz is the byte-bound "
+                    "transfer regime (tens of MB/batch): the f32/f16/int8 "
+                    "crossover measurement, VERDICT r3 #4")
     ap.add_argument("--runs", type=int, default=2,
                     help="end-to-end runs (first run warms the jit cache)")
     args = ap.parse_args()
@@ -91,6 +97,10 @@ def main():
 
     import jax.numpy as jnp
 
+    save_kw = {}
+    if args.save_keys:
+        save_kw["save_keys"] = tuple(args.save_keys.split(","))
+
     def fresh_runner():
         return CorpusRunner(
             cfg, args.rate, batch_size=args.batch_size,
@@ -99,6 +109,7 @@ def main():
                 jnp.int8 if args.int8
                 else jnp.float16 if args.f16 else None
             ),
+            **save_kw,
         )
 
     results = {}
