@@ -291,3 +291,42 @@ def test_factored_sndenv_rejections():
     )
     with pytest.raises(ValueError, match="rectangular"):
         SndEnv(cfg16, 16000, spectrum_method="factored", outputs=outs)
+
+
+def test_factored_random_geometry_fuzz():
+    """Randomized composite geometries: any (win, step) pair the planner
+    accepts must be f64-exact vs the dense frames formulation, for random
+    offsets and window counts (incl. overruns)."""
+    from auditory_tpu.dsp.dft import factored_dft_plan, power_spectrum_factored
+
+    rng = np.random.default_rng(20260818)
+    tested = 0
+    trials = 0
+    while tested < 12 and trials < 200:
+        trials += 1
+        step = int(rng.integers(8, 300))
+        mult = rng.choice([1.5, 2.0, 2.5, 3.0, 5.0])
+        w = int(step * mult)
+        plan = factored_dft_plan(w, step)
+        if plan is None:
+            continue
+        n_windows = int(rng.integers(2, 8))
+        offset0 = int(rng.integers(-w, step))
+        b = 2
+        s = max((n_windows - 1) * step + offset0 + w - int(rng.integers(0, w)),
+                w // 2 + 1)
+        sig = rng.standard_normal((b, s))
+        cos_m, sin_m = dft_matrices(w)
+        basis = (jnp.asarray(cos_m), jnp.asarray(sin_m))
+        want = np.asarray(power_spectrum_frames(
+            jnp.asarray(sig), basis, step, offset0, n_windows))
+        got = np.asarray(power_spectrum_factored(
+            jnp.asarray(sig), plan, step, offset0, n_windows))
+        scale = np.abs(want).max() or 1.0
+        np.testing.assert_allclose(
+            got / scale, want / scale, atol=1e-12,
+            err_msg=f"w={w} step={step} off={offset0} "
+                    f"N1={plan.n1} N2={plan.n2}",
+        )
+        tested += 1
+    assert tested == 12, (tested, trials)
