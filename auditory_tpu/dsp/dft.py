@@ -203,15 +203,24 @@ class FactoredDFTPlan:
     signal dtype at trace time."""
 
     def __init__(self, win: int, step: int, n1: int, n2: int):
-        assert win == n1 * n2 and n1 % 2 == 0 and step % n2 == 0
+        assert win == n1 * n2 and n1 >= 2 and n2 >= 2
         self.win = win
         self.step = step
         self.n1 = n1
         self.n2 = n2
         self.h1 = n1 // 2 + 1           # Hermitian-truncated stage-1 bins
         self.k2 = (win // 2) // n1 + 1  # outer bins covering k <= W/2
-        self.sub_step = step // n2      # polyphase-domain window stride
-        self.j_blocks = -(-n1 // self.sub_step)
+        # stage-1 mode: when N2 | step, stage 1 runs gather-free on the
+        # polyphase decomposition; otherwise windows are materialized from
+        # step-frames (J concatenated slices, still no gather) and stage 1
+        # is one batched einsum over the [N1, N2] reshape
+        self.polyphase = step % n2 == 0
+        if self.polyphase:
+            self.sub_step = step // n2  # polyphase-domain window stride
+            self.j_blocks = -(-n1 // self.sub_step)
+        else:
+            self.sub_step = None
+            self.j_blocks = -(-win // step)  # frames per window
 
         # stage 1: length-N1 real DFT over each polyphase subsequence.
         # Same [cos | -sin] convention as design.dft_matrices, so
@@ -238,36 +247,48 @@ class FactoredDFTPlan:
             [q1.real, q1.imag, q2.real, q2.imag], axis=2
         )  # [H1, N2, 4*K2]
 
+    # MAC-equivalents charged per f32 word of HBM traffic: v5e peak
+    # ~16.5e12 exact-f32 MAC/s vs ~205e9 f32 words/s -- compute is ~80x
+    # denser than data movement, so materialized intermediates must be
+    # costed or the model picks FLOP-cheap/byte-heavy splits
+    _MACS_PER_WORD = 80
+
     def padded_macs_per_window(self) -> int:
         """Rough cost model: MAC count with GEMM output columns padded to
         the 128-lane register width (the dominant TPU inefficiency for
-        these narrow stage matrices)."""
+        these narrow stage matrices), plus an HBM-traffic charge for the
+        non-polyphase mode's materialized [n_windows, W] windows tensor
+        (write + read = 2W words/window)."""
         pad = lambda c: -(-c // 128) * 128
-        stage1 = self.n2 * self.j_blocks * self.sub_step * pad(2 * self.h1)
+        if self.polyphase:
+            stage1 = self.n2 * self.j_blocks * self.sub_step * pad(2 * self.h1)
+            traffic = 0
+        else:
+            stage1 = self.n2 * self.n1 * pad(2 * self.h1)
+            traffic = 2 * self.win * self._MACS_PER_WORD
         stage2 = 2 * self.h1 * self.n2 * pad(4 * self.k2)
-        return stage1 + stage2
+        return stage1 + stage2 + traffic
 
 
 def factored_dft_plan(
     win_samples: int, step_samples: int
 ) -> Optional[FactoredDFTPlan]:
     """Best W = N1*N2 split for :func:`power_spectrum_factored`, or None
-    when the geometry admits none (N2 must divide both W -- so the outer
-    DFT tiles the window -- and step -- so stage 1 stays a gather-free
-    polyphase frames GEMM). Reference workload being factored: the dense
-    rectangular-window DFT of dft/dft.go:42-59.
+    when the geometry admits none (prime W) or no split beats the dense
+    frames GEMM's padded-MAC cost (small windows: the dense basis is
+    already one well-tiled GEMM). Reference workload being factored: the
+    dense rectangular-window DFT of dft/dft.go:42-59.
 
-    Among valid splits, minimizes the 128-lane-padded MAC model; returns
-    None when even the best split doesn't beat the dense frames GEMM's
-    padded cost (small windows: the dense basis is already one well-tiled
-    GEMM)."""
+    Splits with N2 | step get the gather-free polyphase stage 1; other
+    composite splits (e.g. 22.05 kHz's 551 = 29*19 against step 221) pay
+    the windows-materialization traffic charge in the model and win only
+    when the MAC savings dominate it."""
     w, step = int(win_samples), int(step_samples)
     if w < 16 or step < 2:
         return None
-    g = math.gcd(step, w)
     best = None
-    for n2 in range(2, g + 1):
-        if g % n2 or (w // n2) % 2 or w // n2 < 8:
+    for n2 in range(2, w // 2 + 1):
+        if w % n2 or w // n2 < 4:
             continue
         plan = FactoredDFTPlan(w, step, w // n2, n2)
         if best is None or (
@@ -302,17 +323,27 @@ def power_spectrum_factored(
       X[k]      = sum_n2 A[n2, k mod N1] e^{-2pi i n2 k / W}   (stage 2,
                                                   twiddle folded in)
 
-    Stage 1 is the frames trick applied per polyphase component: because
-    N2 | step, window i's subsequence n2 lives at stride-1 positions
-    i*(step/N2) + n1 of the polyphase signal g[n2, m] = sig[m*N2 + n2] --
-    J' = ceil(N1/(step/N2)) dense shifted GEMMs over [B*N2] signals, no
-    window materialization, no gather. Hermitian symmetry of the real
-    input halves stage 1 (only k1 <= N1/2 computed; k1 > N1/2 terms use
-    conj(A) inside the precomputed Q2 matrices of stage 2). Stage 2 is
-    two batched einsums (contraction N2 per output bin) against host
-    matrices that fold the twiddle, both DFT stages' phases, and the
-    conjugate mirror. Output bins assemble into the [k2, k1] grid whose
-    row-major flattening IS k -- a reshape, not a gather.
+    Stage 1 has two gather-free modes (plan.polyphase):
+
+    - N2 | step: the frames trick applied per polyphase component --
+      window i's subsequence n2 lives at stride-1 positions
+      i*(step/N2) + n1 of the polyphase signal g[n2, m] = sig[m*N2+n2]:
+      J' = ceil(N1/(step/N2)) dense shifted GEMMs over [B*N2] signals,
+      no window materialization.
+    - otherwise (e.g. 22.05 kHz 551 = 29*19 vs step 221): windows are
+      materialized as J concatenated slices of the step-frame tensor
+      (a concat of views, still no gather), reshaped [N1, N2], and
+      stage 1 is one batched einsum. The plan's cost model charges the
+      extra HBM traffic, so this mode is only ever selected when the
+      MAC savings dominate it.
+
+    Hermitian symmetry of the real input halves stage 1 (only
+    k1 <= N1/2 computed; k1 > N1/2 terms use conj(A) inside the
+    precomputed Q2 matrices of stage 2). Stage 2 is two batched einsums
+    (contraction N2 per output bin) against host matrices that fold the
+    twiddle, both DFT stages' phases, and the conjugate mirror. Output
+    bins assemble into the [k2, k1] grid whose row-major flattening IS
+    k -- a reshape, not a gather.
 
     Same zero-fill semantics for negative/overrunning window positions
     as the other frontends (sndenv.go:455-478); equals them to f32
@@ -326,7 +357,8 @@ def power_spectrum_factored(
     assert step_samples == plan.step, (step_samples, plan.step)
     b, s = signals.shape
     w, n1, n2 = plan.win, plan.n1, plan.n2
-    h1, k2, ss, jb = plan.h1, plan.k2, plan.sub_step, plan.j_blocks
+    h1, k2, jb = plan.h1, plan.k2, plan.j_blocks
+    step = step_samples
     k_bins = w // 2 + 1
 
     if offset0 > 0:
@@ -335,24 +367,44 @@ def power_spectrum_factored(
         offset0 = 0
     pad_l = -offset0
     n_frames = n_windows + jb - 1
-    total = n_frames * ss * n2  # == n_frames * step
-    pad_r = max(0, total - (s + pad_l))
-    sig = jnp.pad(signals, ((0, 0), (pad_l, pad_r)))[:, :total]
-
-    # polyphase decomposition g[b, n2, m] = sig[b, m*N2 + n2]
-    g = jnp.transpose(sig.reshape(b, total // n2, n2), (0, 2, 1))
-    frames = g.reshape(b, n2, n_frames, ss)
-
     basis1 = jnp.asarray(plan.basis1, dtype=signals.dtype)
-    acc = None
-    for j in range(jb):
-        bj = basis1[j * ss : min((j + 1) * ss, n1)]  # [ss_j, 2*H1]
-        fr = frames[:, :, j : j + n_windows, : bj.shape[0]]
-        term = jnp.matmul(
-            fr, bj, precision=precision,
+
+    if plan.polyphase:
+        ss = plan.sub_step
+        total = n_frames * ss * n2  # == n_frames * step
+        pad_r = max(0, total - (s + pad_l))
+        sig = jnp.pad(signals, ((0, 0), (pad_l, pad_r)))[:, :total]
+
+        # polyphase decomposition g[b, n2, m] = sig[b, m*N2 + n2]
+        g = jnp.transpose(sig.reshape(b, total // n2, n2), (0, 2, 1))
+        frames = g.reshape(b, n2, n_frames, ss)
+
+        acc = None
+        for j in range(jb):
+            bj = basis1[j * ss : min((j + 1) * ss, n1)]  # [ss_j, 2*H1]
+            fr = frames[:, :, j : j + n_windows, : bj.shape[0]]
+            term = jnp.matmul(
+                fr, bj, precision=precision,
+                preferred_element_type=signals.dtype,
+            )
+            acc = term if acc is None else acc + term
+    else:
+        # windows from step-frames: J concatenated shifted slices (views
+        # of one [B, n_frames, step] reshape; no gather), trimmed to W,
+        # then the [N1, N2] index split n = N2*n1 + n2 is a reshape
+        total = n_frames * step
+        pad_r = max(0, total - (s + pad_l))
+        sig = jnp.pad(signals, ((0, 0), (pad_l, pad_r)))[:, :total]
+        frames = sig.reshape(b, n_frames, step)
+        windows = jnp.concatenate(
+            [frames[:, j : j + n_windows] for j in range(jb)], axis=-1
+        )[..., :w].reshape(b, n_windows, n1, n2)
+        # one batched einsum: contract n1 against the stage-1 basis,
+        # emitting the polyphase-mode layout [B, N2, nW, 2*H1]
+        acc = jnp.einsum(
+            "bwxn,xh->bnwh", windows, basis1, precision=precision,
             preferred_element_type=signals.dtype,
         )
-        acc = term if acc is None else acc + term
     ar = acc[..., :h1]  # [B, N2, nW, H1]
     ai = acc[..., h1:]
 
@@ -367,13 +419,14 @@ def power_spectrum_factored(
     x1i = p[..., k2 : 2 * k2] + r[..., :k2]
     x2r = p[..., 2 * k2 : 3 * k2] + r[..., 3 * k2 :]
     x2i = p[..., 3 * k2 :] - r[..., 2 * k2 : 3 * k2]
-    p1 = x1r * x1r + x1i * x1i  # k1 = 0 .. N1/2
+    p1 = x1r * x1r + x1i * x1i  # k1 = 0 .. N1//2
     p2 = x2r * x2r + x2i * x2i  # k1 = N1 - h1 (mirror rows)
 
-    # assemble the [k1, k2] grid: rows N1/2+1..N1-1 are the mirror rows
-    # h1 = N1/2-1..1; transpose to [k2, k1] whose row-major flatten is k
+    # assemble the [k1, k2] grid: rows N1//2+1..N1-1 are the mirror rows
+    # h1 = ceil(N1/2)-1..1 (even N1 skips the self-conjugate N1/2 row;
+    # odd N1 has none); transpose to [k2, k1] whose row-major flatten is k
     grid = jnp.concatenate(
-        [p1, jnp.flip(p2[:, :, 1 : n1 // 2, :], axis=2)], axis=2
+        [p1, jnp.flip(p2[:, :, 1 : n1 - h1 + 1, :], axis=2)], axis=2
     )  # [B, nW, N1, K2]
     power = jnp.transpose(grid, (0, 1, 3, 2)).reshape(b, n_windows, k2 * n1)
     return power[..., :k_bins]

@@ -248,10 +248,11 @@ class SndEnv:
             )
             if self.factored_plan is None:
                 raise ValueError(
-                    "spectrum_method='factored': no W = N1*N2 split exists "
-                    f"for win={self.timing.win_samples}, "
-                    f"step={self.timing.step_samples} (N2 must divide both; "
-                    "prime/coprime geometries stay on 'frames'/'conv')"
+                    "spectrum_method='factored': no beneficial W = N1*N2 "
+                    f"split for win={self.timing.win_samples}, "
+                    f"step={self.timing.step_samples} (prime window, or "
+                    "the dense GEMM is already cheaper; such geometries "
+                    "stay on 'frames'/'conv')"
                 )
 
         self._orients = tuple(

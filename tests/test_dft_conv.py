@@ -203,6 +203,9 @@ def test_preferred_frontend_rate_grid():
         (400, 160, -320),   # 16 kHz geometry
         (400, 160, 137),    # positive offset
         (200, 80, -160),    # 8 kHz geometry
+        (1102, 441, -882),  # 44.1 kHz: composite W, N2 coprime to step ->
+                            # windows-materialization stage-1 mode
+        (551, 221, -442),   # 22.05 kHz: odd N1 (29*19), non-polyphase
     ],
 )
 def test_factored_matches_gather_matmul(w, step, offset0):
@@ -213,7 +216,8 @@ def test_factored_matches_gather_matmul(w, step, offset0):
 
     plan = factored_dft_plan(w, step)
     assert plan is not None, (w, step)
-    assert plan.n1 * plan.n2 == w and step % plan.n2 == 0
+    assert plan.n1 * plan.n2 == w
+    assert plan.polyphase == (step % plan.n2 == 0)
 
     rng = np.random.default_rng(hash((w, step, offset0, 7)) % 2**31)
     b, n_windows = 3, 9
@@ -234,17 +238,26 @@ def test_factored_matches_gather_matmul(w, step, offset0):
     np.testing.assert_allclose(got / scale, want / scale, atol=1e-12)
 
 
-def test_factored_plan_rejects_coprime_geometries():
-    """Prime/coprime (win, step) admit no N2 | gcd split: 44.1 kHz
-    (1102, 441) and 22.05 kHz (551, 221) stay on the frames path."""
+def test_factored_plan_selection():
+    """Prime windows admit no split; composite windows whose factors are
+    coprime to the step get the windows-materialization mode; small
+    windows are refused by the cost model (dense is already one
+    well-tiled GEMM)."""
     from auditory_tpu.dsp.dft import factored_dft_plan
 
-    assert factored_dft_plan(1102, 441) is None
-    assert factored_dft_plan(551, 221) is None
-    assert factored_dft_plan(16, 1) is None  # step too small
-    # small windows: the dense basis is already one well-tiled GEMM and
-    # the padded-MAC model correctly refuses to split it
+    assert factored_dft_plan(1103, 441) is None  # prime W
+    assert factored_dft_plan(401, 160) is None   # prime W
+    assert factored_dft_plan(16, 1) is None      # step too small
+    # small windows: cost model refuses the split
     assert factored_dft_plan(64, 64) is None
+    # composite W coprime to step: non-polyphase mode
+    p44 = factored_dft_plan(1102, 441)
+    assert p44 is not None and not p44.polyphase
+    p22 = factored_dft_plan(551, 221)
+    assert p22 is not None and not p22.polyphase and p22.n1 % 2 == 1
+    # N2 | step: gather-free polyphase mode
+    p48 = factored_dft_plan(1200, 480)
+    assert p48 is not None and p48.polyphase
 
 
 def test_factored_sndenv_48k_matches_conv_pipeline():
@@ -281,9 +294,13 @@ def test_factored_sndenv_rejections():
     from auditory_tpu.pipeline.sndenv import SndEnv
 
     outs = ("mel_fbank_segment", "step_valid")
-    cfg = clamp_mel_to_nyquist(SndEnvConfig(), 44100)
-    with pytest.raises(ValueError, match="no W = N1\\*N2 split"):
-        SndEnv(cfg, 44100, spectrum_method="factored", outputs=outs)
+    # 25.0625 ms at 16 kHz -> win 401 (prime): no factored split exists
+    cfg = SndEnvConfig()
+    cfg = dataclasses.replace(
+        cfg, params=dataclasses.replace(cfg.params, win_ms=25.0625)
+    )
+    with pytest.raises(ValueError, match="no beneficial W = N1\\*N2"):
+        SndEnv(cfg, 16000, spectrum_method="factored", outputs=outs)
 
     cfg16 = SndEnvConfig()
     cfg16 = dataclasses.replace(
