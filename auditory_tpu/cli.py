@@ -83,6 +83,19 @@ def _add_pipeline_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--f64", action="store_true", help="float64 (CPU) parity mode")
 
 
+def _add_frontend_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--frontend", choices=("auto", "conv", "frames", "factored", "fft"),
+        default="auto",
+        help="spectrum frontend: auto = measured dispatch rule "
+        "(dsp/dft.py::preferred_spectrum_frontend), conv = one strided "
+        "convolution, frames = shifted dense GEMMs, factored = two-stage "
+        "Cooley-Tukey GEMMs (composite windows only), fft = jnp.fft "
+        "(CPU/f64 only). All compute the identical rectangular-window DFT "
+        "of dft/dft.go:42-59",
+    )
+
+
 def _add_precision_arg(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--precision", choices=("highest", "high", "default"),
@@ -108,10 +121,17 @@ def cmd_process(args) -> int:
         sig = w.sound_to_tensor()
         channels = w.channels
     cfg = _build_cfg(args)
-    env = SndEnv(
-        cfg, w.sample_rate, dtype=jnp.float64 if args.f64 else jnp.float32,
-        channels=channels, matmul_precision=args.precision,
-    )
+    method = None if args.frontend == "auto" else args.frontend
+    try:
+        env = SndEnv(
+            cfg, w.sample_rate,
+            dtype=jnp.float64 if args.f64 else jnp.float32,
+            channels=channels, matmul_precision=args.precision,
+            spectrum_method=method,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if args.silence_add or args.silence_existing:
         # SndEnv.AdjustForSilence (sndenv.go:274-294): trim/pad leading
         # silence to the requested amount
@@ -540,6 +560,7 @@ def main(argv=None) -> int:
                    help="ms of leading silence already in the file")
     _add_pipeline_args(p)
     _add_precision_arg(p)
+    _add_frontend_arg(p)
     p.set_defaults(fn=cmd_process)
 
     p = sub.add_parser("corpus", help="batched extraction over a corpus")
