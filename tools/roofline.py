@@ -1,0 +1,141 @@
+"""Per-geometry speed-of-light statement for the spectrum frontends.
+
+Analytic floors for the mel frontend's dominant op -- the rectangular-
+window DFT of dft/dft.go:42-59 -- on one TPU v5e chip, so measured
+frontend times (tools/bench_pallas.py) can be judged against hardware
+limits instead of against each other. For each frontend the floor is
+
+    max(padded-MAC time at the exact-f32 MXU rate, HBM traffic time)
+
+using the same constants as FactoredDFTPlan's cost model:
+
+- exact-f32 MXU rate: ~16.5e12 MAC/s (bf16 peak / 6-pass decomposition)
+- HBM: ~205e9 f32 words/s (~819 GB/s)
+- GEMM output columns padded to the 128-lane register width
+
+Usage:
+    python tools/roofline.py                      # the standard rate grid
+    python tools/roofline.py --rate 48000 [--win-ms 25 --step-ms 10]
+                             [--batch 512 --seconds 3]
+
+Pure host math -- no jax, safe to run anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from auditory_tpu.config import SndEnvConfig
+from auditory_tpu.dsp.dft import factored_dft_plan, preferred_spectrum_frontend
+
+MACS_PER_S = 16.5e12      # exact-f32 (6-pass) MXU MAC rate, v5e
+WORDS_PER_S = 205e9       # HBM f32 words/s (~819 GB/s)
+
+
+def _pad(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+def geometry(rate: int, win_ms: float, step_ms: float):
+    """Same ms->samples derivation as the pipeline (config.Params.derive,
+    mirroring sound.Params.MSecToSamples -- 44.1 kHz gives win=1103,
+    which is prime; a naive round() would give 1102)."""
+    cfg = SndEnvConfig()
+    cfg = dataclasses.replace(
+        cfg, params=dataclasses.replace(
+            cfg.params, win_ms=win_ms, step_ms=step_ms)
+    )
+    t = cfg.params.derive(rate)
+    return t.win_samples, t.step_samples, t.win_samples // 2 + 1
+
+
+def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
+                    batch: int = 512, seconds: float = 3.0) -> dict:
+    """Floor times (ms) per frontend for a [batch, seconds] corpus slab."""
+    win, step, k = geometry(rate, win_ms, step_ms)
+    n_windows = int(seconds * 1000.0 / step_ms)  # per signal (grid steps)
+    nw_total = batch * n_windows
+
+    # common traffic: read the signal slab once, write the power once.
+    # (The downstream mel matmul fuses; the power tensor itself may also
+    # fuse into the mel contraction, so the write charge is an upper floor
+    # for standalone-frontend timing, which is what bench_pallas times.)
+    in_words = batch * int(seconds * rate)
+    out_words = nw_total * k
+    base_words = in_words + out_words
+
+    rows = {}
+
+    # conv: implicit GEMM, win MACs per (window, output column); XLA's
+    # strided-conv lowering re-reads each input sample ~win/step times in
+    # the worst case (im2col-equivalent); floor charges only the ideal
+    # single read (the measured gap above this floor is the lowering's).
+    macs = nw_total * win * _pad(2 * k)
+    rows["conv"] = (macs, base_words)
+
+    # frames: J shifted dense GEMMs over step-frames; pads the contraction
+    # to J*step samples and re-reads the frame tensor J times.
+    j = max(1, -(-win // step))
+    macs = nw_total * j * step * _pad(2 * k)
+    words = in_words * j + out_words
+    rows["frames"] = (macs, words)
+
+    # factored: the plan's own padded-MAC model (includes its traffic
+    # charge as MAC-equivalents already), plus the base traffic.
+    plan = factored_dft_plan(win, step)
+    if plan is not None:
+        macs = nw_total * plan.padded_macs_per_window()
+        rows["factored"] = (macs, base_words)
+
+    out = {
+        "rate": rate, "win": win, "step": step, "k": k,
+        "batch": batch, "seconds": seconds,
+        "dispatch": preferred_spectrum_frontend(step, win),
+        "audio_s": batch * seconds,
+    }
+    floors = {}
+    for name, (macs, words) in rows.items():
+        t_flop = macs / MACS_PER_S
+        t_mem = words / WORDS_PER_S
+        floors[name] = {
+            "flop_ms": round(1e3 * t_flop, 3),
+            "mem_ms": round(1e3 * t_mem, 3),
+            "floor_ms": round(1e3 * max(t_flop, t_mem), 3),
+            "bound": "flop" if t_flop >= t_mem else "mem",
+        }
+    if plan is not None:
+        floors["factored"]["split"] = f"{plan.n1}*{plan.n2}" + (
+            "" if plan.polyphase else " (windowed)"
+        )
+    out["floors"] = floors
+    out["rtf_at_floor"] = {
+        name: round(out["audio_s"] / (f["floor_ms"] / 1e3))
+        for name, f in floors.items()
+    }
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rate", type=int, default=None)
+    ap.add_argument("--win-ms", type=float, default=25.0)
+    ap.add_argument("--step-ms", type=float, default=10.0)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--seconds", type=float, default=3.0)
+    args = ap.parse_args()
+    rates = [args.rate] if args.rate else [8000, 16000, 22050, 32000,
+                                           44100, 48000]
+    for r in rates:
+        print(json.dumps(frontend_floors(
+            r, args.win_ms, args.step_ms, args.batch, args.seconds)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
