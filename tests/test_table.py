@@ -120,6 +120,36 @@ def test_cli_process_silence_adjust(tmp_path):
     assert float(np.abs(b[0]).max()) < float(np.abs(a[0]).max())
 
 
+def test_cli_process_frontend_flag(tmp_path):
+    """process --frontend selects the spectrum frontend explicitly; all
+    frontends compute the identical DFT (f32-tight), and geometries with
+    no factored split are refused with a clean error (rc 2)."""
+    import numpy as np
+
+    from auditory_tpu.cli import main
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+    from tests.conftest import tone
+
+    sr = 16000
+    p = str(tmp_path / "t.wav")
+    write_wav(p, float_to_wave(tone(900.0, 0.3, sr), sr))
+    outs = {}
+    for fe in ("conv", "frames", "factored"):
+        o = str(tmp_path / f"{fe}.npz")
+        assert main(["process", p, "--out", o, "--no-kwta",
+                     "--frontend", fe]) == 0
+        outs[fe] = np.load(o)["power_segment"]
+    scale = float(np.abs(outs["conv"]).max())
+    for fe in ("frames", "factored"):
+        np.testing.assert_allclose(
+            outs[fe] / scale, outs["conv"] / scale, atol=1e-5
+        )
+    # 25.0625 ms at 16 kHz -> win 401 (prime): factored refused cleanly
+    assert main(["process", p, "--out", str(tmp_path / "x.npz"),
+                 "--no-kwta", "--frontend", "factored",
+                 "--win-ms", "25.0625"]) == 2
+
+
 def test_missing_timing_fallback_gets_silence_offset(tmp_path):
     """gbv.go:658-676: the 'unknown' unit from missing timing data still
     goes through AdjSeqTimes, so a_start/a_end carry the silence offset."""
