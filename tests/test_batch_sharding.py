@@ -87,6 +87,35 @@ def test_sharded_matches_unsharded(env):
     assert len(shard_devs) == 8
 
 
+def test_sharded_matches_unsharded_factored_frontend():
+    """The factored Cooley-Tukey frontend composes with DP sharding:
+    22.05 kHz (551 = 29*19, step 221 coprime to both factors) exercises
+    the windows-materialization stage-1 mode under the mesh."""
+    from auditory_tpu.config import clamp_mel_to_nyquist
+
+    sr = 22050
+    cfg = clamp_mel_to_nyquist(default_cfg_2d(), sr)
+    env = SndEnv(
+        cfg, sr, dtype=jnp.float32, spectrum_method="factored",
+        outputs=("mel_fbank_segment", "step_valid"),
+    )
+    assert env.factored_plan is not None and not env.factored_plan.polyphase
+    rng = np.random.default_rng(3)
+    n = env.timing.segment_samples + env.timing.stride_samples
+    batch = rng.normal(scale=0.1, size=(8, n)).astype(np.float32)
+    lengths = np.full(8, n, dtype=np.int32)
+    o1, v1 = BatchedSndEnv(env).process(batch, lengths)
+    o2, v2 = BatchedSndEnv(env, mesh=make_mesh()).process(batch, lengths)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(
+        np.asarray(o1.mel_fbank_segment), np.asarray(o2.mel_fbank_segment),
+        atol=3e-5, rtol=1e-6,
+    )
+    assert len({
+        s.device for s in o2.mel_fbank_segment.addressable_shards
+    }) == 8
+
+
 def test_bucket_length(env):
     t = env.timing
     assert bucket_length(t.segment_samples, t) == t.segment_samples
