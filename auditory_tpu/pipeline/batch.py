@@ -689,6 +689,7 @@ class CorpusRunner:
         pipeline_depth: int = 3,
         dedup_mel: Optional[bool] = None,
         matmul_precision: str = "highest",
+        spectrum_method: Optional[str] = None,
     ):
         if transfer not in ("auto", "float32"):
             raise ValueError("transfer must be 'auto' or 'float32'")
@@ -723,6 +724,7 @@ class CorpusRunner:
             outputs=env_keys,
             feature_stats=feature_stats,
             matmul_precision=matmul_precision,
+            spectrum_method=spectrum_method,
         )
         # packed transfer: one device->host copy per batch (the link's
         # per-copy cost dominates many small transfers)

@@ -56,6 +56,13 @@ def main() -> None:
         "_fast metric suffix, never as the headline",
     )
     ap.add_argument(
+        "--frontend", choices=("auto", "conv", "frames", "factored"),
+        default="auto",
+        help="spectrum frontend override (auto = the measured dispatch "
+        "rule); factored exists only for composite windows. Reported with "
+        "a _<frontend> metric suffix when not auto",
+    )
+    ap.add_argument(
         "--precision", choices=("highest", "high", "default"),
         default="highest",
         help="contraction precision tier: highest = exact f32 (XLA 6-pass "
@@ -116,6 +123,7 @@ def main() -> None:
         cfg, sr, dtype=jnp.float64 if args.f64 else jnp.float32,
         outputs=outputs,
         matmul_precision=args.precision,
+        spectrum_method=None if args.frontend == "auto" else args.frontend,
     )
     benv = BatchedSndEnv(env)
 
@@ -175,7 +183,8 @@ def main() -> None:
                 + ("" if args.outputs == "features" else f"_{args.outputs}")
                 + {"highest": "", "high": "_high", "default": "_fast"}[
                     args.precision
-                ],
+                ]
+                + ("" if args.frontend == "auto" else f"_{args.frontend}"),
                 "value": round(rtf, 1),
                 "unit": "audio_sec_per_sec_per_chip",
                 "vs_baseline": round(rtf / baseline, 3),

@@ -31,6 +31,12 @@ run bench_44k1 bench.py --rate 44100
 run bench_48k bench.py --rate 48000
 run bench_32k bench.py --rate 32000
 run bench_22k bench.py --rate 22050
+# factored end-to-end rows at the geometries where the roofline predicts
+# wins (tools/roofline.py: 16k 1.9->1.06 ms, 32k 6.7->2.1, 48k 14.3->3.2)
+run bench_16k_fact bench.py --frontend factored
+run bench_48k_fact bench.py --rate 48000 --frontend factored
+run bench_32k_fact bench.py --rate 32000 --frontend factored
+run bench_22k_fact bench.py --rate 22050 --frontend factored
 
 # 2. frontend shoot-outs incl. the new factored rows (VERDICT #3) at the
 #    geometries with a plan, plus the off-family dispatch probes (#2)
