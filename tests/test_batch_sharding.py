@@ -538,3 +538,9 @@ def test_corpus_mel_dedup_exact(tmp_path):
         assert set(a.files) == set(b.files)
         for k in a.files:
             np.testing.assert_array_equal(a[k], b[k], err_msg=f"c16_{i}:{k}")
+
+
+def test_corpus_runner_spectrum_method_plumbs_through():
+    r = CorpusRunner(default_cfg_2d(), SR, spectrum_method="factored")
+    assert r.env.factored_plan is not None
+    assert r.env.spectrum_method == "factored"

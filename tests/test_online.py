@@ -540,3 +540,25 @@ def test_multistream_f16_saturates_instead_of_inf():
     p = res[0][2]["power_segment"]
     assert np.isfinite(p).all()
     assert p.max() == np.float16(65504.0)  # saturated, not inf
+
+
+def test_online_spectrum_method_plumbs_through():
+    """env_kw forwarding: the factored frontend is selectable for the
+    online/serving paths, and matches the default frontend online."""
+    rng = np.random.default_rng(11)
+    cfg = default_cfg_2d()
+    sig = (0.1 * rng.standard_normal(int(0.4 * SR))).astype(np.float32)
+    outs = {}
+    for m in (None, "factored"):
+        o = OnlineSndEnv(cfg, SR, outputs=("mel_fbank_segment", "step_valid"),
+                         spectrum_method=m)
+        assert (o.env.factored_plan is not None) == (m == "factored")
+        crng = np.random.default_rng(5)  # identical chunking per frontend
+        got = []
+        for ch in chunks_of(sig, crng):
+            got += [np.asarray(out.mel_fbank_segment) for _i, out in o.feed(ch)]
+        got += [np.asarray(out.mel_fbank_segment) for _i, out in o.flush()]
+        outs[m] = np.stack(got) if got else np.zeros(0)
+    assert outs[None].shape == outs["factored"].shape and outs[None].size
+    np.testing.assert_allclose(outs["factored"], outs[None],
+                               atol=3e-5, rtol=1e-5)
