@@ -85,6 +85,36 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # fail-fast init probe: the tunneled TPU backend has two observed
+        # failure modes -- fast `UNAVAILABLE` (round-3 outage) and an
+        # init-level HANG (round 4, 2026-08-18). A hang here would stall
+        # the whole artifact capture with no diagnostic; probe init in a
+        # subprocess with a timeout and emit a self-describing error line
+        # instead. Skipped under AUDITORY_TPU_CPU.
+        import subprocess
+        import sys as _sys
+
+        timeout_s = float(os.environ.get("AUDITORY_TPU_INIT_TIMEOUT", "300"))
+        try:
+            probe = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            ok = probe.returncode == 0
+            detail = (probe.stderr or "").strip().splitlines()[-1:] or [""]
+            detail = detail[0][-200:]
+        except subprocess.TimeoutExpired:
+            ok, detail = False, f"backend init hang (> {timeout_s:.0f}s)"
+        if not ok:
+            print(json.dumps({
+                "metric": "timit16k_mel_gabor_rtf",
+                "error": "tpu backend unavailable",
+                "detail": detail,
+                "regime": "down",
+            }))
+            raise SystemExit(1)
     import jax
     import jax.numpy as jnp
 
