@@ -38,6 +38,10 @@ def main() -> None:
                     help="window length (off-family dispatch-rule probes)")
     ap.add_argument("--step-ms", type=float, default=10.0,
                     help="step (must divide the 100 ms segment)")
+    ap.add_argument("--factored-splits", default=None,
+                    help="comma list of N1xN2 splits to probe as extra "
+                    "exact-tier factored rows (e.g. 75x16,24x50): validates "
+                    "the plan cost model's split ranking on real hardware")
     args = ap.parse_args()
 
     import jax
@@ -114,9 +118,30 @@ def main() -> None:
                           "win": t.win_samples, "step": t.step_samples}))
         variants = [v for v in variants if not v[0].startswith("factored")]
 
+    if args.factored_splits:
+        from auditory_tpu.dsp.dft import FactoredDFTPlan
+
+        for spec in args.factored_splits.split(","):
+            n1, n2 = (int(x) for x in spec.lower().split("x"))
+            if n1 * n2 != t.win_samples:
+                print(json.dumps({"skipped": f"split {spec}: N1*N2 != win",
+                                  "win": t.win_samples}))
+                continue
+            plan = FactoredDFTPlan(t.win_samples, t.step_samples, n1, n2)
+            variants.append((
+                f"factored_highest_{n1}x{n2}",
+                dict(spectrum_method="factored",
+                     matmul_precision="highest",
+                     _factored_plan_override=plan),
+            ))
+
     rng = np.random.default_rng(0)
     for name, kw in variants:
+        kw = dict(kw)
+        plan_override = kw.pop("_factored_plan_override", None)
         env = SndEnv(cfg, sr, dtype=jnp.float32, outputs=outs, **kw)
+        if plan_override is not None:
+            env.factored_plan = plan_override  # probe a non-model split
         benv = BatchedSndEnv(env)
         n = bucket_length(int(args.seconds * sr), env.timing)
         t = np.arange(n) / sr
