@@ -45,6 +45,14 @@ run shoot_48k tools/bench_pallas.py --rate 48000
 run shoot_32k tools/bench_pallas.py --rate 32000
 run shoot_22k tools/bench_pallas.py --rate 22050
 run shoot_8k tools/bench_pallas.py --rate 8000
+# alternate factored splits: validate the plan cost model's ranking on
+# real hardware (model picks 16k 100x4, 32k 100x8, 48k 75x16; alternates
+# stress stage-2 contraction size and the windowed mode)
+run split_16k tools/bench_pallas.py --factored-splits 25x16,80x5,8x50
+run split_48k tools/bench_pallas.py --rate 48000 \
+  --factored-splits 24x50,120x10,16x75,48x25
+run split_32k tools/bench_pallas.py --rate 32000 \
+  --factored-splits 32x25,25x32,50x16
 # off-family probes: win=step (J=1), 25/5 (J=5), 12.5/10 (J=1.25), plus a
 # misaligned-stride small-window point (step 100: gcd(100,128)=4 < 16,
 # win 200 <= 512 -- rule v2's two terms disagree there)
