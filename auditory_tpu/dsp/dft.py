@@ -32,6 +32,7 @@ __all__ = [
     "power_spectrum",
     "power_spectrum_conv",
     "power_spectrum_frames",
+    "power_spectrum_windows",
     "power_spectrum_factored",
     "FactoredDFTPlan",
     "factored_dft_plan",
@@ -193,6 +194,63 @@ def power_spectrum_frames(
         acc = term if acc is None else acc + term
     re = acc[..., :k]
     im = acc[..., k:]
+    return re * re + im * im  # [B, n_windows, K]
+
+
+def power_spectrum_windows(
+    signals: jnp.ndarray,
+    basis: Tuple[jnp.ndarray, jnp.ndarray],
+    step_samples: int,
+    offset0: int,
+    n_windows: int,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """DFT power of uniformly-strided windows as ONE dense GEMM over
+    gather-free materialized windows.
+
+    Windows materialize as J=ceil(W/step) concatenated shifted slices of
+    the step-frame tensor (views of one reshape -- no gather), trimmed to
+    W; then [B*nW, W] @ [W, 2K] is a single well-tiled MXU GEMM with the
+    exact W-length contraction (power_spectrum_frames pads it to J*step:
+    +20% FLOPs at the default geometries, +(J*step-W)/W generally). The
+    price is 2W words/window of HBM traffic for the windows tensor --
+    ~14% of the GEMM's MAC-time at 44.1 kHz (tools/roofline.py constants)
+    -- so this is a measured-bet variant for large odd-stride windows,
+    not a dispatch default. It is also the isolated probe of the
+    windows-materialization cost that the factored frontend's
+    non-polyphase stage 1 pays (same construction).
+
+    Same zero-fill semantics for negative/overrunning positions
+    (sndenv.go:455-478); identical math to the other frontends to f32
+    roundoff. Args/returns: identical to :func:`power_spectrum_conv`.
+    """
+    cos_m, sin_m = basis
+    w, k = cos_m.shape
+    b, s = signals.shape
+    step = step_samples
+    j_blocks = max(1, -(-w // step))
+
+    if offset0 > 0:
+        signals = signals[:, offset0:]
+        s -= offset0
+        offset0 = 0
+    pad_l = -offset0
+    n_frames = n_windows + j_blocks - 1
+    total = n_frames * step
+    pad_r = max(0, total - (s + pad_l))
+    sig = jnp.pad(signals, ((0, 0), (pad_l, pad_r)))[:, :total]
+    frames = sig.reshape(b, n_frames, step)
+    windows = jnp.concatenate(
+        [frames[:, j : j + n_windows] for j in range(j_blocks)], axis=-1
+    )[..., :w]  # [B, nW, W]
+
+    kernel = jnp.concatenate([cos_m, sin_m], axis=1)  # [W, 2K]
+    out = jnp.matmul(
+        windows, kernel, precision=precision,
+        preferred_element_type=signals.dtype,
+    )
+    re = out[..., :k]
+    im = out[..., k:]
     return re * re + im * im  # [B, n_windows, K]
 
 

@@ -221,7 +221,8 @@ class SndEnv:
             cfg.dft.window_fn, self.timing.win_samples
         )
         if (
-            spectrum_method in ("matmul", "conv", "frames", "factored")
+            spectrum_method in ("matmul", "conv", "frames", "factored",
+                                "windowed")
             or self.use_pallas
         ):
             cos_m, sin_m = design.dft_matrices(self.timing.win_samples)
@@ -362,7 +363,8 @@ class SndEnv:
             # basis matmul
             method=(
                 "matmul"
-                if self.spectrum_method in ("conv", "frames", "factored")
+                if self.spectrum_method in ("conv", "frames", "factored",
+                                            "windowed")
                 else self.spectrum_method
             ),
             basis=basis,
@@ -476,7 +478,7 @@ class SndEnv:
 
                     mel_vals = mel_renorm(mel_vals, cfg.mel.fbank)
             elif map_idx is not None and self.spectrum_method in (
-                "matmul", "conv", "frames", "factored"
+                "matmul", "conv", "frames", "factored", "windowed"
             ):
                 # uniform window grid, no materialized windows and no
                 # gather: 'frames' = J shifted dense GEMMs over
@@ -491,6 +493,7 @@ class SndEnv:
                     power_spectrum_conv,
                     power_spectrum_factored,
                     power_spectrum_frames,
+                    power_spectrum_windows,
                     preferred_spectrum_frontend,
                 )
 
@@ -515,11 +518,10 @@ class SndEnv:
                         precision=self.matmul_precision,
                     )
                 else:
-                    frontend = (
-                        power_spectrum_frames
-                        if method == "frames"
-                        else power_spectrum_conv
-                    )
+                    frontend = {
+                        "frames": power_spectrum_frames,
+                        "windowed": power_spectrum_windows,
+                    }.get(method, power_spectrum_conv)
                     power = frontend(
                         signals,
                         basis,

@@ -56,7 +56,8 @@ def main() -> None:
         "_fast metric suffix, never as the headline",
     )
     ap.add_argument(
-        "--frontend", choices=("auto", "conv", "frames", "factored"),
+        "--frontend",
+        choices=("auto", "conv", "frames", "windowed", "factored"),
         default="auto",
         help="spectrum frontend override (auto = the measured dispatch "
         "rule); factored exists only for composite windows. Reported with "

@@ -67,6 +67,15 @@ def test_conv_matches_gather_matmul(w, step, offset0):
         )
     ) * valid[None, :, None]
     np.testing.assert_allclose(got_f / scale, want / scale, atol=1e-12)
+    # the windowed single-GEMM formulation: same grid, same semantics
+    from auditory_tpu.dsp.dft import power_spectrum_windows
+
+    got_w = np.asarray(
+        power_spectrum_windows(
+            jnp.asarray(signals), basis, step, offset0, n_windows
+        )
+    ) * valid[None, :, None]
+    np.testing.assert_allclose(got_w / scale, want / scale, atol=1e-12)
 
 
 def test_frames_win_smaller_than_step():

@@ -82,6 +82,8 @@ def main() -> None:
                              matmul_precision="high")),
         ("frames_default", dict(spectrum_method="frames",
                                 matmul_precision="default")),
+        ("windowed_highest", dict(spectrum_method="windowed",
+                                  matmul_precision="highest")),
         ("factored_highest", dict(spectrum_method="factored",
                                   matmul_precision="highest")),
         ("factored_high", dict(spectrum_method="factored",
