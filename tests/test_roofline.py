@@ -18,7 +18,7 @@ def test_geometry_matches_pipeline_derivation():
 def test_floors_sane():
     r = frontend_floors(16000)
     fl = r["floors"]
-    assert set(fl) == {"conv", "frames", "factored"}
+    assert set(fl) == {"conv", "frames", "windowed", "factored"}
     for f in fl.values():
         assert f["floor_ms"] > 0
         assert f["floor_ms"] == max(f["flop_ms"], f["mem_ms"])

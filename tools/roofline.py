@@ -86,6 +86,13 @@ def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
     words = in_words * j + out_words
     rows["frames"] = (macs, words)
 
+    # windowed: ONE dense GEMM over gather-free materialized windows;
+    # exact W contraction, but pays write+read of the [nW, W] windows
+    # tensor (2W words/window).
+    macs = nw_total * win * _pad(2 * k)
+    words = base_words + 2 * win * nw_total
+    rows["windowed"] = (macs, words)
+
     # factored: the plan's own padded-MAC model (includes its traffic
     # charge as MAC-equivalents already), plus the base traffic.
     plan = factored_dft_plan(win, step)
