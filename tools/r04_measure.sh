@@ -37,6 +37,9 @@ run bench_16k_fact bench.py --frontend factored
 run bench_48k_fact bench.py --rate 48000 --frontend factored
 run bench_32k_fact bench.py --rate 32000 --frontend factored
 run bench_22k_fact bench.py --rate 22050 --frontend factored
+# windowed (single dense GEMM over materialized windows): the only
+# candidate ahead of frames at the prime 44.1 kHz window (-17% FLOPs)
+run bench_44k1_win bench.py --rate 44100 --frontend windowed
 
 # 2. frontend shoot-outs incl. the new factored rows (VERDICT #3) at the
 #    geometries with a plan, plus the off-family dispatch probes (#2)
