@@ -124,6 +124,21 @@ def cmd_process(args) -> int:
         channels = w.channels
     cfg = _build_cfg(args)
     method = None if args.frontend == "auto" else args.frontend
+    if method == "fft" and not args.f64:
+        # jnp.fft is CPU-only on this backend (no c128 on TPU): refuse
+        # cleanly up front instead of dying later in an opaque XLA
+        # lowering error. jax.config is readable without initializing
+        # the backend; the --f64 path already routes to CPU.
+        import jax
+
+        platforms = str(jax.config.jax_platforms or "")
+        if not platforms.startswith("cpu"):
+            print(
+                "error: --frontend fft requires the CPU backend (TPU has "
+                "no complex128); pass --f64, or set AUDITORY_TPU_CPU=1",
+                file=sys.stderr,
+            )
+            return 2
     try:
         env = SndEnv(
             cfg, w.sample_rate,

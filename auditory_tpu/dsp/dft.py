@@ -135,6 +135,38 @@ def power_spectrum_conv(
     return jnp.moveaxis(power, 1, 2)  # [B, n_windows, K]
 
 
+def _step_frames(
+    signals: jnp.ndarray, step: int, offset0: int,
+    n_windows: int, j_blocks: int,
+) -> jnp.ndarray:
+    """[B, n_frames, step] step-aligned frames (n_frames = n_windows +
+    J - 1) with the reference's left zero-fill for negative window
+    positions and right zero-pad for overrunning ones (sndenv.go:455-478).
+    THE single implementation of the frontends' zero-fill semantics --
+    frames/windowed/factored all build on it, so a semantics fix lands
+    everywhere at once."""
+    b, s = signals.shape
+    if offset0 > 0:
+        signals = signals[:, offset0:]
+        s -= offset0
+        offset0 = 0
+    pad_l = -offset0
+    total = (n_windows + j_blocks - 1) * step
+    pad_r = max(0, total - (s + pad_l))
+    sig = jnp.pad(signals, ((0, 0), (pad_l, pad_r)))[:, :total]
+    return sig.reshape(b, n_windows + j_blocks - 1, step)
+
+
+def _materialize_windows(
+    frames: jnp.ndarray, n_windows: int, j_blocks: int, w: int,
+) -> jnp.ndarray:
+    """[B, nW, W] windows as J concatenated shifted slices of the frame
+    tensor (views of one reshape -- no gather), trimmed to W."""
+    return jnp.concatenate(
+        [frames[:, j : j + n_windows] for j in range(j_blocks)], axis=-1
+    )[..., :w]
+
+
 def power_spectrum_frames(
     signals: jnp.ndarray,
     basis: Tuple[jnp.ndarray, jnp.ndarray],
@@ -168,19 +200,9 @@ def power_spectrum_frames(
     """
     cos_m, sin_m = basis
     w, k = cos_m.shape
-    b, s = signals.shape
     step = step_samples
     j_blocks = max(1, -(-w // step))
-
-    if offset0 > 0:
-        signals = signals[:, offset0:]
-        s -= offset0
-        offset0 = 0
-    pad_l = -offset0
-    n_frames = n_windows + j_blocks - 1
-    pad_r = max(0, n_frames * step - (s + pad_l))
-    sig = jnp.pad(signals, ((0, 0), (pad_l, pad_r)))
-    frames = sig[:, : n_frames * step].reshape(b, n_frames, step)
+    frames = _step_frames(signals, step, offset0, n_windows, j_blocks)
 
     kernel = jnp.concatenate([cos_m, sin_m], axis=1)  # [W, 2K]
     acc = None
@@ -226,23 +248,10 @@ def power_spectrum_windows(
     """
     cos_m, sin_m = basis
     w, k = cos_m.shape
-    b, s = signals.shape
     step = step_samples
     j_blocks = max(1, -(-w // step))
-
-    if offset0 > 0:
-        signals = signals[:, offset0:]
-        s -= offset0
-        offset0 = 0
-    pad_l = -offset0
-    n_frames = n_windows + j_blocks - 1
-    total = n_frames * step
-    pad_r = max(0, total - (s + pad_l))
-    sig = jnp.pad(signals, ((0, 0), (pad_l, pad_r)))[:, :total]
-    frames = sig.reshape(b, n_frames, step)
-    windows = jnp.concatenate(
-        [frames[:, j : j + n_windows] for j in range(j_blocks)], axis=-1
-    )[..., :w]  # [B, nW, W]
+    frames = _step_frames(signals, step, offset0, n_windows, j_blocks)
+    windows = _materialize_windows(frames, n_windows, j_blocks, w)
 
     kernel = jnp.concatenate([cos_m, sin_m], axis=1)  # [W, 2K]
     out = jnp.matmul(
@@ -305,27 +314,40 @@ class FactoredDFTPlan:
             [q1.real, q1.imag, q2.real, q2.imag], axis=2
         )  # [H1, N2, 4*K2]
 
-    # MAC-equivalents charged per f32 word of HBM traffic: v5e peak
-    # ~16.5e12 exact-f32 MAC/s vs ~205e9 f32 words/s -- compute is ~80x
-    # denser than data movement, so materialized intermediates must be
-    # costed or the model picks FLOP-cheap/byte-heavy splits
-    _MACS_PER_WORD = 80
-
     def padded_macs_per_window(self) -> int:
-        """Rough cost model: MAC count with GEMM output columns padded to
-        the 128-lane register width (the dominant TPU inefficiency for
-        these narrow stage matrices), plus an HBM-traffic charge for the
-        non-polyphase mode's materialized [n_windows, W] windows tensor
-        (write + read = 2W words/window)."""
-        pad = lambda c: -(-c // 128) * 128
-        if self.polyphase:
-            stage1 = self.n2 * self.j_blocks * self.sub_step * pad(2 * self.h1)
-            traffic = 0
-        else:
-            stage1 = self.n2 * self.n1 * pad(2 * self.h1)
-            traffic = 2 * self.win * self._MACS_PER_WORD
-        stage2 = 2 * self.h1 * self.n2 * pad(4 * self.k2)
-        return stage1 + stage2 + traffic
+        """Cost model (see :func:`factored_split_cost`)."""
+        return factored_split_cost(self.win, self.step, self.n1, self.n2)
+
+
+# MAC-equivalents charged per f32 word of HBM traffic: v5e peak
+# ~16.5e12 exact-f32 MAC/s vs ~205e9 f32 words/s -- compute is ~80x
+# denser than data movement, so materialized intermediates must be
+# costed or the model picks FLOP-cheap/byte-heavy splits
+_MACS_PER_WORD = 80
+
+
+def factored_split_cost(win: int, step: int, n1: int, n2: int) -> int:
+    """Rough cost model for a W = N1*N2 split: MAC count per window with
+    GEMM output columns padded to the 128-lane register width (the
+    dominant TPU inefficiency for these narrow stage matrices), plus an
+    HBM-traffic charge for the non-polyphase mode's materialized
+    [n_windows, W] windows tensor (write + read = 2W words/window).
+
+    Pure scalar geometry -- plan selection calls this for every candidate
+    divisor without building the (costly) f64 basis/twiddle matrices."""
+    pad = lambda c: -(-c // 128) * 128
+    h1 = n1 // 2 + 1
+    k2 = (win // 2) // n1 + 1
+    if step % n2 == 0:  # polyphase stage 1
+        sub_step = step // n2
+        j_blocks = -(-n1 // sub_step)
+        stage1 = n2 * j_blocks * sub_step * pad(2 * h1)
+        traffic = 0
+    else:  # windows-materialization stage 1
+        stage1 = n2 * n1 * pad(2 * h1)
+        traffic = 2 * win * _MACS_PER_WORD
+    stage2 = 2 * h1 * n2 * pad(4 * k2)
+    return stage1 + stage2 + traffic
 
 
 def factored_dft_plan(
@@ -340,27 +362,26 @@ def factored_dft_plan(
     Splits with N2 | step get the gather-free polyphase stage 1; other
     composite splits (e.g. 22.05 kHz's 551 = 29*19 against step 221) pay
     the windows-materialization traffic charge in the model and win only
-    when the MAC savings dominate it."""
+    when the MAC savings dominate it. Costs are evaluated on scalar
+    geometry only; the winner's basis/twiddle matrices are built once."""
     w, step = int(win_samples), int(step_samples)
     if w < 16 or step < 2:
         return None
-    best = None
+    best = None  # (cost, n2)
     for n2 in range(2, w // 2 + 1):
         if w % n2 or w // n2 < 4:
             continue
-        plan = FactoredDFTPlan(w, step, w // n2, n2)
-        if best is None or (
-            plan.padded_macs_per_window() < best.padded_macs_per_window()
-        ):
-            best = plan
+        cost = factored_split_cost(w, step, w // n2, n2)
+        if best is None or cost < best[0]:
+            best = (cost, n2)
     if best is None:
         return None
     k = w // 2 + 1
     j = max(1, -(-w // step))
     dense = j * step * (-(-2 * k // 128) * 128)
-    if best.padded_macs_per_window() >= dense:
+    if best[0] >= dense:
         return None
-    return best
+    return FactoredDFTPlan(w, step, w // best[1], best[1])
 
 
 def power_spectrum_factored(
@@ -419,19 +440,16 @@ def power_spectrum_factored(
     step = step_samples
     k_bins = w // 2 + 1
 
-    if offset0 > 0:
-        signals = signals[:, offset0:]
-        s -= offset0
-        offset0 = 0
-    pad_l = -offset0
     n_frames = n_windows + jb - 1
     basis1 = jnp.asarray(plan.basis1, dtype=signals.dtype)
+    # shared zero-fill preamble (sndenv.go:455-478 semantics):
+    # [B, n_frames, step] whose flatten is the padded signal grid
+    sframes = _step_frames(signals, step, offset0, n_windows, jb)
 
     if plan.polyphase:
         ss = plan.sub_step
-        total = n_frames * ss * n2  # == n_frames * step
-        pad_r = max(0, total - (s + pad_l))
-        sig = jnp.pad(signals, ((0, 0), (pad_l, pad_r)))[:, :total]
+        total = n_frames * step
+        sig = sframes.reshape(b, total)
 
         # polyphase decomposition g[b, n2, m] = sig[b, m*N2 + n2]
         g = jnp.transpose(sig.reshape(b, total // n2, n2), (0, 2, 1))
@@ -447,16 +465,12 @@ def power_spectrum_factored(
             )
             acc = term if acc is None else acc + term
     else:
-        # windows from step-frames: J concatenated shifted slices (views
-        # of one [B, n_frames, step] reshape; no gather), trimmed to W,
-        # then the [N1, N2] index split n = N2*n1 + n2 is a reshape
-        total = n_frames * step
-        pad_r = max(0, total - (s + pad_l))
-        sig = jnp.pad(signals, ((0, 0), (pad_l, pad_r)))[:, :total]
-        frames = sig.reshape(b, n_frames, step)
-        windows = jnp.concatenate(
-            [frames[:, j : j + n_windows] for j in range(jb)], axis=-1
-        )[..., :w].reshape(b, n_windows, n1, n2)
+        # windows from step-frames (shared construction with the windowed
+        # frontend), then the [N1, N2] index split n = N2*n1 + n2 is a
+        # reshape
+        windows = _materialize_windows(
+            sframes, n_windows, jb, w
+        ).reshape(b, n_windows, n1, n2)
         # one batched einsum: contract n1 against the stage-1 basis,
         # emitting the polyphase-mode layout [B, N2, nW, 2*H1]
         acc = jnp.einsum(

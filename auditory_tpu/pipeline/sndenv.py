@@ -502,13 +502,19 @@ class SndEnv:
                     method = preferred_spectrum_frontend(
                         t.step_samples, t.win_samples
                     )
-                if method == "factored":
-                    if self.factored_plan is None:  # auto-dispatch route
-                        from ..dsp.dft import factored_dft_plan
+                if method == "factored" and self.factored_plan is None:
+                    # auto-dispatch route (a future measured rule may
+                    # return 'factored'): backfill the plan; prime/
+                    # refused geometries fall back to frames rather
+                    # than passing a None plan downstream
+                    from ..dsp.dft import factored_dft_plan
 
-                        self.factored_plan = factored_dft_plan(
-                            t.win_samples, t.step_samples
-                        )
+                    self.factored_plan = factored_dft_plan(
+                        t.win_samples, t.step_samples
+                    )
+                    if self.factored_plan is None:
+                        method = "frames"
+                if method == "factored":
                     power = power_spectrum_factored(
                         signals,
                         self.factored_plan,

@@ -24,6 +24,20 @@ import time
 import numpy as np
 
 
+def metric_name(args) -> str:
+    """The self-describing metric id, shared by the success line and the
+    backend-unavailable error line (an error under the wrong metric name
+    misattributes the outage to the 16 kHz headline row)."""
+    return (
+        ("timit16k_mel_gabor_rtf" if args.rate == 16000
+         else f"mel_gabor_rtf_{args.rate}hz")
+        + ("_kwta" if args.kwta else "")
+        + ("" if args.outputs == "features" else f"_{args.outputs}")
+        + {"highest": "", "high": "_high", "default": "_fast"}[args.precision]
+        + ("" if args.frontend == "auto" else f"_{args.frontend}")
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512, help="utterances per step")
@@ -110,7 +124,7 @@ def main() -> None:
             ok, detail = False, f"backend init hang (> {timeout_s:.0f}s)"
         if not ok:
             print(json.dumps({
-                "metric": "timit16k_mel_gabor_rtf",
+                "metric": metric_name(args),
                 "error": "tpu backend unavailable",
                 "detail": detail,
                 "regime": "down",
@@ -206,16 +220,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": (
-                    "timit16k_mel_gabor_rtf" if args.rate == 16000
-                    else f"mel_gabor_rtf_{args.rate}hz"
-                )
-                + ("_kwta" if args.kwta else "")
-                + ("" if args.outputs == "features" else f"_{args.outputs}")
-                + {"highest": "", "high": "_high", "default": "_fast"}[
-                    args.precision
-                ]
-                + ("" if args.frontend == "auto" else f"_{args.frontend}"),
+                "metric": metric_name(args),
                 "value": round(rtf, 1),
                 "unit": "audio_sec_per_sec_per_chip",
                 "vs_baseline": round(rtf / baseline, 3),

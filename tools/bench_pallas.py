@@ -141,8 +141,14 @@ def main() -> None:
     for name, kw in variants:
         kw = dict(kw)
         plan_override = kw.pop("_factored_plan_override", None)
+        if plan_override is not None:
+            # build on 'frames' (same basis) then switch: SndEnv's own
+            # __init__ would refuse geometries the cost model rejects,
+            # but probing exactly those splits is this flag's purpose
+            kw["spectrum_method"] = "frames"
         env = SndEnv(cfg, sr, dtype=jnp.float32, outputs=outs, **kw)
         if plan_override is not None:
+            env.spectrum_method = "factored"
             env.factored_plan = plan_override  # probe a non-model split
         benv = BatchedSndEnv(env)
         n = bucket_length(int(args.seconds * sr), env.timing)

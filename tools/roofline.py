@@ -107,9 +107,11 @@ def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
         "audio_s": batch * seconds,
     }
     floors = {}
+    floor_s = {}
     for name, (macs, words) in rows.items():
         t_flop = macs / MACS_PER_S
         t_mem = words / WORDS_PER_S
+        floor_s[name] = max(t_flop, t_mem)  # unrounded, for the RTF divide
         floors[name] = {
             "flop_ms": round(1e3 * t_flop, 3),
             "mem_ms": round(1e3 * t_mem, 3),
@@ -122,8 +124,8 @@ def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
         )
     out["floors"] = floors
     out["rtf_at_floor"] = {
-        name: round(out["audio_s"] / (f["floor_ms"] / 1e3))
-        for name, f in floors.items()
+        name: round(out["audio_s"] / floor_s[name])
+        for name in floors
     }
     return out
 
