@@ -327,11 +327,23 @@ _MACS_PER_WORD = 80
 
 
 def factored_split_cost(win: int, step: int, n1: int, n2: int) -> int:
-    """Rough cost model for a W = N1*N2 split: MAC count per window with
-    GEMM output columns padded to the 128-lane register width (the
-    dominant TPU inefficiency for these narrow stage matrices), plus an
-    HBM-traffic charge for the non-polyphase mode's materialized
-    [n_windows, W] windows tensor (write + read = 2W words/window).
+    """Split-RANKING cost model for a W = N1*N2 split: MXU-padded MAC
+    count per window plus HBM-traffic charges. Both GEMM dimensions are
+    padded to the MXU's 128x128 tile -- output columns to the 128-lane
+    register width AND the contraction dim to 128 rows. The contraction
+    padding is the round-4 measured correction (BENCH_NOTES_r04.md): the
+    original lanes-only model picked 16 kHz 100x4 / 32 kHz 100x8 /
+    48 kHz 75x16, which each measured WORST or near-worst of their
+    split family on chip, because a stage GEMM contracting only
+    N2=4..16 samples runs the systolic array at N2/128 utilization.
+    With contraction padding the model ranks the measured-best and
+    measured-worst split correctly at all three probed geometries
+    (13 on-chip split points, /tmp/r04 split_* logs).
+
+    Traffic charges: the non-polyphase mode's materialized
+    [n_windows, W] windows tensor (write + read = 2W words/window), and
+    the complex stage-1 intermediate that every split materializes
+    between the two GEMMs (write + read = 2 * N2 * 2*H1 words/window).
 
     Pure scalar geometry -- plan selection calls this for every candidate
     divisor without building the (costly) f64 basis/twiddle matrices."""
@@ -341,29 +353,48 @@ def factored_split_cost(win: int, step: int, n1: int, n2: int) -> int:
     if step % n2 == 0:  # polyphase stage 1
         sub_step = step // n2
         j_blocks = -(-n1 // sub_step)
-        stage1 = n2 * j_blocks * sub_step * pad(2 * h1)
+        stage1 = n2 * j_blocks * pad(sub_step) * pad(2 * h1)
         traffic = 0
     else:  # windows-materialization stage 1
-        stage1 = n2 * n1 * pad(2 * h1)
+        stage1 = n2 * pad(n1) * pad(2 * h1)
         traffic = 2 * win * _MACS_PER_WORD
-    stage2 = 2 * h1 * n2 * pad(4 * k2)
+    traffic += 2 * n2 * 2 * h1 * _MACS_PER_WORD  # stage-1 out roundtrip
+    stage2 = 2 * h1 * pad(n2) * pad(4 * k2)
     return stage1 + stage2 + traffic
 
 
 def factored_dft_plan(
-    win_samples: int, step_samples: int
+    win_samples: int, step_samples: int, allow_dominated: bool = False
 ) -> Optional[FactoredDFTPlan]:
-    """Best W = N1*N2 split for :func:`power_spectrum_factored`, or None
-    when the geometry admits none (prime W) or no split beats the dense
-    frames GEMM's padded-MAC cost (small windows: the dense basis is
-    already one well-tiled GEMM). Reference workload being factored: the
-    dense rectangular-window DFT of dft/dft.go:42-59.
+    """Best-ranked W = N1*N2 split for :func:`power_spectrum_factored`,
+    or None when the geometry admits none (prime W, tiny window) or --
+    by default -- when the split is dominated by the dense frames GEMM.
+    Reference workload being factored: the dense rectangular-window DFT
+    of dft/dft.go:42-59.
+
+    **Measured round-4 verdict (BENCH_NOTES_r04.md): on TPU v5e every
+    factored variant is dominated.** The on-chip shoot-out measured all
+    13 probed splits 1.6-3.4x SLOWER than the dense frames/conv GEMMs at
+    every reference geometry (16/32/48/22.05/8 kHz), despite a 3-4.5x
+    raw-FLOP advantage: the MXU pads GEMM contraction dims to its
+    128-row tile, so stage GEMMs contracting N1 or N2 << 128 samples run
+    at tiny utilization, and the complex stage-1 intermediate pays two
+    extra HBM passes that the dense single-GEMM paths never make. Hence
+    the default gate compares :func:`factored_split_cost` (which models
+    both effects) against the same-convention dense cost and returns
+    None everywhere at reference-scale windows -- the auto-dispatch
+    backfill in pipeline/sndenv.py then stays on 'frames'.
+
+    ``allow_dominated=True`` returns the best-ranked split anyway
+    (explicit ``spectrum_method='factored'`` opt-in, shoot-out benches,
+    parity tests): the ranking itself is measurement-validated --
+    best/worst split ordered correctly at all three probed geometries.
 
     Splits with N2 | step get the gather-free polyphase stage 1; other
     composite splits (e.g. 22.05 kHz's 551 = 29*19 against step 221) pay
-    the windows-materialization traffic charge in the model and win only
-    when the MAC savings dominate it. Costs are evaluated on scalar
-    geometry only; the winner's basis/twiddle matrices are built once."""
+    the windows-materialization traffic charge in the model. Costs are
+    evaluated on scalar geometry only; the winner's basis/twiddle
+    matrices are built once."""
     w, step = int(win_samples), int(step_samples)
     if w < 16 or step < 2:
         return None
@@ -376,11 +407,19 @@ def factored_dft_plan(
             best = (cost, n2)
     if best is None:
         return None
-    k = w // 2 + 1
-    j = max(1, -(-w // step))
-    dense = j * step * (-(-2 * k // 128) * 128)
-    if best[0] >= dense:
-        return None
+    if not allow_dominated:
+        pad = lambda c: -(-c // 128) * 128
+        k = w // 2 + 1
+        j = max(1, -(-w // step))
+        dense = j * pad(step) * pad(2 * k)
+        # Measured safety margin: where probed on chip, the model
+        # underestimates the factored side by up to 2x (the stage-2
+        # batched einsum and the non-polyphase transpose passes are not
+        # individually costed), so only a >=2x modeled advantage counts
+        # as undominated. At every reference geometry this gate returns
+        # None -- matching the measured verdict.
+        if 2 * best[0] >= dense:
+            return None
     return FactoredDFTPlan(w, step, w // best[1], best[1])
 
 
@@ -394,7 +433,15 @@ def power_spectrum_factored(
 ) -> jnp.ndarray:
     """DFT power via a two-stage Cooley-Tukey factorization W = N1*N2 --
     exact math, same rectangular-window semantics as the dense frontends
-    (dft/dft.go:42-59), ~W/(N1+N2) fewer MACs (e.g. 9x at W=1200=120*10).
+    (dft/dft.go:42-59), ~W/(N1+N2) fewer raw MACs (e.g. 9x at
+    W=1200=120*10). **Measured round-4 verdict: dominated on TPU v5e**
+    -- every probed split ran 1.6-3.4x slower than the dense frames/conv
+    GEMMs at every reference geometry, because the MXU pads GEMM
+    contraction dims to 128 (stage factors << 128 waste the systolic
+    array) and the complex stage-1 intermediate costs two extra HBM
+    passes (see :func:`factored_dft_plan`, BENCH_NOTES_r04.md). Kept as
+    an explicit opt-in (``spectrum_method='factored'``) for reproduction
+    and for hardware where the trade-off differs; never auto-dispatched.
 
     Decompose n = N2*n1 + n2, k = k1 + N1*k2:
 

@@ -244,16 +244,21 @@ class SndEnv:
                     "analysis window can't be factored across the two "
                     "Cooley-Tukey stages"
                 )
+            # explicit opt-in: run the best-ranked split even though the
+            # round-4 shoot-out measured factored dominated by the dense
+            # GEMMs at every reference geometry (factored_dft_plan doc)
             self.factored_plan = factored_dft_plan(
-                self.timing.win_samples, self.timing.step_samples
+                self.timing.win_samples,
+                self.timing.step_samples,
+                allow_dominated=True,
             )
             if self.factored_plan is None:
                 raise ValueError(
-                    "spectrum_method='factored': no beneficial W = N1*N2 "
-                    f"split for win={self.timing.win_samples}, "
-                    f"step={self.timing.step_samples} (prime window, or "
-                    "the dense GEMM is already cheaper; such geometries "
-                    "stay on 'frames'/'conv')"
+                    "spectrum_method='factored': no W = N1*N2 split "
+                    f"for win={self.timing.win_samples}, "
+                    f"step={self.timing.step_samples} (prime window or "
+                    "tiny geometry; such geometries stay on "
+                    "'frames'/'conv')"
                 )
 
         self._orients = tuple(

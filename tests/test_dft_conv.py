@@ -223,7 +223,7 @@ def test_factored_matches_gather_matmul(w, step, offset0):
     composite geometry, incl. left zero-fill and overrun windows."""
     from auditory_tpu.dsp.dft import factored_dft_plan, power_spectrum_factored
 
-    plan = factored_dft_plan(w, step)
+    plan = factored_dft_plan(w, step, allow_dominated=True)
     assert plan is not None, (w, step)
     assert plan.n1 * plan.n2 == w
     assert plan.polyphase == (step % plan.n2 == 0)
@@ -248,25 +248,35 @@ def test_factored_matches_gather_matmul(w, step, offset0):
 
 
 def test_factored_plan_selection():
-    """Prime windows admit no split; composite windows whose factors are
-    coprime to the step get the windows-materialization mode; small
-    windows are refused by the cost model (dense is already one
-    well-tiled GEMM)."""
+    """Prime windows admit no split at all; every composite reference
+    geometry is refused BY DEFAULT (round-4 measured verdict: the MXU's
+    contraction-dim padding makes every split slower than the dense
+    GEMMs on chip — factored_dft_plan docstring); allow_dominated=True
+    still returns the best-ranked split for explicit opt-in runs."""
     from auditory_tpu.dsp.dft import factored_dft_plan
 
     assert factored_dft_plan(1103, 441) is None  # prime W
     assert factored_dft_plan(401, 160) is None   # prime W
     assert factored_dft_plan(16, 1) is None      # step too small
-    # small windows: cost model refuses the split
-    assert factored_dft_plan(64, 64) is None
-    # composite W coprime to step: non-polyphase mode
-    p44 = factored_dft_plan(1102, 441)
+    assert factored_dft_plan(64, 64) is None     # tiny window
+    # default gate: the contraction-padded cost model says the dense
+    # GEMM wins at every reference-scale geometry (measured, r04)
+    assert factored_dft_plan(1102, 441) is None
+    assert factored_dft_plan(551, 221) is None
+    assert factored_dft_plan(1200, 480) is None
+    assert factored_dft_plan(400, 160) is None
+    # explicit opt-in: best-ranked split still constructible
+    p44 = factored_dft_plan(1102, 441, allow_dominated=True)
     assert p44 is not None and not p44.polyphase
-    p22 = factored_dft_plan(551, 221)
+    p22 = factored_dft_plan(551, 221, allow_dominated=True)
     assert p22 is not None and not p22.polyphase and p22.n1 % 2 == 1
-    # N2 | step: gather-free polyphase mode
-    p48 = factored_dft_plan(1200, 480)
-    assert p48 is not None and p48.polyphase
+    # 48 kHz: the contraction-padded model ranks 48x25 (non-polyphase)
+    # ahead of the old lanes-only pick 75x16 (polyphase) — matching the
+    # measured split order (split_48k: 48x25 31.6 ms vs 75x16 35.8 ms)
+    p48 = factored_dft_plan(1200, 480, allow_dominated=True)
+    assert p48 is not None and p48.n1 * p48.n2 == 1200
+    # prime windows stay None even when dominated splits are allowed
+    assert factored_dft_plan(1103, 441, allow_dominated=True) is None
 
 
 def test_factored_sndenv_48k_matches_conv_pipeline():
@@ -308,7 +318,7 @@ def test_factored_sndenv_rejections():
     cfg = dataclasses.replace(
         cfg, params=dataclasses.replace(cfg.params, win_ms=25.0625)
     )
-    with pytest.raises(ValueError, match="no beneficial W = N1\\*N2"):
+    with pytest.raises(ValueError, match="no W = N1\\*N2 split"):
         SndEnv(cfg, 16000, spectrum_method="factored", outputs=outs)
 
     cfg16 = SndEnvConfig()
@@ -333,7 +343,7 @@ def test_factored_random_geometry_fuzz():
         step = int(rng.integers(8, 300))
         mult = rng.choice([1.5, 2.0, 2.5, 3.0, 5.0])
         w = int(step * mult)
-        plan = factored_dft_plan(w, step)
+        plan = factored_dft_plan(w, step, allow_dominated=True)
         if plan is None:
             continue
         n_windows = int(rng.integers(2, 8))

@@ -24,8 +24,10 @@ def test_floors_sane():
         assert f["floor_ms"] == max(f["flop_ms"], f["mem_ms"])
     # frames pads the contraction to J*step >= win: never below conv's floor
     assert fl["frames"]["floor_ms"] >= fl["conv"]["floor_ms"]
-    # the factored split strictly reduces MACs at win=400
-    assert fl["factored"]["flop_ms"] < fl["conv"]["flop_ms"]
+    # round-4 corrected model (MXU contraction-dim padding + stage-1
+    # intermediate traffic): the factored "floor" sits ABOVE the dense
+    # one at win=400 — the measured on-chip verdict (BENCH_NOTES_r04.md)
+    assert fl["factored"]["flop_ms"] > fl["conv"]["flop_ms"]
     assert r["rtf_at_floor"]["conv"] > 0
 
 

@@ -115,7 +115,8 @@ def main() -> None:
 
     from auditory_tpu.dsp.dft import factored_dft_plan
 
-    if factored_dft_plan(t.win_samples, t.step_samples) is None:
+    if factored_dft_plan(t.win_samples, t.step_samples,
+                         allow_dominated=True) is None:
         print(json.dumps({"skipped": "factored variants: no N1*N2 split",
                           "win": t.win_samples, "step": t.step_samples}))
         variants = [v for v in variants if not v[0].startswith("factored")]

@@ -95,7 +95,11 @@ def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
 
     # factored: the plan's own padded-MAC model (includes its traffic
     # charge as MAC-equivalents already), plus the base traffic.
-    plan = factored_dft_plan(win, step)
+    # allow_dominated: show the floor even though the measured round-4
+    # verdict is that factored loses on chip (factored_dft_plan doc) --
+    # with the corrected contraction-padded model this floor now sits
+    # ABOVE the dense ones at every reference geometry.
+    plan = factored_dft_plan(win, step, allow_dominated=True)
     if plan is not None:
         macs = nw_total * plan.padded_macs_per_window()
         rows["factored"] = (macs, base_words)
