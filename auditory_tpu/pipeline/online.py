@@ -249,6 +249,7 @@ class MultiStreamOnline:
         axis_name: str = "data",
         max_buffer_seconds: Optional[float] = 60.0,
         overflow: str = "error",
+        profile: bool = False,
         **env_kw,
     ):
         """``transfer_dtype``: dtype of the per-poll packed host copy.
@@ -328,6 +329,15 @@ class MultiStreamOnline:
         # segments the offline padded run would produce; set at close()
         self._total_segs = np.zeros(n_streams, np.int64)
         self._dropped = np.zeros(n_streams, np.int64)
+        # profile=True: poll() appends per-phase wall seconds to
+        # poll_phases (gather/h2d/dispatch/compute/d2h/unpack/emit).
+        # Under profiling a block_until_ready separates device compute
+        # from the host copy; the unprofiled path stays fully async.
+        self.poll_phases: Optional[dict] = (
+            {k: [] for k in ("gather", "h2d", "dispatch", "compute",
+                             "d2h", "unpack", "emit")}
+            if profile else None
+        )
 
     def pending_samples(self, stream: int) -> int:
         """Samples currently buffered for one stream."""
@@ -519,6 +529,20 @@ class MultiStreamOnline:
         Per-stream state advances only AFTER the device call returns, so a
         failed dispatch (e.g. a flaky remote compile) loses nothing: the
         next poll retries the same segments."""
+        import time as _time
+
+        prof = self.poll_phases
+        if prof is not None:
+            _t0 = _time.perf_counter()
+
+            def _mark(phase):
+                nonlocal _t0
+                now = _time.perf_counter()
+                prof[phase].append(now - _t0)
+                _t0 = now
+        else:
+            _mark = lambda phase: None
+
         ready = self._ready_streams()
         if len(ready) == 0:
             return []
@@ -543,11 +567,19 @@ class MultiStreamOnline:
         ).astype(np.int32)
         if self._fn is None:
             self._fn, self._layout = self._build_fn()
-        packed = self._fn(
+        _mark("gather")
+        dev_in = (
             jnp.asarray(windows), jnp.asarray(sig_lens, dtype=jnp.int32)
         )
+        _mark("h2d")
+        packed = self._fn(*dev_in)
+        _mark("dispatch")
+        if prof is not None:
+            packed.block_until_ready()
+            _mark("compute")
         # ONE host copy for the whole batch, split per key host-side
         buf = np.asarray(packed)
+        _mark("d2h")
         qscales = None
         if self._quantize and "__qmeta__" in self._layout:
             _, qlo, qhi, _, _ = self._layout["__qmeta__"]
@@ -572,6 +604,7 @@ class MultiStreamOnline:
             host[f] = v
         if "step_valid" in host:
             host["step_valid"] = host["step_valid"] > 0.5
+        _mark("unpack")
         # the call succeeded: NOW advance stream cursors and trim history.
         # Per-stream leaves are COPIES, not views: a view of buf[i] would
         # pin the entire [N, C] poll buffer (all streams x all keys) alive
@@ -590,6 +623,7 @@ class MultiStreamOnline:
             np.maximum(self._start[ready], np.maximum(new_lo, 0)),
             self._end[ready],
         )
+        _mark("emit")
         return results
 
     def drain(self):

@@ -33,6 +33,12 @@ def main() -> None:
                     help="also run the overload scenario: producers feed 4x "
                     "faster than real time into bounded drop_oldest buffers; "
                     "reports per-poll p50/p99 latency and drop counts")
+    ap.add_argument("--profile-poll", action="store_true",
+                    help="with --overload: time each poll phase "
+                    "(gather/h2d/dispatch/compute/d2h/unpack/emit) and "
+                    "report per-phase p50/p99 -- the tail-attribution "
+                    "drill-down (adds a block_until_ready between "
+                    "dispatch and the host copy)")
     args = ap.parse_args()
 
     from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
@@ -109,7 +115,7 @@ def main() -> None:
         ms2 = MultiStreamOnline(
             cfg, sr, n_streams=args.streams, outputs=outputs_sel,
             transfer_dtype=td, max_buffer_seconds=2.0,
-            overflow="drop_oldest",
+            overflow="drop_oldest", profile=args.profile_poll,
         )
         for _ in range(args.warmup):
             for s in range(args.streams):
@@ -176,6 +182,34 @@ def main() -> None:
             "canary_tail_ratio": round(tail_ratio, 2),
             "poll_canary_corr": round(corr, 3),
         }))
+        if args.profile_poll and ms2.poll_phases:
+            # drop the warmup polls (first poll's dispatch includes the
+            # compile) so the stats reflect the steady state only
+            arrs = {
+                k: np.asarray(v[args.warmup:] or v)
+                for k, v in ms2.poll_phases.items()
+            }
+            phases = {
+                k: {
+                    "p50_ms": round(float(np.median(a)) * 1e3, 2),
+                    "p99_ms": round(float(np.quantile(a, 0.99)) * 1e3, 2),
+                }
+                for k, a in arrs.items()
+            }
+            # which phase explains the slow polls: mean share of each
+            # phase inside the slowest poll decile
+            tot = np.sum(list(arrs.values()), axis=0)
+            slow = tot >= np.quantile(tot, 0.9)
+            shares = {
+                k: round(float(a[slow].sum() / tot[slow].sum()), 3)
+                for k, a in arrs.items()
+            }
+            print(json.dumps({
+                "metric": "poll_phase_profile",
+                "streams": args.streams,
+                "phases": phases,
+                "slow_decile_share": shares,
+            }))
 
 
 if __name__ == "__main__":
