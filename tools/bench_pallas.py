@@ -84,6 +84,10 @@ def main() -> None:
                                 matmul_precision="default")),
         ("windowed_highest", dict(spectrum_method="windowed",
                                   matmul_precision="highest")),
+        ("windowed_high", dict(spectrum_method="windowed",
+                               matmul_precision="high")),
+        ("windowed_default", dict(spectrum_method="windowed",
+                                  matmul_precision="default")),
         ("factored_highest", dict(spectrum_method="factored",
                                   matmul_precision="highest")),
         ("factored_high", dict(spectrum_method="factored",
