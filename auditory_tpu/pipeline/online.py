@@ -250,6 +250,7 @@ class MultiStreamOnline:
         max_buffer_seconds: Optional[float] = 60.0,
         overflow: str = "error",
         profile: bool = False,
+        max_segments_per_poll: int = 1,
         **env_kw,
     ):
         """``transfer_dtype``: dtype of the per-poll packed host copy.
@@ -276,6 +277,17 @@ class MultiStreamOnline:
           whole-segment strides and the corresponding segment indices are
           SKIPPED (never emitted; the next emitted ``seg_idx`` jumps).
           ``dropped_segments(stream)`` counts them for monitoring.
+
+        ``max_segments_per_poll`` (K): each poll() drains up to K pending
+        segments per stream in ONE device call. The round-4 poll-phase
+        profile (BENCH_NOTES_r04.md) showed the 128-stream poll dominated
+        by fixed per-call costs -- device compute p50 ~50 ms and the
+        packed host copy p50 ~31 ms -- so draining K segments amortizes
+        both ~K-fold when producers outrun real time (overload, batch
+        backfill). K=1 (default) is latency-optimal for real-time
+        producers: larger K uploads a K-segment window span per poll even
+        when only one segment is pending. Outputs equal K=1 polls (same
+        window grid, one segment-axis batch; tested at 1e-9 in f64).
         """
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
@@ -308,11 +320,28 @@ class MultiStreamOnline:
         self._np_dtype = tpl._np_dtype
         self._fn = None
         self.overflow = overflow
+        if max_segments_per_poll < 1:
+            raise ValueError("max_segments_per_poll must be >= 1")
+        self._k = int(max_segments_per_poll)
+        t = self.env.timing
+        self._span_poll = (
+            self._pre + (self._k - 1) * t.stride_samples + self._post
+        )
+        got_segs = max(self.env.seg_cnt(self._span_poll), 0)
+        if got_segs != self._k:
+            raise ValueError(
+                f"max_segments_per_poll={self._k}: a {self._span_poll}"
+                f"-sample poll span yields {got_segs} segments under this "
+                "geometry (stride vs segment length); use K=1 or adjust "
+                "stride_ms"
+            )
         self._bounded = max_buffer_seconds is not None
         if self._bounded:
-            cap = max(self._span, int(round(max_buffer_seconds * sample_rate)))
+            cap = max(
+                self._span_poll, int(round(max_buffer_seconds * sample_rate))
+            )
         else:
-            cap = 2 * self._span  # grown geometrically on demand
+            cap = 2 * self._span_poll  # grown geometrically on demand
         self._cap = cap
         # ALL per-stream state lives in flat arrays so poll() assembles every
         # window in one vectorized gather (VERDICT r2 #6: no per-stream
@@ -449,16 +478,18 @@ class MultiStreamOnline:
     def _build_fn(self):
         from .batch import _quant_chan_axis, _quantize_int8, _saturate_cast
 
-        inner = self.env._build(self._span, self._add_ms)
+        inner = self.env._build(self._span_poll, self._add_ms)
         quantize = self._quantize
-        # key -> (trailing shape, col range, n_chan, chan_ax); filled at trace
+        k_segs = self._k
+        # key -> (trailing shape incl. the K seg axis, col range, n_chan,
+        # chan_ax rel. to the post-seg dims); filled at trace
         layout = {}
 
         def fn(windows, sig_lens):
             res = inner(windows, sig_lens)
-            # squeeze the seg=1 axis and pack every leaf into ONE flat
-            # [N, C] buffer: per-leaf host copies would each pay the link's
-            # fixed round trip per poll
+            # keep the [N, K, ...] seg axis and pack every leaf into ONE
+            # flat [N, C] buffer: per-leaf host copies would each pay the
+            # link's fixed round trip per poll
             pack_dtype = (
                 self.transfer_dtype
                 if self.transfer_dtype is not None and not quantize
@@ -468,20 +499,21 @@ class MultiStreamOnline:
             for f, x in dataclasses.asdict(res[0]).items():
                 if x is None:
                     continue
-                x = x[:, 0]
+                assert x.shape[1] == k_segs, (f, x.shape, k_segs)
                 n_chan, chan_ax = 0, None
                 if quantize and jnp.issubdtype(x.dtype, jnp.floating):
-                    chan_ax = _quant_chan_axis(f, tuple(x.shape[1:]), None)
+                    chan_ax = _quant_chan_axis(f, tuple(x.shape[2:]), None)
                     n_chan = (
-                        1 if chan_ax is None else x.shape[1 + chan_ax]
+                        1 if chan_ax is None else x.shape[2 + chan_ax]
                     )
                     # per_row: every stream gets its own scales, so one
-                    # stream's precision never depends on co-polled tenants
+                    # stream's precision never depends on co-polled
+                    # tenants (the K seg axis shares its stream's scales)
                     q, sc, ofv = _quantize_int8(
-                        x[:, None], chan_ax, symmetric=False, per_row=True
+                        x, chan_ax, symmetric=False, per_row=True
                     )
                     qscales += [sc, ofv]  # each [N, n_chan]
-                    flat = q[:, 0].reshape(x.shape[0], -1)
+                    flat = q.reshape(x.shape[0], -1)
                 elif quantize:
                     # bool/int leaves (step_valid) ship as raw int8
                     flat = x.reshape(x.shape[0], -1).astype(jnp.int8)
@@ -547,23 +579,38 @@ class MultiStreamOnline:
         if len(ready) == 0:
             return []
         t = self.env.timing
+        # segments drained this poll: up to K per ready stream (open
+        # streams: how many whole segments the buffered audio backs;
+        # closed: the remaining padded total)
+        open_pending = (
+            self._end[ready] - self._next_seg[ready] * t.stride_samples
+            - self._post
+        ) // t.stride_samples + 1
+        k_arr = np.where(
+            self._closed[ready],
+            self._total_segs[ready] - self._next_seg[ready],
+            open_pending,
+        )
+        k_arr = np.clip(k_arr, 1, self._k).astype(np.int64)
         # ONE vectorized gather assembles every ready window from the shared
         # ring (no per-stream Python concat). Coords outside [0, end) read
         # as zero: negative = pre-stream left pad; >= end = the flush zero
-        # tail of closed streams (step validity is masked by sig_lens).
+        # tail of closed streams (step validity is masked by sig_lens) or
+        # not-yet-fed audio of trailing segments beyond k_arr (computed
+        # then discarded -- only the first k_arr segments are emitted).
         lo = self._next_seg[ready] * t.stride_samples - self._pre
-        coords = lo[:, None] + np.arange(self._span, dtype=np.int64)
+        coords = lo[:, None] + np.arange(self._span_poll, dtype=np.int64)
         vals = self._bufs[
             ready[:, None], (coords % self._cap).astype(np.intp)
         ]
         valid = (coords >= 0) & (coords < self._end[ready][:, None])
-        windows = np.zeros((self.n_streams, self._span), self._np_dtype)
+        windows = np.zeros((self.n_streams, self._span_poll), self._np_dtype)
         windows[ready] = np.where(valid, vals, 0)
         sig_lens = np.zeros(self.n_streams, np.int32)
         sig_lens[ready] = np.where(
             self._closed[ready],
-            np.clip(self._padded_end[ready] - lo, 0, self._span),
-            self._span,
+            np.clip(self._padded_end[ready] - lo, 0, self._span_poll),
+            self._span_poll,
         ).astype(np.int32)
         if self._fn is None:
             self._fn, self._layout = self._build_fn()
@@ -594,9 +641,10 @@ class MultiStreamOnline:
                 sc = qscales[:, qoff : qoff + n_chan]
                 ofv = qscales[:, qoff + n_chan : qoff + 2 * n_chan]
                 qoff += 2 * n_chan
+                # v is [N, K, *view]; chan_ax indexes into *view
                 bshape = [v.shape[0]] + [1] * (v.ndim - 1)
                 if chan_ax is not None:
-                    bshape[1 + chan_ax] = n_chan
+                    bshape[2 + chan_ax] = n_chan
                 sc = sc.reshape(bshape)
                 ofv = ofv.reshape(bshape)
                 x = v.astype(np.float32) * sc + ofv
@@ -612,12 +660,13 @@ class MultiStreamOnline:
         results = [
             (
                 int(i),
-                int(self._next_seg[i]),
-                {k: v[i].copy() for k, v in host.items()},
+                int(self._next_seg[i]) + j,
+                {k: v[i, j].copy() for k, v in host.items()},
             )
-            for i in ready
+            for i, ki in zip(ready, k_arr)
+            for j in range(int(ki))
         ]
-        self._next_seg[ready] += 1
+        self._next_seg[ready] += k_arr
         new_lo = self._next_seg[ready] * t.stride_samples - self._pre
         self._start[ready] = np.minimum(
             np.maximum(self._start[ready], np.maximum(new_lo, 0)),

@@ -562,3 +562,117 @@ def test_online_spectrum_method_plumbs_through():
     assert outs[None].shape == outs["factored"].shape and outs[None].size
     np.testing.assert_allclose(outs["factored"], outs[None],
                                atol=3e-5, rtol=1e-5)
+
+
+def test_multistream_poll_k_matches_k1():
+    """max_segments_per_poll=K drains up to K segments per device call;
+    every emitted segment must equal the K=1 run (same window grid, the
+    seg axis is just batched) across interleaved feeds, close, drain."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    cfg = default_cfg_2d()
+    durs = [0.53, 0.21, 0.77]
+    sigs = [tone(500.0 + 350 * i, d, SR) for i, d in enumerate(durs)]
+
+    def run(k):
+        ms = MultiStreamOnline(cfg, SR, n_streams=3, dtype=jnp.float64,
+                               max_segments_per_poll=k)
+        rng = np.random.default_rng(11)
+        cursors = [0, 0, 0]
+        got = {}
+        polls = []
+        while any(c < len(s) for c, s in zip(cursors, sigs)):
+            i = int(rng.integers(0, 3))
+            if cursors[i] >= len(sigs[i]):
+                continue
+            n = int(rng.integers(200, 6000))
+            ms.feed(i, sigs[i][cursors[i] : cursors[i] + n])
+            cursors[i] += n
+            res = ms.poll()
+            polls.append(res)
+            got.update({(i_, k_): out for i_, k_, out in res})
+        for i in range(3):
+            ms.close(i)
+        for i_, k_, out in ms.drain():
+            got[(i_, k_)] = out
+        return got, polls
+
+    ref, _ = run(1)
+    k4, polls = run(4)
+    assert set(k4) == set(ref)
+    # at least one poll actually drained >1 segment for some stream
+    multi = any(
+        sum(1 for i_, _, _ in res if i_ == s) > 1
+        for res in polls for s in range(3)
+    )
+    assert multi
+    for sk in ref:
+        for key in ("mel_fbank_segment", "gabor_raw", "step_valid"):
+            np.testing.assert_allclose(
+                k4[sk][key], ref[sk][key], atol=1e-9,
+                err_msg=f"{sk} {key}",
+            )
+
+
+def test_multistream_poll_k_int8_layout():
+    """K>1 with int8 transfer: the (K,)+view layout and the seg-axis
+    broadcast of per-stream scales must dequantize within the int8
+    tolerance of a K>1 f32 run."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    cfg = default_cfg_2d()
+    keys = ("mel_fbank_segment", "gabor_kwta", "step_valid")
+    sig = tone(900.0, 0.61, SR).astype(np.float32)
+
+    def run(transfer):
+        ms = MultiStreamOnline(cfg, SR, n_streams=2, outputs=keys,
+                               transfer_dtype=transfer,
+                               max_segments_per_poll=3)
+        for s in range(2):
+            ms.feed(s, sig * (1.0 if s == 0 else 0.4))
+            ms.close(s)
+        return {(i, k): out for i, k, out in ms.drain()}
+
+    ref = run(None)
+    q = run("int8")
+    assert set(q) == set(ref)
+    for sk, rout in ref.items():
+        np.testing.assert_array_equal(
+            q[sk]["step_valid"], rout["step_valid"])
+        for key in ("mel_fbank_segment", "gabor_kwta"):
+            a, b = q[sk][key], rout[key]
+            rng_ = float(np.nanmax(b) - np.nanmin(b)) if b.size else 0.0
+            tol = max(rng_ / 254.0 * 1.01, 1e-6)
+            fin = np.isfinite(b)
+            assert np.array_equal(np.isfinite(a), fin)
+            assert np.max(np.abs(a[fin] - b[fin]), initial=0.0) <= tol
+
+
+def test_multistream_poll_k_drains_backlog_in_one_call():
+    """Under producer overload, one poll with K=4 empties a 4-segment
+    backlog that K=1 would need 4 polls for."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    cfg = default_cfg_2d()
+    ms = MultiStreamOnline(cfg, SR, n_streams=2,
+                           outputs=("mel_fbank_segment", "step_valid"),
+                           max_segments_per_poll=4)
+    t = ms.env.timing
+    need = 3 * t.stride_samples + ms._post  # backs exactly segments 0..3
+    rng = np.random.default_rng(3)
+    for s in range(2):
+        ms.feed(s, rng.standard_normal(need).astype(np.float32))
+    res = ms.poll()
+    per_stream = {s: sorted(k for i, k, _ in res if i == s) for s in (0, 1)}
+    assert per_stream[0] == [0, 1, 2, 3]
+    assert per_stream[1] == [0, 1, 2, 3]
+    # nothing left pending until more audio arrives
+    assert ms.poll() == []
+
+
+def test_multistream_poll_k_validation():
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    with pytest.raises(ValueError, match="max_segments_per_poll"):
+        MultiStreamOnline(default_cfg_2d(), SR, n_streams=1,
+                          max_segments_per_poll=0)

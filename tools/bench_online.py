@@ -33,6 +33,11 @@ def main() -> None:
                     help="also run the overload scenario: producers feed 4x "
                     "faster than real time into bounded drop_oldest buffers; "
                     "reports per-poll p50/p99 latency and drop counts")
+    ap.add_argument("--poll-k", type=str, default="1",
+                    help="max_segments_per_poll for the overload scenario; "
+                    "a comma list (e.g. 1,4) runs the K scenarios in "
+                    "interleaved epochs so link-weather drift hits every K "
+                    "equally and the comparison is fair")
     ap.add_argument("--profile-poll", action="store_true",
                     help="with --overload: time each poll phase "
                     "(gather/h2d/dispatch/compute/d2h/unpack/emit) and "
@@ -108,54 +113,75 @@ def main() -> None:
 
     if args.overload:
         # overload: each cycle feeds 400 ms of audio per stream but polls
-        # once -- drain capacity is one segment (100 ms stride) per stream
-        # per poll, so producers outrun poll() 4x. Bounded 2 s buffers with
-        # drop_oldest keep per-poll cost flat; the poll latency distribution
-        # under pressure is the serving p50/p99 (VERDICT r2 #6).
-        ms2 = MultiStreamOnline(
-            cfg, sr, n_streams=args.streams, outputs=outputs_sel,
-            transfer_dtype=td, max_buffer_seconds=2.0,
-            overflow="drop_oldest", profile=args.profile_poll,
-        )
-        for _ in range(args.warmup):
-            for s in range(args.streams):
-                ms2.feed(
-                    s, (0.1 * rng.standard_normal(4 * chunk_n))
-                    .astype(np.float32),
-                )
-            list(ms2.poll())
-        # dropped_segments() is cumulative from stream creation; snapshot
-        # after warmup so drop_frac reflects the measured phase only (the
-        # warmup cycles shed segments too and would bias the ratio high)
-        dropped0 = sum(
-            ms2.dropped_segments(s) for s in range(args.streams)
-        )
-        # link-health canary per poll cycle: a fixed tiny D2H copy timed
-        # right before each poll. If the poll-latency tail correlates with
-        # canary stalls, the tail is the relay's, not the poll path's
-        # (VERDICT r3 #5: attribute or fix the p99/p50 = 1.76x tail).
+        # once -- drain capacity is max_segments_per_poll segments (100 ms
+        # stride each) per stream per poll, so K=1 producers outrun poll()
+        # 4x. Bounded 2 s buffers with drop_oldest keep per-poll cost flat;
+        # the poll latency distribution under pressure is the serving
+        # p50/p99 (VERDICT r2 #6). --poll-k takes a comma list (e.g. 1,4):
+        # the K scenarios run in INTERLEAVED epochs so link weather --
+        # which drifts minute-to-minute on this relay -- hits every K
+        # equally and the comparison is fair.
         import jax
 
         from auditory_tpu.utils.canary import d2h_canary, make_canary_buffer
 
+        ks = [int(x) for x in str(args.poll_k).split(",")]
+        runs = {}
+        for k in ks:
+            ms2 = MultiStreamOnline(
+                cfg, sr, n_streams=args.streams, outputs=outputs_sel,
+                transfer_dtype=td, max_buffer_seconds=2.0,
+                overflow="drop_oldest", profile=args.profile_poll,
+                max_segments_per_poll=k,
+            )
+            for _ in range(args.warmup):
+                for s in range(args.streams):
+                    ms2.feed(
+                        s, (0.1 * rng.standard_normal(4 * chunk_n))
+                        .astype(np.float32),
+                    )
+                list(ms2.poll())
+            # dropped_segments() is cumulative from stream creation;
+            # snapshot after warmup so drop_frac reflects the measured
+            # phase only (the warmup cycles shed segments too and would
+            # bias the ratio high)
+            runs[k] = dict(
+                ms=ms2, lat=[], canary=[], n_seg=0,
+                dropped0=sum(
+                    ms2.dropped_segments(s) for s in range(args.streams)
+                ),
+            )
+        # link-health canary per poll cycle: a fixed tiny D2H copy timed
+        # right before each poll. If the poll-latency tail correlates with
+        # canary stalls, the tail is the relay's, not the poll path's
+        # (VERDICT r3 #5: attribute or fix the p99/p50 = 1.76x tail).
         canary_buf = make_canary_buffer(jnp, jax.device_put)
         d2h_canary(canary_buf)  # warm the copy path
-        lat2 = []
-        canary2 = []
-        n_seg2 = 0
-        for _ in range(args.chunks):
-            for s in range(args.streams):
-                ms2.feed(
-                    s, (0.1 * rng.standard_normal(4 * chunk_n))
-                    .astype(np.float32),
-                )
-            canary2.append(d2h_canary(canary_buf))
-            t0 = time.perf_counter()
-            n_seg2 += sum(1 for _ in ms2.poll())
-            lat2.append(time.perf_counter() - t0)
+        epochs = 4
+        per_epoch = max(1, args.chunks // epochs)
+        for _ in range(epochs):
+            for k in ks:
+                r = runs[k]
+                for _ in range(per_epoch):
+                    for s in range(args.streams):
+                        r["ms"].feed(
+                            s, (0.1 * rng.standard_normal(4 * chunk_n))
+                            .astype(np.float32),
+                        )
+                    r["canary"].append(d2h_canary(canary_buf))
+                    t0 = time.perf_counter()
+                    r["n_seg"] += sum(1 for _ in r["ms"].poll())
+                    r["lat"].append(time.perf_counter() - t0)
+        _report_overload(args, runs, ks)
+
+
+def _report_overload(args, runs, ks):
+    for k in ks:
+        r = runs[k]
+        ms2, lat2, canary2, n_seg2 = r["ms"], r["lat"], r["canary"], r["n_seg"]
         dropped = sum(
             ms2.dropped_segments(s) for s in range(args.streams)
-        ) - dropped0
+        ) - r["dropped0"]
         lat_a, can_a = np.asarray(lat2), np.asarray(canary2)
         # attribution: mean canary inside the slowest poll decile vs
         # overall median -- >> 1 means the tail rides relay stalls
@@ -170,6 +196,10 @@ def main() -> None:
         print(json.dumps({
             "metric": "multistream_overload_4x",
             "streams": args.streams,
+            "poll_k": k,
+            "ms_per_segment": round(
+                float(np.sum(lat2)) * 1e3 / max(n_seg2, 1), 3
+            ),
             "poll_p50_ms": round(float(np.median(lat2)) * 1e3, 2),
             "poll_p99_ms": round(float(np.quantile(lat2, 0.99)) * 1e3, 2),
             "segments_emitted": n_seg2,
@@ -186,27 +216,28 @@ def main() -> None:
             # drop the warmup polls (first poll's dispatch includes the
             # compile) so the stats reflect the steady state only
             arrs = {
-                k: np.asarray(v[args.warmup:] or v)
-                for k, v in ms2.poll_phases.items()
+                ph: np.asarray(v[args.warmup:] or v)
+                for ph, v in ms2.poll_phases.items()
             }
             phases = {
-                k: {
+                ph: {
                     "p50_ms": round(float(np.median(a)) * 1e3, 2),
                     "p99_ms": round(float(np.quantile(a, 0.99)) * 1e3, 2),
                 }
-                for k, a in arrs.items()
+                for ph, a in arrs.items()
             }
             # which phase explains the slow polls: mean share of each
             # phase inside the slowest poll decile
             tot = np.sum(list(arrs.values()), axis=0)
             slow = tot >= np.quantile(tot, 0.9)
             shares = {
-                k: round(float(a[slow].sum() / tot[slow].sum()), 3)
-                for k, a in arrs.items()
+                ph: round(float(a[slow].sum() / tot[slow].sum()), 3)
+                for ph, a in arrs.items()
             }
             print(json.dumps({
                 "metric": "poll_phase_profile",
                 "streams": args.streams,
+                "poll_k": k,
                 "phases": phases,
                 "slow_decile_share": shares,
             }))
