@@ -43,27 +43,67 @@ __all__ = [
 ]
 
 
-def preferred_spectrum_frontend(step_samples: int, win_samples: int) -> str:
-    """Measured dispatch rule for ``spectrum_method='matmul'`` (the f32
-    default). XLA's strided-conv lowering wins only when the stride aligns
-    well to the 128-lane registers AND the window is small; the shifted-GEMM
-    frames formulation wins at odd strides (the conv lowering is 3-6x off
-    the GEMM floor there) and at large windows even when aligned (the conv's
-    relative cost grows with kernel size: its im2col-equivalent moves
-    O(win/step) more bytes per output). Exact-grade mel-only shoot-out on
-    chip across the default geometry family (win = 2.5 * step,
-    BENCH_NOTES_r03.md; ratios are frames/conv ms):
+def preferred_spectrum_frontend(
+    step_samples: int, win_samples: int, precision: str = "highest"
+) -> str:
+    """Measured dispatch rule (v3) for ``spectrum_method='matmul'`` (the
+    f32 default). Three frontends compete; which one wins is set by the
+    overlap factor J = win/step, then by stride alignment and window size:
 
-    ===========  =====  ====  =====
-    rate         win    gcd   ratio
-    ===========  =====  ====  =====
-    8 kHz        200    16    1.00
-    16 kHz       400    32    1.06  (conv wins)
-    32 kHz       800    64    0.91
-    44.1 kHz     1103   1     0.78
-    48 kHz       1200   32    0.63
-    ===========  =====  ====  =====
+    - ``frames`` (J block-shifted dense GEMMs): wins when step >= win —
+      framing degenerates to a reshape, zero redundant bytes. Loses badly
+      at heavy overlap (J >= 4: it materializes/streams J redundant copies;
+      measured up to 2.5x slower at 400x40).
+    - ``conv`` (ONE strided conv, implicit GEMM): wins for small aligned
+      windows at moderate overlap, and at heavy overlap up to win ~640.
+      Its lowering falls apart at odd strides (3-6x off the GEMM floor)
+      and its relative cost grows with kernel size.
+    - ``windowed`` (materialize windows, ONE dense GEMM): the heavy-overlap
+      large-window specialist — the materialization charge is amortized by
+      the exact-W contraction; wins 12-33% over conv/frames at
+      win >= 800, J >= 4.
+
+    Exact-grade on-chip shoot-outs (ms/batch, B=512 x 3 s; round-3 family
+    table in BENCH_NOTES_r03.md, round-4 off-family grid in
+    BENCH_NOTES_r04.md):
+
+    =========  ====  =====  ======  ========  ==========
+    win x step J     conv   frames  windowed  winner
+    =========  ====  =====  ======  ========  ==========
+    200x240    0.83  2.47   2.37    2.38      frames
+    320x320    1     3.21   2.29    2.37      frames
+    640x640    1     5.62   4.88    4.85      frames (tie windowed)
+    400x160    2.5   3.9    4.1     4.7       conv   (r3/r4 family)
+    800x320    2.5   —      wins    —         frames (r3: conv +9%)
+    320x80     4     5.70   7.08    5.52      windowed~conv
+    640x160    4     14.74  16.88   17.11     conv
+    200x40     5     3.58   5.53    3.3-3.7   conv~windowed
+    400x80     5     7.69   9.81    7.35      windowed~conv
+    800x160    5     21.85  24.48   21.53     windowed~conv
+    1200x240   5     60.16  45.10   40.31     windowed
+    400x40     10    13.40  33.50   13.07     windowed~conv
+    =========  ====  =====  ======  ========  ==========
+
+    Rule terms, each pinned by >= 2 measured points:
+
+    1. step >= win -> frames (pins: 200x240, 320x320, 640x640).
+    2. J >= 4 -> never frames (pins: all six J>=4 rows); windowed when
+       win > 768 (pins: 1200x240 -12% vs frames, 800x160 best; counter-pin
+       640x160 where conv wins by 14%), conv below. Under reduced
+       ``precision='default'`` the windowed threshold drops to 512
+       (640x160 default: windowed 7.38 vs conv 8.37; 1200x240 default:
+       windowed 12.75 vs conv 21.4).
+    3. moderate overlap (the reference's win = 2.5*step family):
+       frames at odd strides (gcd(step,128) < 16; pins 44.1/22.05 kHz)
+       or win > 512 (pins 800x320 +9%, 1200x480 +37%), else conv
+       (pins 400x160, 200x80).
     """
+    if step_samples >= win_samples:
+        return "frames"
+    j = win_samples / step_samples
+    if j >= 4.0:
+        windowed_min = 512 if precision == "default" else 768
+        return "windowed" if win_samples > windowed_min else "conv"
     if math.gcd(step_samples, 128) < 16:
         return "frames"
     return "frames" if win_samples > 512 else "conv"

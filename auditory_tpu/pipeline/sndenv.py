@@ -505,7 +505,8 @@ class SndEnv:
                 method = self.spectrum_method
                 if method == "matmul":
                     method = preferred_spectrum_frontend(
-                        t.step_samples, t.win_samples
+                        t.step_samples, t.win_samples,
+                        precision=self.matmul_precision,
                     )
                 if method == "factored" and self.factored_plan is None:
                     # auto-dispatch route (a future measured rule may

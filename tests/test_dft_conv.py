@@ -177,11 +177,12 @@ def test_auto_frontend_44k_matches_conv_pipeline():
 
 
 def test_preferred_frontend_rate_grid():
-    """The measured dispatch rule over the common sample-rate grid: frames
-    at odd strides (gcd(step,128) < 16) OR large windows (> 512 samples,
-    crossover measured between win 400 and 800), conv for small aligned
-    windows. Derived from the default 25 ms window / 10 ms step
-    (sndenv.go:202); on-chip shoot-out table in BENCH_NOTES_r03.md."""
+    """The measured dispatch rule over the common sample-rate grid (the
+    reference's win = 2.5*step family, all J < 4): frames at odd strides
+    (gcd(step,128) < 16) OR large windows (> 512 samples, crossover
+    measured between win 400 and 800), conv for small aligned windows.
+    Derived from the default 25 ms window / 10 ms step (sndenv.go:202);
+    on-chip shoot-out tables in BENCH_NOTES_r03.md / _r04.md."""
     from auditory_tpu.config import SndEnvConfig
     from auditory_tpu.dsp.dft import preferred_spectrum_frontend
 
@@ -201,6 +202,38 @@ def test_preferred_frontend_rate_grid():
             preferred_spectrum_frontend(t.step_samples, t.win_samples)
             == method
         ), sr
+
+
+def test_preferred_frontend_off_family():
+    """Rule v3's off-family terms, each pinned by the round-4 on-chip grid
+    (BENCH_NOTES_r04.md): step >= win degenerates framing to a reshape
+    (frames); heavy overlap (J = win/step >= 4) never picks frames and
+    routes large windows to the materialized-windows single GEMM, with the
+    windowed threshold dropping 768 -> 512 under reduced precision
+    (640x160: conv wins exact but windowed wins bf16-operand)."""
+    from auditory_tpu.dsp.dft import preferred_spectrum_frontend as pref
+
+    # term 1: step >= win -> frames (pins: 200x240, 320x320, 640x640)
+    assert pref(240, 200) == "frames"
+    assert pref(320, 320) == "frames"
+    assert pref(640, 640) == "frames"
+    # term 2: J >= 4, win <= 768 -> conv (pins: 320x80, 640x160, 400x40)
+    assert pref(80, 320) == "conv"
+    assert pref(160, 640) == "conv"
+    assert pref(40, 400) == "conv"
+    # term 2: J >= 4, win > 768 -> windowed (pins: 1200x240 -12% vs
+    # frames / -33% vs conv; 800x160 windowed==conv best)
+    assert pref(240, 1200) == "windowed"
+    assert pref(160, 800) == "windowed"
+    # term 2 precision split: 640x160 exact -> conv (14.74 vs 17.1 ms)
+    # but default-precision -> windowed (7.38 vs 8.37 ms)
+    assert pref(160, 640, precision="default") == "windowed"
+    assert pref(240, 1200, precision="default") == "windowed"
+    assert pref(160, 640, precision="high") == "conv"
+    # term 3 unchanged: moderate overlap keeps the rate-grid behavior
+    # (200x100: gcd(100,128)=4 -> frames; measured a 1% tie there)
+    assert pref(100, 200) == "frames"
+    assert pref(160, 400) == "conv"
 
 
 @pytest.mark.parametrize(
