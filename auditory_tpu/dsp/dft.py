@@ -34,6 +34,7 @@ __all__ = [
     "power_spectrum_frames",
     "power_spectrum_windows",
     "power_spectrum_factored",
+    "segment_spans",
     "FactoredDFTPlan",
     "factored_dft_plan",
     "preferred_spectrum_frontend",
@@ -257,6 +258,43 @@ def power_spectrum_frames(
     re = acc[..., :k]
     im = acc[..., k:]
     return re * re + im * im  # [B, n_windows, K]
+
+
+def segment_spans(
+    signals: jnp.ndarray,
+    stride_samples: int,
+    span: int,
+    offset0: int,
+    n_segments: int,
+) -> jnp.ndarray:
+    """[B, S] -> [B, n_segments, span] segment slices; slice s covers
+    samples [offset0 + s*stride, offset0 + s*stride + span), zero-filled
+    outside the signal (the same left-fill/overrun semantics as every
+    uniform frontend -- sndenv.go:455-478 via :func:`_step_frames`).
+
+    Gather-free: k = ceil(span/stride) shifted reshapes of the padded
+    signal (the :func:`_materialize_windows` construction at segment
+    granularity). Built for the per-segment uniform frontend: when stride
+    is NOT a multiple of step (e.g. 22.05 kHz: stride 2205, step 221 from
+    Go's math.Round of 220.5, sndenv.go:205) no global shared-window grid
+    exists, but each segment's windows are still uniformly strided -- so
+    slice the segments (this function), flatten them into the batch axis,
+    and run the uniform conv/frames/windowed GEMM frontends per segment.
+
+    MEASURED NEGATIVE RESULT (round 4, BENCH_NOTES_r04.md): that
+    restructuring is 1.3-2.1x SLOWER than the per-window gather at every
+    probed config (22.05 kHz exact: gather 11.95 ms vs conv 15.4 /
+    frames 15.9 / windowed 17.0; 16 kHz prev_smooth: 9.1 vs 18.7).
+    Large take-along window gathers lower near bandwidth on this
+    hardware, the dense DFT GEMM dominates either way, and the
+    per-segment restructuring only adds span+window materialization
+    passes (plus contraction padding for frames' 221->256 blocks). The
+    pipeline's 'auto' therefore keeps off-grid builds on the gather;
+    SndEnv(segment_frontend='per_segment') opts in for reproduction.
+    """
+    k = max(1, -(-span // stride_samples))
+    frames = _step_frames(signals, stride_samples, offset0, n_segments, k)
+    return _materialize_windows(frames, n_segments, k, span)
 
 
 def power_spectrum_windows(

@@ -126,6 +126,7 @@ class SndEnv:
         channels: int = 1,
         feature_stats: bool = False,
         matmul_precision: str = "highest",
+        segment_frontend: str = "auto",
     ):
         """``feature_stats``: additionally return per-mel-band moment
         accumulators (sum, sumsq, count over all valid steps) for corpus
@@ -149,7 +150,22 @@ class SndEnv:
         ~2.5e-3 relative power error (O(1) log-domain deviation at quiet mel
         bins); CPU results are unaffected by this knob. 'high' = the 3-pass
         middle ground (~1.5e-5 rel). The MFCC delta operator always runs at
-        'highest' (its NaN-reachability formulation is precision-critical)."""
+        'highest' (its NaN-reachability formulation is precision-critical).
+
+        ``segment_frontend``: how to structure the frontend when no shared
+        global window grid exists (stride % step != 0, e.g. 22.05 kHz; or
+        prev_smooth > 0). 'auto' (default) = the per-window gather -- a
+        measured rule, not a fallback of last resort: the per-segment
+        GEMM restructuring ('per_segment': gather-free spans +
+        conv/frames/windowed per segment, dsp/dft.py::segment_spans) was
+        measured 1.3-2.1x SLOWER at every probed config (22.05 kHz exact:
+        gather 11.95 ms vs conv 15.4/frames 15.9/windowed 17.0; 16 kHz
+        prev_smooth exact: 9.1 vs 18.7; BENCH_NOTES_r04.md) -- on this
+        hardware large take-along window gathers lower near bandwidth, so
+        the dense DFT GEMM dominates either way and the per-segment
+        restructuring only adds materialization passes. 'per_segment'
+        opts in for reproduction/probing; 'gather' forces the gather even
+        on uniform grids (probe baseline)."""
         self.cfg = cfg
         self.sample_rate = sample_rate
         self.channels = int(channels)
@@ -175,6 +191,12 @@ class SndEnv:
                 f"got {matmul_precision!r}"
             )
         self.matmul_precision = matmul_precision
+        if segment_frontend not in ("auto", "per_segment", "gather"):
+            raise ValueError(
+                "segment_frontend must be 'auto', 'per_segment' or "
+                f"'gather', got {segment_frontend!r}"
+            )
+        self.segment_frontend = segment_frontend
         self.dtype = jnp.dtype(dtype)
         self.timing = cfg.params.derive(sample_rate)
         if spectrum_method is None:
@@ -413,6 +435,65 @@ class SndEnv:
             block_windows=self.pallas_block,
         )
 
+    def _uniform_power_fn(self, basis):
+        """Resolve the uniform-grid spectrum method once per build and
+        return ``fn(sig2d [N, S], offset0, n_windows) -> power
+        [N, n_windows, bins]``.
+
+        'matmul' (the default) auto-selects by the measured dispatch rule
+        (preferred_spectrum_frontend, v3: conv / frames / windowed by
+        overlap factor, stride alignment and window size); 'factored'
+        backfills its plan, with prime/refused geometries falling back to
+        frames rather than passing a None plan downstream.
+        """
+        from ..dsp.dft import (
+            factored_dft_plan,
+            power_spectrum_conv,
+            power_spectrum_factored,
+            power_spectrum_frames,
+            power_spectrum_windows,
+            preferred_spectrum_frontend,
+        )
+
+        t = self.timing
+        method = self.spectrum_method
+        if method == "matmul":
+            method = preferred_spectrum_frontend(
+                t.step_samples, t.win_samples,
+                precision=self.matmul_precision,
+            )
+        if method == "factored" and self.factored_plan is None:
+            # auto-dispatch route (a future measured rule may return
+            # 'factored')
+            self.factored_plan = factored_dft_plan(
+                t.win_samples, t.step_samples
+            )
+            if self.factored_plan is None:
+                method = "frames"
+        if method == "factored":
+            plan = self.factored_plan
+
+            def fn(sig2d, offset0, n_windows):
+                return power_spectrum_factored(
+                    sig2d, plan, t.step_samples, offset0, n_windows,
+                    precision=self.matmul_precision,
+                )
+
+            return fn
+
+        frontend = {
+            "frames": power_spectrum_frames,
+            "windowed": power_spectrum_windows,
+        }.get(method, power_spectrum_conv)
+
+        def fn(sig2d, offset0, n_windows):
+            return frontend(
+                sig2d, basis, t.step_samples, offset0, n_windows,
+                precision=self.matmul_precision,
+            )
+
+        return fn
+
     def _build(self, n_samples: int, add_ms: int):
         """Returns program(signals [B, S], lengths [B]) ->
         (SndEnvOutputs with [B, seg, ...] axes, seg_valid [B, seg])."""
@@ -458,6 +539,73 @@ class SndEnv:
         # unsupported at the configured block -- tests/tools check this)
         self._pallas_active = use_pallas
 
+        uniform_methods = ("matmul", "conv", "frames", "factored", "windowed")
+        uniform_power = (
+            self._uniform_power_fn(basis)
+            if (
+                self.spectrum_method in uniform_methods
+                and self.segment_frontend != "gather"
+            )
+            else None
+        )
+
+        # per-segment uniform grid (OPT-IN probe path, measured negative):
+        # when no shared global step grid exists (stride % step != 0, e.g.
+        # 22.05 kHz stride 2205 / step 221; or prev_smooth > 0), the
+        # windows within ONE segment are still uniformly strided -- verify
+        # the affine structure host-side (window_starts: s*stride + i*step
+        # + const). Restructuring the frontend as gather-free per-segment
+        # spans + the uniform GEMM frontends was measured 1.3-2.1x SLOWER
+        # than the per-window gather at every probed config (see
+        # __init__'s segment_frontend docstring + BENCH_NOTES_r04.md), so
+        # 'auto' routes off-grid builds to the gather; 'per_segment' opts
+        # in for reproduction.
+        per_seg_affine = False
+        if (
+            self.segment_frontend == "per_segment"
+            and map_idx_np is None
+            and seg_cnt_static > 0
+            and t.stride_samples > 0
+            and starts_np.ndim == 2
+        ):
+            model = (
+                int(starts_np[0, 0])
+                + t.stride_samples
+                * np.arange(seg_cnt_static, dtype=np.int64)[:, None]
+                + t.step_samples
+                * np.arange(t.segment_steps, dtype=np.int64)[None, :]
+            )
+            per_seg_affine = bool((model == starts_np).all())
+        # introspection for tests/tools: 'pallas' | 'flat' | 'per_segment'
+        # | 'gather' (which frontend structure this build runs)
+        self._frontend_structure = (
+            "pallas" if use_pallas
+            else "flat"
+            if map_idx_np is not None and uniform_power is not None
+            else "per_segment"
+            if per_seg_affine and uniform_power is not None
+            else "gather"
+        )
+
+        def post_power(power):
+            """log + mel from the (smoothed) power -- shared tail of both
+            uniform-grid frontend branches."""
+            from ..dsp.dft import log_power
+
+            need_full_logp = (
+                self.outputs is None or "log_power_segment" in self.outputs
+            )
+            if need_full_logp and cfg.dft.comp_log_pow:
+                logp = log_power(power, cfg.dft)
+            elif need_full_logp:
+                logp = jnp.zeros_like(power)
+            else:
+                logp = None  # energy uses the narrow slice below
+            mel_vals = apply_mel(
+                power, mel_w, cfg.mel.fbank, precision=self.matmul_precision
+            )
+            return logp, mel_vals
+
         def _apply_kwta(fn, raw, ext_gi=None):
             """kwta over each [seg] layer of [B, seg, ...]."""
             b, s = raw.shape[0], raw.shape[1]
@@ -482,76 +630,48 @@ class SndEnv:
                     from ..dsp.mel import mel_renorm
 
                     mel_vals = mel_renorm(mel_vals, cfg.mel.fbank)
-            elif map_idx is not None and self.spectrum_method in (
-                "matmul", "conv", "frames", "factored", "windowed"
-            ):
-                # uniform window grid, no materialized windows and no
-                # gather: 'frames' = J shifted dense GEMMs over
+            elif map_idx is not None and uniform_power is not None:
+                # uniform global window grid, no materialized windows and
+                # no gather: 'frames' = J shifted dense GEMMs over
                 # step-aligned frames (power_spectrum_frames); 'conv' =
-                # ONE strided conv (power_spectrum_conv); 'factored' =
-                # two-stage Cooley-Tukey GEMMs (power_spectrum_factored,
-                # composite windows only). 'matmul' (the default)
-                # auto-selects by stride alignment + window size
-                # (preferred_spectrum_frontend: measured dispatch rule).
-                from ..dsp.dft import (
-                    log_power,
-                    power_spectrum_conv,
-                    power_spectrum_factored,
-                    power_spectrum_frames,
-                    power_spectrum_windows,
-                    preferred_spectrum_frontend,
+                # ONE strided conv (power_spectrum_conv); 'windowed' =
+                # ONE dense GEMM over gather-free materialized windows;
+                # 'factored' = two-stage Cooley-Tukey GEMMs (composite
+                # windows only). 'matmul' (the default) auto-selects by
+                # the measured dispatch rule (_uniform_power_fn).
+                power = uniform_power(
+                    signals,
+                    int(flat_starts_np[0]),
+                    int(flat_starts_np.shape[0]),
                 )
+                logp, mel_vals = post_power(power)
+            elif per_seg_affine and uniform_power is not None:
+                # per-segment uniform grid (stride % step != 0 and/or
+                # prev_smooth > 0): slice gather-free [B, seg, span]
+                # segment spans (two reshapes, sndenv.go:455-478 zero-fill
+                # via _step_frames), flatten segments into the batch axis
+                # and run the SAME fast GEMM frontends with offset0=0;
+                # the per-segment prev-smooth recurrence (dft/dft.go:67-69)
+                # then applies over the step axis of the reshaped power.
+                from ..dsp.dft import segment_spans, smooth_power
 
-                method = self.spectrum_method
-                if method == "matmul":
-                    method = preferred_spectrum_frontend(
-                        t.step_samples, t.win_samples,
-                        precision=self.matmul_precision,
-                    )
-                if method == "factored" and self.factored_plan is None:
-                    # auto-dispatch route (a future measured rule may
-                    # return 'factored'): backfill the plan; prime/
-                    # refused geometries fall back to frames rather
-                    # than passing a None plan downstream
-                    from ..dsp.dft import factored_dft_plan
-
-                    self.factored_plan = factored_dft_plan(
-                        t.win_samples, t.step_samples
-                    )
-                    if self.factored_plan is None:
-                        method = "frames"
-                if method == "factored":
-                    power = power_spectrum_factored(
-                        signals,
-                        self.factored_plan,
-                        t.step_samples,
-                        int(flat_starts_np[0]),
-                        int(flat_starts_np.shape[0]),
-                        precision=self.matmul_precision,
-                    )
-                else:
-                    frontend = {
-                        "frames": power_spectrum_frames,
-                        "windowed": power_spectrum_windows,
-                    }.get(method, power_spectrum_conv)
-                    power = frontend(
-                        signals,
-                        basis,
-                        t.step_samples,
-                        int(flat_starts_np[0]),
-                        int(flat_starts_np.shape[0]),
-                        precision=self.matmul_precision,
-                    )
-                need_full_logp = (
-                    self.outputs is None or "log_power_segment" in self.outputs
+                span = (steps - 1) * t.step_samples + t.win_samples
+                spans = segment_spans(
+                    signals,
+                    t.stride_samples,
+                    span,
+                    int(starts_np[0, 0]),
+                    seg_cnt_static,
                 )
-                if need_full_logp and cfg.dft.comp_log_pow:
-                    logp = log_power(power, cfg.dft)
-                elif need_full_logp:
-                    logp = jnp.zeros_like(power)
-                else:
-                    logp = None  # energy uses the narrow slice below
-                mel_vals = apply_mel(power, mel_w, cfg.mel.fbank, precision=self.matmul_precision)
+                bsz = spans.shape[0]
+                power = uniform_power(
+                    spans.reshape(bsz * seg_cnt_static, span), 0, steps
+                )
+                power = power.reshape(
+                    bsz, seg_cnt_static, steps, power.shape[-1]
+                )
+                power = smooth_power(power, cfg.dft)
+                logp, mel_vals = post_power(power)
             else:
                 starts2d = (
                     flat_starts_np[None, :] if map_idx is not None else starts_np
