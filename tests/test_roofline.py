@@ -29,6 +29,15 @@ def test_floors_sane():
     # one at win=400 — the measured on-chip verdict (BENCH_NOTES_r04.md)
     assert fl["factored"]["flop_ms"] > fl["conv"]["flop_ms"]
     assert r["rtf_at_floor"]["conv"] > 0
+    # the dense floors pad BOTH GEMM dims to the 128-wide MXU tile
+    # (round-4 correction): 16 kHz conv = nW * pad(400) * pad(402) MACs
+    nw = 512 * 300
+    expect_ms = 1e3 * (nw * 512 * 512) / 16.5e12
+    assert abs(fl["conv"]["flop_ms"] - round(expect_ms, 3)) < 1e-9
+    # frames pads each step-block's contraction separately:
+    # 160->256, 160->256, 80->128 = 640 (not J*step=480 unpadded)
+    expect_fr = 1e3 * (nw * 640 * 512) / 16.5e12
+    assert abs(fl["frames"]["flop_ms"] - round(expect_fr, 3)) < 1e-9
 
 
 def test_prime_window_has_no_factored_row():

@@ -11,7 +11,12 @@ using the same constants as FactoredDFTPlan's cost model:
 
 - exact-f32 MXU rate: ~16.5e12 MAC/s (bf16 peak / 6-pass decomposition)
 - HBM: ~205e9 f32 words/s (~819 GB/s)
-- GEMM output columns padded to the 128-lane register width
+- GEMM output columns AND contraction dims padded to the 128-wide MXU
+  tile (the round-4 factored shoot-out's lesson: time tracks padded
+  MACs with BOTH dims padded -- a K=400 contraction runs as ceil(400/
+  128)*128 = 512; earlier lanes-only floors under-charged every dense
+  frontend and made the measured 16 kHz conv look 2.35x off when it is
+  ~1.6x off its real tile-padded floor)
 
 Usage:
     python tools/roofline.py                      # the standard rate grid
@@ -72,24 +77,27 @@ def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
 
     rows = {}
 
-    # conv: implicit GEMM, win MACs per (window, output column); XLA's
-    # strided-conv lowering re-reads each input sample ~win/step times in
-    # the worst case (im2col-equivalent); floor charges only the ideal
-    # single read (the measured gap above this floor is the lowering's).
-    macs = nw_total * win * _pad(2 * k)
+    # conv: implicit GEMM, one _pad(win)-deep contraction per (window,
+    # output column); XLA's strided-conv lowering re-reads each input
+    # sample ~win/step times in the worst case (im2col-equivalent); floor
+    # charges only the ideal single read (the measured gap above this
+    # floor is the lowering's).
+    macs = nw_total * _pad(win) * _pad(2 * k)
     rows["conv"] = (macs, base_words)
 
-    # frames: J shifted dense GEMMs over step-frames; pads the contraction
-    # to J*step samples and re-reads the frame tensor J times.
+    # frames: J shifted dense GEMMs over step-frames; each block's
+    # contraction (step, except the last partial block) pads to its own
+    # 128-multiple, and the frame tensor is re-read J times.
     j = max(1, -(-win // step))
-    macs = nw_total * j * step * _pad(2 * k)
+    k_padded = sum(_pad(min(step, win - jj * step)) for jj in range(j))
+    macs = nw_total * k_padded * _pad(2 * k)
     words = in_words * j + out_words
     rows["frames"] = (macs, words)
 
     # windowed: ONE dense GEMM over gather-free materialized windows;
-    # exact W contraction, but pays write+read of the [nW, W] windows
-    # tensor (2W words/window).
-    macs = nw_total * win * _pad(2 * k)
+    # _pad(W) contraction, plus write+read of the [nW, W] windows tensor
+    # (2W words/window).
+    macs = nw_total * _pad(win) * _pad(2 * k)
     words = base_words + 2 * win * nw_total
     rows["windowed"] = (macs, words)
 
