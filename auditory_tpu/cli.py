@@ -86,15 +86,17 @@ def _add_pipeline_args(p: argparse.ArgumentParser) -> None:
 def _add_frontend_arg(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--frontend",
-        choices=("auto", "conv", "frames", "windowed", "factored", "fft"),
+        choices=("auto", "conv", "frames", "windowed", "sliced", "factored",
+                 "fft"),
         default="auto",
         help="spectrum frontend: auto = measured dispatch rule "
         "(dsp/dft.py::preferred_spectrum_frontend), conv = one strided "
         "convolution, frames = shifted dense GEMMs, windowed = one dense "
-        "GEMM over gather-free materialized windows, factored = two-stage "
-        "Cooley-Tukey GEMMs (composite windows only), fft = jnp.fft "
-        "(CPU/f64 only). All compute the identical rectangular-window DFT "
-        "of dft/dft.go:42-59",
+        "GEMM over gather-free materialized windows, sliced = interleaved "
+        "pure-reshape GEMMs (contraction ceil(W/step)*step), factored = "
+        "two-stage Cooley-Tukey GEMMs (composite windows only), fft = "
+        "jnp.fft (CPU/f64 only). All compute the identical "
+        "rectangular-window DFT of dft/dft.go:42-59",
     )
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "power_spectrum_conv",
     "power_spectrum_frames",
     "power_spectrum_windows",
+    "power_spectrum_sliced",
     "power_spectrum_factored",
     "segment_spans",
     "FactoredDFTPlan",
@@ -336,6 +337,81 @@ def power_spectrum_windows(
         windows, kernel, precision=precision,
         preferred_element_type=signals.dtype,
     )
+    re = out[..., :k]
+    im = out[..., k:]
+    return re * re + im * im  # [B, n_windows, K]
+
+
+def power_spectrum_sliced(
+    signals: jnp.ndarray,
+    basis: Tuple[jnp.ndarray, jnp.ndarray],
+    step_samples: int,
+    offset0: int,
+    n_windows: int,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """DFT power of uniformly-strided windows as p = ceil(W/step)
+    interleaved *pure-reshape* GEMMs — no conv, no gather, no window
+    materialization.
+
+    Window i starts at grid position i·step, so the windows of slot
+    u ∈ [0, p) (those with i ≡ u mod p) are spaced exactly chunk = p·step
+    ≥ W apart: slot u's window matrix IS
+    ``sig_grid[:, u·step : u·step + M·chunk].reshape(B, M, chunk)`` — a
+    contiguous slice + reshape, i.e. a view, with zero data-movement cost
+    beyond the GEMM's own operand read. Each slot then runs ONE dense
+    [B, M, chunk] @ [chunk, 2K] GEMM against the basis zero-padded to
+    chunk rows, and the slot outputs interleave back to window order with
+    a stack + reshape.
+
+    Why this beats the other dense formulations at moderate overlap
+    (1 < J ≤ p): the MXU pads GEMM contraction dims to its 128-row tile
+    (the round-4 measured fact, BENCH_NOTES_r04.md), so the padded
+    contraction is what matters —
+
+    - conv: pad(W) per window, but the strided-conv *lowering* measured
+      1.6–1.8× off that floor at 16 kHz (dispatch-rule table).
+    - frames: J · pad(step) per window (e.g. 16 kHz: 3·256 = 768 vs W=400).
+    - windowed: pad(W), plus 2W words/window of materialization traffic.
+    - sliced: pad(p·step) per window — pad(480) = 512 at 16 kHz, the conv
+      floor exactly, lowered as a dense GEMM with full-M row tiling and
+      no materialized operand.
+
+    When step ≥ W (p = 1) this degenerates to frames' single-reshape case.
+    Same zero-fill semantics for negative/overrunning window positions
+    (sndenv.go:455-478, via :func:`_step_frames`); identical math to the
+    other frontends to f32 roundoff (the contraction zero-pad adds exact
+    zeros). Args/returns: identical to :func:`power_spectrum_conv`.
+    """
+    cos_m, sin_m = basis
+    w, k = cos_m.shape
+    step = step_samples
+    p = max(1, -(-w // step))  # slots; chunk = p*step >= w
+    chunk = p * step
+    m_rows = -(-n_windows // p)  # windows per slot (last slots padded)
+    # grid long enough for slot p-1's last row: (p-1)*step + m_rows*chunk
+    # = (m_rows*p + p - 1)*step  ->  ask _step_frames for m_rows*p windows
+    # with j_blocks = p extra frames
+    frames = _step_frames(signals, step, offset0, m_rows * p, p)
+    b = frames.shape[0]
+    sig_grid = frames.reshape(b, -1)  # [B, (m_rows*p + p - 1) * step]
+
+    kernel = jnp.concatenate([cos_m, sin_m], axis=1)  # [W, 2K]
+    if chunk > w:
+        kernel = jnp.pad(kernel, ((0, chunk - w), (0, 0)))
+    outs = []
+    for u in range(p):
+        rows = jax.lax.slice_in_dim(
+            sig_grid, u * step, u * step + m_rows * chunk, axis=1
+        ).reshape(b, m_rows, chunk)
+        outs.append(
+            jnp.matmul(
+                rows, kernel, precision=precision,
+                preferred_element_type=signals.dtype,
+            )
+        )
+    out = jnp.stack(outs, axis=2)  # [B, M, p, 2K]
+    out = out.reshape(b, m_rows * p, 2 * k)[:, :n_windows]
     re = out[..., :k]
     im = out[..., k:]
     return re * re + im * im  # [B, n_windows, K]

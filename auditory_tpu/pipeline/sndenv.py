@@ -244,7 +244,7 @@ class SndEnv:
         )
         if (
             spectrum_method in ("matmul", "conv", "frames", "factored",
-                                "windowed")
+                                "windowed", "sliced")
             or self.use_pallas
         ):
             cos_m, sin_m = design.dft_matrices(self.timing.win_samples)
@@ -391,7 +391,7 @@ class SndEnv:
             method=(
                 "matmul"
                 if self.spectrum_method in ("conv", "frames", "factored",
-                                            "windowed")
+                                            "windowed", "sliced")
                 else self.spectrum_method
             ),
             basis=basis,
@@ -451,6 +451,7 @@ class SndEnv:
             power_spectrum_conv,
             power_spectrum_factored,
             power_spectrum_frames,
+            power_spectrum_sliced,
             power_spectrum_windows,
             preferred_spectrum_frontend,
         )
@@ -484,6 +485,7 @@ class SndEnv:
         frontend = {
             "frames": power_spectrum_frames,
             "windowed": power_spectrum_windows,
+            "sliced": power_spectrum_sliced,
         }.get(method, power_spectrum_conv)
 
         def fn(sig2d, offset0, n_windows):
@@ -539,7 +541,9 @@ class SndEnv:
         # unsupported at the configured block -- tests/tools check this)
         self._pallas_active = use_pallas
 
-        uniform_methods = ("matmul", "conv", "frames", "factored", "windowed")
+        uniform_methods = (
+            "matmul", "conv", "frames", "factored", "windowed", "sliced",
+        )
         uniform_power = (
             self._uniform_power_fn(basis)
             if (

@@ -76,6 +76,16 @@ def test_conv_matches_gather_matmul(w, step, offset0):
         )
     ) * valid[None, :, None]
     np.testing.assert_allclose(got_w / scale, want / scale, atol=1e-12)
+    # the sliced interleaved pure-reshape GEMM formulation: same grid,
+    # same semantics (incl. the step >= W single-slot degenerate case)
+    from auditory_tpu.dsp.dft import power_spectrum_sliced
+
+    got_s = np.asarray(
+        power_spectrum_sliced(
+            jnp.asarray(signals), basis, step, offset0, n_windows
+        )
+    ) * valid[None, :, None]
+    np.testing.assert_allclose(got_s / scale, want / scale, atol=1e-12)
 
 
 def test_frames_win_smaller_than_step():

@@ -38,6 +38,10 @@ def main() -> None:
                     help="window length (off-family dispatch-rule probes)")
     ap.add_argument("--step-ms", type=float, default=10.0,
                     help="step (must divide the 100 ms segment)")
+    ap.add_argument("--only", default=None,
+                    help="comma list of variant-name substrings to keep "
+                    "(e.g. 'sliced,conv_highest'): bounds TPU compile time "
+                    "for focused probes")
     ap.add_argument("--factored-splits", default=None,
                     help="comma list of N1xN2 splits to probe as extra "
                     "exact-tier factored rows (e.g. 75x16,24x50): validates "
@@ -88,6 +92,12 @@ def main() -> None:
                                matmul_precision="high")),
         ("windowed_default", dict(spectrum_method="windowed",
                                   matmul_precision="default")),
+        ("sliced_highest", dict(spectrum_method="sliced",
+                                matmul_precision="highest")),
+        ("sliced_high", dict(spectrum_method="sliced",
+                             matmul_precision="high")),
+        ("sliced_default", dict(spectrum_method="sliced",
+                                matmul_precision="default")),
         ("factored_highest", dict(spectrum_method="factored",
                                   matmul_precision="highest")),
         ("factored_high", dict(spectrum_method="factored",
@@ -141,6 +151,10 @@ def main() -> None:
                      matmul_precision="highest",
                      _factored_plan_override=plan),
             ))
+
+    if args.only:
+        keys = [k.strip() for k in args.only.split(",") if k.strip()]
+        variants = [v for v in variants if any(k in v[0] for k in keys)]
 
     rng = np.random.default_rng(0)
     for name, kw in variants:

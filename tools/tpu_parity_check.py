@@ -57,10 +57,11 @@ def make_batch(b: int, n: int) -> np.ndarray:
 
 
 def run(device, cfg, sigs, lens, use_pallas=False, passes=6,
-        precision="highest"):
+        precision="highest", frontend=None):
     with jax.default_device(device):
         env = SndEnv(cfg, SR, dtype=jnp.float32, use_pallas=use_pallas,
-                     pallas_passes=passes, matmul_precision=precision)
+                     pallas_passes=passes, matmul_precision=precision,
+                     spectrum_method=frontend)
         fn = BatchedSndEnv(env).process_fn(sigs.shape[1], 0)
         out, _ = fn(jnp.asarray(sigs), jnp.asarray(lens))
         return (
@@ -88,6 +89,14 @@ def main() -> None:
         "documented grade: high ~2^-16 operand truncation, default = bf16 "
         "operands (diagnostic only -- must FAIL the exact bounds)",
     )
+    ap.add_argument(
+        "--frontend", default=None,
+        choices=("conv", "frames", "windowed", "sliced", "factored"),
+        help="pin the TPU pipeline's spectrum frontend (default: the "
+        "dispatch rule's pick); the CPU reference always runs the conv "
+        "path, so this cross-checks a frontend's TPU lowering against an "
+        "independent exact formulation",
+    )
     args = ap.parse_args()
     if args.pallas and args.precision != "highest":
         # the pallas pass count governs the frontend grade but the mel/gabor
@@ -111,7 +120,7 @@ def main() -> None:
     pow_t, mel_t, gab_t = run(
         tpu_devs[0], cfg, sigs, lens,
         use_pallas=bool(args.pallas), passes=args.pallas or 6,
-        precision=args.precision,
+        precision=args.precision, frontend=args.frontend,
     )
     pow_c, mel_c, gab_c = run(cpu, cfg, sigs, lens)
 
@@ -128,10 +137,11 @@ def main() -> None:
     # ~10x f32 roundoff on power sums, log-amplified at quiet mel bins);
     # passes=1 is the documented bf16-operand mode and must FAIL the exact
     # bounds -- probe it only to see the measured numbers.
+    fe = args.frontend or "conv"
     tag = (
         f"pallas-{args.pallas}p" if args.pallas
-        else "conv" if args.precision == "highest"
-        else f"conv-{args.precision}"
+        else fe if args.precision == "highest"
+        else f"{fe}-{args.precision}"
     )
     if args.pallas == 3 or (not args.pallas and args.precision == "high"):
         bounds = (3e-5, 3e-3, 3e-3)
