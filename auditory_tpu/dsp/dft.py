@@ -364,18 +364,18 @@ def power_spectrum_sliced(
     chunk rows, and the slot outputs interleave back to window order with
     a stack + reshape.
 
-    Why this beats the other dense formulations at moderate overlap
-    (1 < J ≤ p): the MXU pads GEMM contraction dims to its 128-row tile
-    (the round-4 measured fact, BENCH_NOTES_r04.md), so the padded
-    contraction is what matters —
-
-    - conv: pad(W) per window, but the strided-conv *lowering* measured
-      1.6–1.8× off that floor at 16 kHz (dispatch-rule table).
-    - frames: J · pad(step) per window (e.g. 16 kHz: 3·256 = 768 vs W=400).
-    - windowed: pad(W), plus 2W words/window of materialization traffic.
-    - sliced: pad(p·step) per window — pad(480) = 512 at 16 kHz, the conv
-      floor exactly, lowered as a dense GEMM with full-M row tiling and
-      no materialized operand.
+    MEASURED NEGATIVE RESULT (round 4, BENCH_NOTES_r04.md) — kept as an
+    opt-in probe, never auto-dispatched. The padded-contraction argument
+    that motivated it: the MXU pads GEMM contraction dims to its 128-row
+    tile, and sliced's pad(p·step) = pad(480) = 512 at 16 kHz equals the
+    conv floor's pad(W) exactly, with a pure-reshape operand (vs frames'
+    J·pad(step) = 768 and windowed's materialization traffic). On chip it
+    loses anyway: 16 kHz exact 7.25 ms vs conv 5.02 / frames 5.01 (same
+    invocation), default tier 4.78 vs conv 3.28 — the p separate
+    small-M GEMMs plus the stack/interleave epilogue cost more than the
+    conv lowering's 1.6–1.8× slack. Third confirmation of the round-4
+    lesson: formulations win here by removing data movement, not by
+    re-arranging GEMMs the MXU pads anyway.
 
     When step ≥ W (p = 1) this degenerates to frames' single-reshape case.
     Same zero-fill semantics for negative/overrunning window positions

@@ -18,12 +18,16 @@ def test_geometry_matches_pipeline_derivation():
 def test_floors_sane():
     r = frontend_floors(16000)
     fl = r["floors"]
-    assert set(fl) == {"conv", "frames", "windowed", "factored"}
+    assert set(fl) == {"conv", "frames", "windowed", "sliced", "factored"}
     for f in fl.values():
         assert f["floor_ms"] > 0
         assert f["floor_ms"] == max(f["flop_ms"], f["mem_ms"])
     # frames pads the contraction to J*step >= win: never below conv's floor
     assert fl["frames"]["floor_ms"] >= fl["conv"]["floor_ms"]
+    # sliced pads the contraction to pad(p*step): equals conv's pad(400)=512
+    # at 16 kHz (chunk 480 -> 512) — the floor identity that motivated the
+    # probe; measured 44% SLOWER than conv anyway (BENCH_NOTES_r04.md)
+    assert fl["sliced"]["flop_ms"] == fl["conv"]["flop_ms"]
     # round-4 corrected model (MXU contraction-dim padding + stage-1
     # intermediate traffic): the factored "floor" sits ABOVE the dense
     # one at win=400 — the measured on-chip verdict (BENCH_NOTES_r04.md)
