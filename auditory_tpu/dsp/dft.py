@@ -29,6 +29,7 @@ from ..config import DFTParams
 from .design import dft_matrices
 
 __all__ = [
+    "UNIFORM_SPECTRUM_METHODS",
     "power_spectrum",
     "power_spectrum_conv",
     "power_spectrum_frames",
@@ -43,6 +44,16 @@ __all__ = [
     "log_power",
     "dft_power_pipeline",
 ]
+
+
+# Every spectrum method that runs the DFT as MXU GEMMs on the uniform
+# window grid ('matmul' = auto-dispatch among them). ONE source of truth:
+# the pipeline's basis-construction gate, method-name mapping, and
+# uniform-path gate all consume this tuple — a new frontend added here is
+# live everywhere at once.
+UNIFORM_SPECTRUM_METHODS = (
+    "matmul", "conv", "frames", "factored", "windowed", "sliced",
+)
 
 
 def preferred_spectrum_frontend(

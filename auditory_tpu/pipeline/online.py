@@ -327,13 +327,21 @@ class MultiStreamOnline:
         self._span_poll = (
             self._pre + (self._k - 1) * t.stride_samples + self._post
         )
-        got_segs = max(self.env.seg_cnt(self._span_poll), 0)
-        if got_segs != self._k:
+        # The built program emits seg_cnt(span_poll) segments. With
+        # overlapping segments (stride < segment span, e.g. stride_ms=50
+        # at the default 100 ms segment) that exceeds K: the span that
+        # backs segment K-1 also covers the head of later segments. Those
+        # trailing segments are computed and DISCARDED (fn slices to the
+        # first K before packing, so XLA dead-code-eliminates most of the
+        # surplus) — the poll still advances exactly up-to-K segments,
+        # matching the pre-K x[:, 0] behavior at K=1.
+        self._prog_segs = max(self.env.seg_cnt(self._span_poll), 0)
+        if self._prog_segs < self._k:
             raise ValueError(
                 f"max_segments_per_poll={self._k}: a {self._span_poll}"
-                f"-sample poll span yields {got_segs} segments under this "
-                "geometry (stride vs segment length); use K=1 or adjust "
-                "stride_ms"
+                f"-sample poll span backs only {self._prog_segs} segments "
+                "under this geometry (stride vs segment length); lower K "
+                "or adjust stride_ms"
             )
         self._bounded = max_buffer_seconds is not None
         if self._bounded:
@@ -481,6 +489,7 @@ class MultiStreamOnline:
         inner = self.env._build(self._span_poll, self._add_ms)
         quantize = self._quantize
         k_segs = self._k
+        prog_segs = self._prog_segs
         # key -> (trailing shape incl. the K seg axis, col range, n_chan,
         # chan_ax rel. to the post-seg dims); filled at trace
         layout = {}
@@ -499,7 +508,10 @@ class MultiStreamOnline:
             for f, x in dataclasses.asdict(res[0]).items():
                 if x is None:
                     continue
-                assert x.shape[1] == k_segs, (f, x.shape, k_segs)
+                assert x.shape[1] == prog_segs, (f, x.shape, prog_segs)
+                if prog_segs > k_segs:
+                    # overlapping-segment geometry: emit the first K only
+                    x = x[:, :k_segs]
                 n_chan, chan_ax = 0, None
                 if quantize and jnp.issubdtype(x.dtype, jnp.floating):
                     chan_ax = _quant_chan_axis(f, tuple(x.shape[2:]), None)

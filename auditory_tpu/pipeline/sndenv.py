@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import SndEnvConfig, msec_to_samples
 from ..dsp import design
-from ..dsp.dft import dft_power_pipeline
+from ..dsp.dft import UNIFORM_SPECTRUM_METHODS, dft_power_pipeline
 from ..dsp.frame import extract_windows, pad_signal, window_starts
 from ..dsp.gabor import convolve, gabor_out_counts, to_layout_2d
 from ..dsp.mel import apply_mel, energy, mfcc_dct, mfcc_deltas
@@ -242,11 +242,7 @@ class SndEnv:
         self.analysis_win = design.analysis_window(
             cfg.dft.window_fn, self.timing.win_samples
         )
-        if (
-            spectrum_method in ("matmul", "conv", "frames", "factored",
-                                "windowed", "sliced")
-            or self.use_pallas
-        ):
+        if spectrum_method in UNIFORM_SPECTRUM_METHODS or self.use_pallas:
             cos_m, sin_m = design.dft_matrices(self.timing.win_samples)
             if self.analysis_win is not None:
                 # fold the analysis window into the DFT basis rows
@@ -390,8 +386,7 @@ class SndEnv:
             # basis matmul
             method=(
                 "matmul"
-                if self.spectrum_method in ("conv", "frames", "factored",
-                                            "windowed", "sliced")
+                if self.spectrum_method in UNIFORM_SPECTRUM_METHODS
                 else self.spectrum_method
             ),
             basis=basis,
@@ -541,9 +536,7 @@ class SndEnv:
         # unsupported at the configured block -- tests/tools check this)
         self._pallas_active = use_pallas
 
-        uniform_methods = (
-            "matmul", "conv", "frames", "factored", "windowed", "sliced",
-        )
+        uniform_methods = UNIFORM_SPECTRUM_METHODS
         uniform_power = (
             self._uniform_power_fn(basis)
             if (

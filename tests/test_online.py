@@ -676,3 +676,49 @@ def test_multistream_poll_k_validation():
     with pytest.raises(ValueError, match="max_segments_per_poll"):
         MultiStreamOnline(default_cfg_2d(), SR, n_streams=1,
                           max_segments_per_poll=0)
+
+
+def test_multistream_overlapping_segments_geometry():
+    """stride_ms=50 makes segments overlap: the single-segment poll span
+    already backs 2 grid segments (seg_cnt(span) = 2), which the K-poll
+    constructor briefly rejected even at the default K=1 (round-4 review
+    finding). It must construct, emit only the first K segments per poll
+    (trailing span segments are computed-then-discarded), and match the
+    single-stream OnlineSndEnv segment-for-segment at every K."""
+    from auditory_tpu.config import WindowParams
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    cfg = default_cfg_2d(params=WindowParams(stride_ms=50.0))
+    sig = tone(700.0, 0.83, SR)
+
+    ref_env = OnlineSndEnv(cfg, SR)
+    got_ref = {}
+    for k, out in ref_env.feed(sig):
+        got_ref[k] = out
+    for k, out in ref_env.flush():
+        got_ref[k] = out
+    assert len(got_ref) >= 3  # the overlap actually multiplies segments
+
+    def run(k):
+        ms = MultiStreamOnline(cfg, SR, n_streams=2,
+                               max_segments_per_poll=k)
+        assert ms._prog_segs > ms._k or k > 1
+        for s in range(2):
+            ms.feed(s, sig)
+            ms.close(s)
+        return {(i, j): out for i, j, out in ms.drain()}
+
+    k1 = run(1)
+    k2 = run(2)
+    assert set(k1) == set(k2)
+    assert sorted(j for (i, j) in k1 if i == 0) == sorted(got_ref)
+    for (i, j), out in k1.items():
+        np.testing.assert_allclose(
+            out["mel_fbank_segment"],
+            np.asarray(got_ref[j].mel_fbank_segment),
+            atol=1e-6, err_msg=f"stream {i} seg {j}",
+        )
+        np.testing.assert_allclose(
+            k2[(i, j)]["mel_fbank_segment"], out["mel_fbank_segment"],
+            atol=1e-5, err_msg=f"K=2 vs K=1: stream {i} seg {j}",
+        )

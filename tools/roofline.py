@@ -101,13 +101,12 @@ def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
     words = base_words + 2 * win * nw_total
     rows["windowed"] = (macs, words)
 
-    # sliced: p = ceil(W/step) interleaved pure-reshape GEMMs; the
-    # contraction is the full chunk = p*step (>= W, padded), each slot's
-    # GEMM reads ~the whole signal slab (p reads total), no materialized
-    # windows tensor.
-    p = max(1, -(-win // step))
-    macs = nw_total * _pad(p * step) * _pad(2 * k)
-    words = in_words * p + out_words
+    # sliced: p = ceil(W/step) interleaved pure-reshape GEMMs (p == the
+    # frames overlap factor j above); the contraction is the full chunk =
+    # p*step (>= W, padded), each slot's GEMM reads ~the whole signal slab
+    # (p reads total), no materialized windows tensor.
+    macs = nw_total * _pad(j * step) * _pad(2 * k)
+    words = in_words * j + out_words
     rows["sliced"] = (macs, words)
 
     # factored: the plan's own padded-MAC model (includes its traffic
