@@ -105,7 +105,13 @@ def test_fuzzed_config_parity(seed):
     sig = tone(float(rng.uniform(200, min(3500, sr / 2 - 500))), dur, sr)
     env = SndEnv(cfg, sr, dtype=jnp.float64)
     sig = env.pad(sig)
-    assert_segments_match(cfg, sig, sr)
+    # fuzz the spectrum frontend too: every uniform-GEMM formulation must
+    # hit the same oracle numbers at any sampled geometry (off-grid
+    # configs transparently route the method through the gather fallback)
+    method = str(rng.choice(
+        ["fft", "matmul", "conv", "frames", "windowed", "sliced"]
+    ))
+    assert_segments_match(cfg, sig, sr, spectrum_method=method)
 
 
 @pytest.mark.parametrize("seed", range(8))

@@ -21,17 +21,21 @@ TOL = 1e-5
 SR = 16000
 
 
-def run_both(cfg: SndEnvConfig, signal: np.ndarray, sr: int, add: int = 0):
+def run_both(cfg: SndEnvConfig, signal: np.ndarray, sr: int, add: int = 0,
+             spectrum_method: str = "fft", **env_kw):
     ref = SndEnvRef(cfg)
     ref.init(signal, sr)
 
-    env = SndEnv(cfg, sr, dtype=jnp.float64, spectrum_method="fft")
+    env = SndEnv(cfg, sr, dtype=jnp.float64, spectrum_method=spectrum_method,
+                 **env_kw)
     out = env.process(signal, add_ms=add)
     return ref, env, out
 
 
-def assert_segments_match(cfg, signal, sr, add=0, tol=TOL, check_gabor=True):
-    ref, env, out = run_both(cfg, signal, sr, add)
+def assert_segments_match(cfg, signal, sr, add=0, tol=TOL, check_gabor=True,
+                          spectrum_method="fft", **env_kw):
+    ref, env, out = run_both(cfg, signal, sr, add,
+                             spectrum_method=spectrum_method, **env_kw)
     n_seg = max(ref.seg_cnt, 0)
     assert out.power_segment.shape[0] == n_seg
 

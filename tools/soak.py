@@ -43,7 +43,17 @@ def main() -> int:
             dur = (t.segment_samples + 2 * t.stride_samples + 171) / sr
             sig = tone(float(rng.uniform(200, min(3500, sr / 2 - 500))), dur, sr)
             env = SndEnv(cfg, sr, dtype=jnp.float64)
-            assert_segments_match(cfg, env.pad(sig), sr)
+            # sample the spectrum frontend (and, off-grid, occasionally the
+            # per-segment restructuring) so the soak exercises every
+            # uniform-GEMM formulation against the oracle, not just fft
+            method = str(rng.choice(
+                ["fft", "matmul", "conv", "frames", "windowed", "sliced"]
+            ))
+            env_kw = {}
+            if rng.random() < 0.25 and method != "fft":
+                env_kw["segment_frontend"] = "per_segment"
+            assert_segments_match(cfg, env.pad(sig), sr,
+                                  spectrum_method=method, **env_kw)
             ok += 1
         except Exception as e:  # noqa: BLE001
             fail += 1
