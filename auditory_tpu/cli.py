@@ -83,6 +83,30 @@ def _add_pipeline_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--f64", action="store_true", help="float64 (CPU) parity mode")
 
 
+def _fft_frontend_refused(args) -> bool:
+    """``--frontend fft`` without ``--f64`` on a configured non-CPU
+    backend: jnp.fft is CPU-only here (no complex128 on TPU), so refuse
+    cleanly up front instead of dying later in an opaque XLA lowering
+    error. jax.config is readable without initializing the backend; the
+    --f64 path already routes to CPU. Unset (None) platforms means jax
+    will pick its default backend — on a plain CPU host that IS cpu, so
+    only refuse when a non-cpu platform list is explicitly configured
+    (the axon sitecustomize force-sets "axon,cpu")."""
+    if getattr(args, "frontend", "auto") != "fft" or args.f64:
+        return False
+    import jax
+
+    platforms = str(jax.config.jax_platforms or "")
+    if platforms and not platforms.startswith("cpu"):
+        print(
+            "error: --frontend fft requires the CPU backend (TPU has "
+            "no complex128); pass --f64, or set AUDITORY_TPU_CPU=1",
+            file=sys.stderr,
+        )
+        return True
+    return False
+
+
 def _add_frontend_arg(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--frontend",
@@ -126,21 +150,8 @@ def cmd_process(args) -> int:
         channels = w.channels
     cfg = _build_cfg(args)
     method = None if args.frontend == "auto" else args.frontend
-    if method == "fft" and not args.f64:
-        # jnp.fft is CPU-only on this backend (no c128 on TPU): refuse
-        # cleanly up front instead of dying later in an opaque XLA
-        # lowering error. jax.config is readable without initializing
-        # the backend; the --f64 path already routes to CPU.
-        import jax
-
-        platforms = str(jax.config.jax_platforms or "")
-        if not platforms.startswith("cpu"):
-            print(
-                "error: --frontend fft requires the CPU backend (TPU has "
-                "no complex128); pass --f64, or set AUDITORY_TPU_CPU=1",
-                file=sys.stderr,
-            )
-            return 2
+    if _fft_frontend_refused(args):
+        return 2
     try:
         env = SndEnv(
             cfg, w.sample_rate,
@@ -201,6 +212,8 @@ def cmd_corpus(args) -> int:
         print("error: --f16-features and --int8-features are exclusive",
               file=sys.stderr)
         return 2
+    if _fft_frontend_refused(args):
+        return 2
     mesh = make_mesh() if args.mesh else None
     runner = CorpusRunner(
         cfg,
@@ -215,6 +228,9 @@ def cmd_corpus(args) -> int:
         ),
         pipeline_depth=args.pipeline_depth,
         matmul_precision=args.precision,
+        spectrum_method=(
+            None if args.frontend == "auto" else args.frontend
+        ),
     )
     shard_index, num_shards = 0, 1
     if args.shard:
@@ -611,6 +627,7 @@ def main(argv=None) -> int:
     )
     p.add_argument("--pipeline-depth", type=int, default=3,
                    help="max dispatched-but-unwritten batches in flight")
+    _add_frontend_arg(p)
     p.add_argument(
         "--shard", default="",
         help="I/N multi-host scale-out: this host processes the "

@@ -647,6 +647,22 @@ class CorpusStats:
 _SENTINEL = object()
 
 
+def _rate_mismatch_msg(got: int, want: int) -> str:
+    """Shared by the Python and native decode paths (they must not drift)."""
+    return f"sample rate {got} != pipeline rate {want}"
+
+
+def _multichannel_msg(channels: int) -> str:
+    """The reference's SegCnt divides by Channels() (sndenv.go:263-265);
+    batching mixed channel counts would silently give multi-channel files
+    ~channels x the segment count -- refuse loudly instead (failure record,
+    not crash). Shared by the Python and native decode paths."""
+    return (
+        f"{channels}-channel WAV: corpus batching is single-channel; "
+        "de-interleave first (e.g. cli process --channel N)"
+    )
+
+
 class CorpusRunner:
     """Resumable overlapped batched extraction over a corpus of WAV files.
 
@@ -710,12 +726,13 @@ class CorpusRunner:
                 "dedup_mel requires mel_fbank_segment in save_keys, a "
                 "stride divisible by the step, and prev_smooth == 0"
             )
-        env_keys = tuple(
+        env_keys = tuple(dict.fromkeys(
             "mel_fbank_global"
             if (k == "mel_fbank_segment" and self._dedup_mel)
             else k
             for k in save_keys
-        )
+        ))  # dict.fromkeys: requesting mel_fbank_segment AND
+        # mel_fbank_global under dedup must not pack the grid twice
         # only materialize what gets saved (XLA DCEs the rest)
         self.env = SndEnv(
             cfg, sample_rate, dtype=dtype,
@@ -757,20 +774,11 @@ class CorpusRunner:
         try:
             w = load_wav(path)
             if w.sample_rate != self.sample_rate:
-                return path, None, None, (
-                    f"sample rate {w.sample_rate} != pipeline rate "
-                    f"{self.sample_rate}"
+                return path, None, None, _rate_mismatch_msg(
+                    w.sample_rate, self.sample_rate
                 )
             if w.channels > 1:
-                # the reference's SegCnt divides by Channels()
-                # (sndenv.go:263-265); batching mixed channel counts would
-                # silently give multi-channel files ~channels x the segment
-                # count -- refuse loudly instead (failure record, not crash)
-                return path, None, None, (
-                    f"{w.channels}-channel WAV: corpus batching is "
-                    "single-channel; de-interleave first (e.g. cli process "
-                    "--channel N)"
-                )
+                return path, None, None, _multichannel_msg(w.channels)
             if self.transfer == "auto" and w.source_bit_depth <= 16:
                 sig = w.data[: w.num_frames].astype(np.int16)
                 div = w._norm_divisor()
@@ -806,15 +814,7 @@ class CorpusRunner:
                 try:
                     sr, ch, bd, nf = native.wav_info(p)
                     if ch > 1:
-                        # same rejection as the Python _decode path: the
-                        # reference's SegCnt divides by Channels()
-                        # (sndenv.go:263-265), which single-channel
-                        # batching cannot honor
-                        metas[p] = ValueError(
-                            f"{ch}-channel WAV: corpus batching is "
-                            "single-channel; de-interleave first (e.g. "
-                            "cli process --channel N)"
-                        )
+                        metas[p] = ValueError(_multichannel_msg(ch))
                         continue
                     metas[p] = (sr, nf)
                     max_frames = max(max_frames, nf)
@@ -847,9 +847,8 @@ class CorpusRunner:
                 elif st != 0:
                     results[p] = (p, None, None, native.STATUS_NAMES.get(st, str(st)))
                 elif srs[i] != self.sample_rate:
-                    results[p] = (p, None, None, (
-                        f"sample rate {srs[i]} != pipeline rate "
-                        f"{self.sample_rate}"
+                    results[p] = (p, None, None, _rate_mismatch_msg(
+                        srs[i], self.sample_rate
                     ))
                 else:
                     sig = out[i, : lengths[i]]
@@ -865,9 +864,8 @@ class CorpusRunner:
                 if errors[i] is not None:
                     results[p] = (p, None, None, errors[i])
                 elif srs[i] != self.sample_rate:
-                    results[p] = (p, None, None, (
-                        f"sample rate {srs[i]} != pipeline rate "
-                        f"{self.sample_rate}"
+                    results[p] = (p, None, None, _rate_mismatch_msg(
+                        srs[i], self.sample_rate
                     ))
                 else:
                     sig = out[i, : lengths[i]]
@@ -893,16 +891,33 @@ class CorpusRunner:
             return {}
         dirs = {os.path.dirname(os.path.abspath(p)) for p in paths}
         common = os.path.commonpath(list(dirs)) if len(dirs) > 1 else dirs.pop()
+        naturals = [
+            os.path.splitext(
+                os.path.relpath(os.path.abspath(p), common)
+            )[0].replace(os.sep, "_")
+            for p in paths
+        ]
+        # flattening separators can itself collide (DR1/A/S1 vs DR1/A_S1);
+        # disambiguate deterministically. The '-n' suffix must ALSO avoid
+        # the natural stem set (DR1/A_S1-1.WAV exists alongside DR1/A/S1
+        # and DR1/A_S1: suffixing the latter to 'A_S1-1' would clobber it)
+        natural_set = set(naturals)
         out = {}
-        used = {}
-        for p in paths:
-            rel = os.path.relpath(os.path.abspath(p), common)
-            stem = os.path.splitext(rel)[0].replace(os.sep, "_")
-            # flattening separators can itself collide (DR1/A/S1 vs DR1/A_S1);
-            # disambiguate deterministically
-            n = used.get(stem, 0)
-            used[stem] = n + 1
-            out[p] = stem if n == 0 else f"{stem}-{n}"
+        used = set()
+        counts: Dict[str, int] = {}
+        for p, stem in zip(paths, naturals):
+            if stem not in used:
+                used.add(stem)
+                out[p] = stem
+                continue
+            n = counts.get(stem, 0) + 1
+            cand = f"{stem}-{n}"
+            while cand in used or cand in natural_set:
+                n += 1
+                cand = f"{stem}-{n}"
+            counts[stem] = n
+            used.add(cand)
+            out[p] = cand
         return out
 
     # ------------------------------------------------------------------- run
@@ -1129,6 +1144,24 @@ class CorpusRunner:
                 # covers only this run's files, NOT the whole corpus
             with open(self._stats_path, "w") as f:
                 json.dump(payload, f)
+        elif (
+            self.env.feature_stats
+            and self._stats_partial
+            and os.path.exists(self._stats_path)
+        ):
+            # the resume seed REFUSED the prior stats (coverage mismatch)
+            # and this run produced no new moments (empty todo): without a
+            # rewrite the stale, unmarked file would survive and be
+            # mistaken for corpus-wide statistics -- stamp it partial in
+            # place so consumers refuse it too
+            try:
+                with open(self._stats_path) as f:
+                    prior = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                prior = {}
+            prior["partial"] = True
+            with open(self._stats_path, "w") as f:
+                json.dump(prior, f)
         stats.wall_seconds = time.perf_counter() - t0
         return stats
 
@@ -1164,6 +1197,11 @@ class CorpusRunner:
                 self.env.cfg, self.sample_rate, dtype=self.env.dtype,
                 outputs=self.save_keys, feature_stats=False,
                 matmul_precision=self.env.matmul_precision,
+                # mirror the runner's frontend selection: a frontend A/B
+                # probe through the device-resident path must measure the
+                # frontend the runner was constructed with
+                spectrum_method=self.env.spectrum_method,
+                segment_frontend=self.env.segment_frontend,
             )
             self._batched_dev = BatchedSndEnv(
                 env, mesh=self.batched.mesh,
@@ -1417,35 +1455,55 @@ class CorpusRunner:
                     self._fold_moments_to_host()
         # ONE device->host copy for the whole batch
         host = packed.unpack()
-        if grid is not None and "mel_fbank_global" in host:
-            # expand the deduped global-grid mel to the reference's
-            # per-segment tensor and re-apply the step/segment masks the
-            # device path would have applied (SndEnv.global_grid contract)
-            map_idx, win_ends = grid
-            mg = host.pop("mel_fbank_global")  # [B, n_flat_t, n_mel]
-            seg_t = min(
-                (mg.shape[1] - packed.steps) // packed.sps + 1
-                if mg.shape[1] >= packed.steps else 0,
-                map_idx.shape[0],
-            )
-            mi = map_idx[:seg_t]
-            # [B, seg_t, steps, n_mel] -> [B, seg_t, n_mel, steps]
-            exp = mg[:, mi].transpose(0, 1, 3, 2)
-            lens = np.asarray([len(sig) for _, sig, _ in items])
-            valid = (
-                win_ends[None, :seg_t, :] <= lens[:, None, None]
-            )  # [B, seg_t, steps]
-            # where (not multiply): the mel NaN-triangle quirk means masked
-            # values can be NaN, and NaN*0 != 0
-            host["mel_fbank_segment"] = np.where(
-                valid[:, :, None, :], exp, exp.dtype.type(0)
-            )
 
         def write_batch():
+            # the dedup-mel expansion runs HERE, on the write pool: on the
+            # download thread it would serialize tens of MB of host compute
+            # into the D2H stream this stage exists to keep busy (the next
+            # batch's copy couldn't start until the expansion finished)
+            if grid is not None and "mel_fbank_global" in host:
+                # expand the deduped global-grid mel to the reference's
+                # per-segment tensor and re-apply the step/segment masks the
+                # device path would have applied (SndEnv.global_grid
+                # contract)
+                map_idx, win_ends = grid
+                if "mel_fbank_global" in self.save_keys:
+                    mg = host["mel_fbank_global"]  # user wants the raw grid
+                else:
+                    mg = host.pop("mel_fbank_global")  # [B, n_flat_t, n_mel]
+                seg_t = min(
+                    (mg.shape[1] - packed.steps) // packed.sps + 1
+                    if mg.shape[1] >= packed.steps else 0,
+                    map_idx.shape[0],
+                )
+                mi = map_idx[:seg_t]
+                # [B, seg_t, steps, n_mel] -> [B, seg_t, n_mel, steps]
+                exp = mg[:, mi].transpose(0, 1, 3, 2)
+                lens = np.asarray([len(sig) for _, sig, _ in items])
+                valid = (
+                    win_ends[None, :seg_t, :] <= lens[:, None, None]
+                )  # [B, seg_t, steps]
+                # where (not multiply): the mel NaN-triangle quirk means
+                # masked values can be NaN, and NaN*0 != 0
+                host["mel_fbank_segment"] = np.where(
+                    valid[:, :, None, :], exp, exp.dtype.type(0)
+                )
+
             def write_one(i_path_sig):
                 i, path, n_audio = i_path_sig
                 n_seg = n_segs[i]
-                rec = {k: v[i][:n_seg] for k, v in host.items()}
+                rec = {}
+                for k, v in host.items():
+                    if k == "mel_fbank_global":
+                        # global-grid rows are windows, not segments: trim
+                        # to this file's own global window count
+                        rows = (
+                            (n_seg - 1) * packed.sps + packed.steps
+                            if n_seg > 0 else 0
+                        )
+                    else:
+                        rows = n_seg
+                    rec[k] = v[i][:rows]
                 stem = self._stems.get(
                     path, os.path.splitext(os.path.basename(path))[0]
                 )

@@ -209,6 +209,14 @@ def test_out_names_flatten_collision(tmp_path):
     stems = CorpusRunner._out_names([p1, p2])
     assert len(set(stems.values())) == 2, stems
 
+    # the '-n' disambiguation suffix must itself avoid genuine stems:
+    # with DR1/A_S1-1.wav also present, suffixing the collision to
+    # 'A_S1-1' would clobber it (round-4 review finding)
+    p3 = str(tmp_path / "DR1" / "A_S1-1.wav")
+    stems = CorpusRunner._out_names([p1, p2, p3])
+    assert len(set(stems.values())) == 3, stems
+    assert stems[p3] == "A_S1-1"  # the natural owner keeps its stem
+
 
 def test_feature_stats(tmp_path):
     """Corpus feature-normalization statistics: written, correct, and equal

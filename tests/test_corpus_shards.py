@@ -11,14 +11,22 @@ from tests.conftest import default_cfg_2d, tone
 SR = 16000
 
 
-def _make_wavs(d, n=5):
+def _make_wavs(d, n=5, dither=0.0):
     from auditory_tpu.io.wav import float_to_wave, write_wav
 
     d.mkdir(exist_ok=True)
     paths = []
     for i in range(n):
         p = str(d / f"u{i}.wav")
-        write_wav(p, float_to_wave(tone(400.0 + 180 * i, 0.4, SR), SR))
+        sig = tone(400.0 + 180 * i, 0.4, SR)
+        if dither:
+            # pure tones read the FFT noise floor in quiet mel bands,
+            # which differs between frontends/transfer paths (CLAUDE.md
+            # parity rule) -- dither when comparing across formulations
+            sig = sig + dither * np.random.default_rng(i).standard_normal(
+                len(sig)
+            )
+        write_wav(p, float_to_wave(sig, SR))
         paths.append(p)
     return paths
 
@@ -217,3 +225,103 @@ def test_resume_rejects_stale_stats_coverage(tmp_path):
     final = json.loads(sp.read_text())
     assert final.get("partial") is True  # refused the stale seed
     assert final["files_covered"] == 1   # this run's moments only
+
+
+def test_refused_stats_no_new_work_marked_partial(tmp_path):
+    """Round-4 review finding: when the resume seed REFUSES the prior stats
+    (coverage mismatch) and the todo set is EMPTY (no new moments), the
+    stale file used to survive unmarked with rc 0. It must be stamped
+    partial in place so consumers refuse it."""
+    cfg = default_cfg_2d()
+    paths = _make_wavs(tmp_path / "wavs", n=3)
+    out = tmp_path / "out"
+
+    CorpusRunner(cfg, SR, batch_size=2).run(paths[:2], str(out))
+    sp = out / "feature_stats.json"
+    v1 = sp.read_text()
+    CorpusRunner(cfg, SR, batch_size=2).run(paths, str(out), resume=True)
+    # crash simulation: manifest covers 3 ok files, stats rolled back to 2
+    sp.write_text(v1)
+
+    # resume over the SAME 3 files: nothing to do, but the stale stats
+    # must not survive unmarked
+    stats = CorpusRunner(cfg, SR, batch_size=2).run(
+        paths, str(out), resume=True
+    )
+    assert stats.files_done == 0
+    marked = json.loads(sp.read_text())
+    assert marked.get("partial") is True
+    # the raw moments are untouched (still usable for manual repair)
+    assert marked["files_covered"] == json.loads(v1)["files_covered"]
+
+
+def test_save_global_grid_key(tmp_path):
+    """mel_fbank_global in save_keys: rows are GLOBAL WINDOWS, not
+    segments -- the per-file trim must keep the full deduped grid (round-4
+    review finding: it was sliced to n_seg rows)."""
+    import jax.numpy as jnp
+
+    from auditory_tpu.pipeline.sndenv import SndEnv
+
+    cfg = default_cfg_2d()
+    paths = _make_wavs(tmp_path / "wavs", n=3, dither=1e-3)
+    out = tmp_path / "out"
+    # f64 both sides: the batched program pads to a different signal length
+    # than the single run, and f32 conv rounding differs across shapes --
+    # log-mel amplifies that at near-cancellation bins (same reason
+    # test_batch_matches_single compares in f64)
+    CorpusRunner(
+        cfg, SR, batch_size=2, save_keys=("mel_fbank_global",),
+        feature_stats=False, transfer="float32", dtype=jnp.float64,
+    ).run(paths, str(out))
+
+    env = SndEnv(cfg, SR, dtype=jnp.float64,
+                 outputs=("mel_fbank_global",))
+    from auditory_tpu.io.wav import load_wav
+
+    for p in paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        got = np.load(out / f"{stem}.npz")["mel_fbank_global"]
+        w = load_wav(p)
+        # the runner's transfer='float32' decodes f32 samples; feed the
+        # single run the identical quantized input
+        sig = w.sound_to_tensor(dtype=np.float32).astype(np.float64)
+        single = np.asarray(
+            env.process(env.pad(sig)).mel_fbank_global
+        )
+        assert got.shape == single.shape, (got.shape, single.shape)
+        np.testing.assert_allclose(got, single, atol=1e-9, rtol=1e-9)
+
+
+def test_cli_corpus_frontend_flag(tmp_path):
+    """cli corpus --frontend plumbs spectrum_method through CorpusRunner
+    (round-4 review finding: the flag existed only on 'process')."""
+    from auditory_tpu.cli import main
+
+    paths = _make_wavs(tmp_path / "wavs", n=2, dither=1e-3)
+    out_a, out_b = tmp_path / "auto", tmp_path / "frames"
+    # --f64: cross-FORMULATION comparisons (fft vs frames) at f32 diverge
+    # in near-cancellation log-mel bins; at f64 they agree to ~1e-10
+    for sel, o in (("auto", out_a), ("frames", out_b)):
+        rc = main(["corpus", "--glob", str(tmp_path / "wavs" / "*.wav"),
+                   "--out", str(o), "--batch-size", "2", "--f64",
+                   "--frontend", sel])
+        assert rc == 0
+    for p in paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        a = np.load(out_a / f"{stem}.npz")["mel_fbank_segment"]
+        b = np.load(out_b / f"{stem}.npz")["mel_fbank_segment"]
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+
+def test_iter_device_features_mirrors_frontend(tmp_path):
+    """The lazy device-resident env must run the frontend the runner was
+    constructed with (round-4 review finding: it silently rebuilt with
+    the default dispatch)."""
+    paths = _make_wavs(tmp_path / "wavs", n=2)
+    r = CorpusRunner(default_cfg_2d(), SR, batch_size=2,
+                     save_keys=("mel_fbank_segment",),
+                     spectrum_method="windowed", feature_stats=False)
+    batches = list(r.iter_device_features(paths))
+    assert batches, "no batches yielded"
+    assert r._batched_dev.env.spectrum_method == "windowed"
