@@ -39,13 +39,15 @@ grade (~2^-16), ``passes=6`` full f32 emulation -- verified on chip at the
 same exact-f32 parity bounds as the conv path (power 7.0e-7 rel-to-peak,
 mel 1.05e-4 abs; tools/tpu_parity_check.py --pallas 6).
 
-PERFORMANCE: the default conv frontend remains faster at every matched
-grade (B=512 x 3 s mel-only: conv HIGHEST 4.78 ms vs passes=6 10.2 ms at
-block=64; conv default 3.25 ms vs passes=1 4.16 ms) -- the residue-grouped
-matmuls see only M = block/period rows (16 at the default geometry, 12.5%
-of the MXU), where the conv's implicit GEMM tiles full rows. See
-BENCH_NOTES_r03.md for the block-size sweep; the kernel stays the opt-in
-fallback position.
+PERFORMANCE: the default conv frontend remains faster than GROUPED mode at
+every matched grade (B=512 x 3 s mel-only: conv HIGHEST 4.78 ms vs passes=6
+10.2 ms at block=64; conv default 3.25 ms vs passes=1 4.16 ms) -- the
+residue-grouped matmuls see only M = block/period rows (16 at the default
+geometry, 12.5% of the MXU), where the conv's implicit GEMM tiles full
+rows. MASKED mode (round 4) fixes exactly that: one full-M matmul per
+block against a single tiled basis (see PALLAS_MODES); its measured
+standing vs the conv is recorded in BENCH_NOTES_r04.md. The kernel remains
+opt-in (use_pallas=True).
 """
 
 from __future__ import annotations
@@ -61,6 +63,24 @@ from jax.experimental import pallas as pl
 from ..config import DFTParams, FilterBank
 
 __all__ = ["fused_frame_power_mel", "pad_basis", "supported_geometry"]
+
+# Kernel formulations (fused_frame_power_mel(mode=...)):
+#   "grouped": residue-grouped matmuls -- one MXU matmul per start-residue
+#       variant (M = block/period rows each) against residue-shifted basis
+#       copies. Round-2/3 design; loses to the conv frontend because the
+#       per-variant matmuls row-starve the MXU and the p basis copies bloat
+#       VMEM (44.1 kHz p=128 infeasible compiled).
+#   "masked": mask-and-tile -- ALL block rows load at their 128-aligned
+#       offsets, a static per-slot mask zeroes (or analysis-windows) each
+#       row outside its true window, and ONE full-M matmul runs against a
+#       single row-tiled basis (row m = basis[m mod win]; exact, since
+#       cos/-sin are win-periodic in the row index). The alignment shift
+#       becomes a per-bin phase e^{-2pi*i*k*rem/win} on the DFT -- an
+#       isometry that CANCELS in the power spectrum, and power is all this
+#       kernel emits -- so no rotation is materialized. Fixes both grouped
+#       losses (full-M matmul, one basis copy) and lifts the residue-period
+#       VMEM blowup: odd strides (44.1 kHz) become Pallas-eligible.
+PALLAS_MODES = ("grouped", "masked")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -88,18 +108,50 @@ _VMEM_VARIANTS_BUDGET = 64 * 1024 * 1024  # half of v5e VMEM for cos_v+sin_v
 # and the double-buffered output blocks
 
 
+def masked_vmem_bytes(
+    step_samples: int, win: int, passes: int = 6, block: int = 64
+) -> int:
+    """VMEM footprint of masked-mode constants: the single row-tiled basis
+    pair ([limbs, chunk, k_pad] bf16 when passes > 1, f32 at passes=1) plus
+    the f32 [block, chunk] window mask. No residue-variant axis -- this is
+    what makes odd strides (p=128) feasible where grouped mode wants 600 MB
+    (see :func:`variants_vmem_bytes`)."""
+    p = 128 // math.gcd(step_samples, 128)
+    blk = _round_up(max(p, block), p)
+    chunk = _round_up(win + 127, 128)  # worst-case residue slack
+    k_pad = _round_up(win // 2 + 1, 128)
+    bytes_per = 4 if passes == 1 else 2 * _n_limbs(passes)
+    return 2 * chunk * k_pad * bytes_per + blk * chunk * 4
+
+
 def supported_geometry(
     step_samples: int, max_block: int = 64, win: int = 0,
-    interpret: bool = False, passes: int = 6,
+    interpret: bool = False, passes: int = 6, mode: str = "grouped",
 ) -> bool:
-    """True when the residue period p = 128/gcd(step,128) fits in one block
-    AND the residue-variant basis tensor fits the VMEM budget (the compiled
-    kernel's real constraint -- see :func:`variants_vmem_bytes`; the
-    footprint scales with the pass count's limb count, so passes=1/3
-    geometries can be feasible where passes=6 is not). Interpret mode (CPU
-    tests) has no VMEM, so the budget check is skipped there; ``win=0``
-    (unknown) also skips it."""
+    """True when the geometry compiles under the given kernel mode.
+
+    ``grouped``: the residue period p = 128/gcd(step,128) must fit in one
+    block AND the residue-variant basis tensor must fit the VMEM budget
+    (the compiled kernel's real constraint -- see
+    :func:`variants_vmem_bytes`; the footprint scales with the pass count's
+    limb count, so passes=1/3 geometries can be feasible where passes=6 is
+    not). Interpret mode (CPU tests) has no VMEM, so the budget check is
+    skipped there; ``win=0`` (unknown) also skips it.
+
+    ``masked``: the block auto-raises to the residue period (p <= 128
+    always, and M = block full matmul rows cost nothing extra), so only
+    the -- tiny -- tiled-basis VMEM budget applies: every uniform-grid
+    geometry is supported, including odd strides."""
+    if mode not in PALLAS_MODES:
+        raise ValueError(f"mode must be one of {PALLAS_MODES}, got {mode!r}")
     p = 128 // math.gcd(step_samples, 128)
+    if mode == "masked":
+        if win and not interpret:
+            return (
+                masked_vmem_bytes(step_samples, win, passes, max_block)
+                <= _VMEM_VARIANTS_BUDGET
+            )
+        return True
     if p > max_block:
         return False
     if win and not interpret:
@@ -175,6 +227,49 @@ def _limb_dot(x_limbs, y_limbs, passes: int) -> jnp.ndarray:
     return acc
 
 
+def _make_tail(
+    *,
+    log_offset: float,
+    log_min: float,
+    mel_log_off: float,
+    mel_log_min: float,
+    comp_log: bool,
+    passes: int,
+):
+    """Shared power -> (log, mel) kernel tail (dft/dft.go:80-85,
+    mel/mel.go:134-153 semantics) used by both kernel modes."""
+    nl = _n_limbs(passes)
+
+    def tail(power, melw_ref, power_ref, logp_ref, mel_ref):
+        power_ref[0] = power
+
+        if comp_log:
+            sh = power + log_offset
+            logp_ref[0] = jnp.where(
+                sh == 0.0, log_min, jnp.log(jnp.where(sh == 0.0, 1.0, sh))
+            )
+        else:
+            logp_ref[0] = jnp.zeros_like(power)
+
+        if passes == 1:
+            mel_sum = jnp.dot(
+                power, melw_ref[:, :], preferred_element_type=jnp.float32
+            )
+        else:
+            p_limbs = _split_limbs(power, nl)
+            mel_sum = _limb_dot(
+                p_limbs, [melw_ref[l] for l in range(nl)], passes
+            )
+        mel_sum = mel_sum + mel_log_off
+        mel_ref[0] = jnp.where(
+            mel_sum == 0.0,
+            mel_log_min,
+            jnp.log(jnp.where(mel_sum == 0.0, 1.0, mel_sum)),
+        )
+
+    return tail
+
+
 def _make_kernel(
     *,
     win: int,
@@ -245,32 +340,73 @@ def _make_kernel(
                 im_groups.append(_limb_dot(g_limbs, sin_l, passes))
         re = jnp.concatenate(re_groups, axis=0)  # [block, k_pad] grouped order
         im = jnp.concatenate(im_groups, axis=0)
-        power = re * re + im * im
-        power_ref[0] = power
+        tail(re * re + im * im, melw_ref, power_ref, logp_ref, mel_ref)
 
-        if comp_log:
-            sh = power + log_offset
-            logp_ref[0] = jnp.where(
-                sh == 0.0, log_min, jnp.log(jnp.where(sh == 0.0, 1.0, sh))
-            )
-        else:
-            logp_ref[0] = jnp.zeros_like(power)
+    tail = _make_tail(
+        log_offset=log_offset,
+        log_min=log_min,
+        mel_log_off=mel_log_off,
+        mel_log_min=mel_log_min,
+        comp_log=comp_log,
+        passes=passes,
+    )
+    return kernel
 
+
+def _make_masked_kernel(
+    *,
+    chunk: int,
+    block: int,
+    step: int,
+    stat_aligned: Tuple[int, ...],
+    log_offset: float,
+    log_min: float,
+    mel_log_off: float,
+    mel_log_min: float,
+    comp_log: bool,
+    passes: int,
+):
+    # Mask-and-tile formulation (see PALLAS_MODES): every block slot loads
+    # its 128-aligned [1, chunk] chunk, the static mask zeroes (or
+    # analysis-windows) each row outside [rem_u, rem_u + win), and ONE
+    # full-M matmul runs against the row-tiled basis. The masked row's DFT
+    # comes out phase-rotated by e^{-2pi*i*k*rem_u/win} (shift theorem);
+    # power = re^2 + im^2 is rotation-invariant, so the result is exact.
+    nl = _n_limbs(passes)
+    tail = _make_tail(
+        log_offset=log_offset,
+        log_min=log_min,
+        mel_log_off=mel_log_off,
+        mel_log_min=mel_log_min,
+        comp_log=comp_log,
+        passes=passes,
+    )
+
+    def kernel(
+        signal_ref, mask_ref, cos_ref, sin_ref, melw_ref,
+        power_ref, logp_ref, mel_ref,
+    ):
+        wblk = pl.program_id(1)
+        # dynamic block base on the signal axis; multiple of 128 because
+        # block*step is (block is padded to the residue period)
+        dyn = wblk * (block * step)
+        rows = []
+        for u in range(block):
+            aligned = pl.multiple_of(dyn + stat_aligned[u], 128)
+            rows.append(signal_ref[0, 0, pl.ds(aligned, chunk)])
+        group = jnp.stack(rows) * mask_ref[:, :]  # [block, chunk]
         if passes == 1:
-            mel_sum = jnp.dot(
-                power, melw_ref[:, :], preferred_element_type=jnp.float32
+            re = jnp.dot(
+                group, cos_ref[:, :], preferred_element_type=jnp.float32
+            )
+            im = jnp.dot(
+                group, sin_ref[:, :], preferred_element_type=jnp.float32
             )
         else:
-            p_limbs = _split_limbs(power, nl)
-            mel_sum = _limb_dot(
-                p_limbs, [melw_ref[l] for l in range(nl)], passes
-            )
-        mel_sum = mel_sum + mel_log_off
-        mel_ref[0] = jnp.where(
-            mel_sum == 0.0,
-            mel_log_min,
-            jnp.log(jnp.where(mel_sum == 0.0, 1.0, mel_sum)),
-        )
+            g_limbs = _split_limbs(group, nl)
+            re = _limb_dot(g_limbs, [cos_ref[l] for l in range(nl)], passes)
+            im = _limb_dot(g_limbs, [sin_ref[l] for l in range(nl)], passes)
+        tail(re * re + im * im, melw_ref, power_ref, logp_ref, mel_ref)
 
     return kernel
 
@@ -292,6 +428,8 @@ def fused_frame_power_mel(
     interpret: bool = False,
     passes: int = 1,
     block_windows: Optional[int] = None,
+    mode: str = "grouped",
+    window: Optional[np.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused frontend on the uniform grid start_i = step*i + offset0.
 
@@ -304,31 +442,59 @@ def fused_frame_power_mel(
     rel power error), 3 = hi/lo limbs skipping the lo*lo term (~1e-5 rel,
     XLA `precision=HIGH` equivalent), 6 = three limbs / six products (full
     f32 emulation, XLA `precision=HIGHEST` equivalent).
+
+    ``mode`` picks the kernel formulation (see :data:`PALLAS_MODES`).
+    ``window`` (masked mode only) is an optional [win] analysis window
+    applied via the mask; grouped mode expects it pre-folded into the
+    basis rows (the tiled masked basis must stay a pure complex
+    exponential for the shift theorem to hold, so the window moves into
+    the per-slot mask instead).
     """
+    if mode not in PALLAS_MODES:
+        raise ValueError(f"mode must be one of {PALLAS_MODES}, got {mode!r}")
+    if window is not None and mode != "masked":
+        raise ValueError(
+            "an explicit analysis window requires mode='masked'; grouped "
+            "mode folds the window into the basis rows upstream"
+        )
     assert dft.prev_smooth == 0.0, "prev_smooth>0 uses the XLA path"
     b, s = signals.shape
     k_pad = cos_basis.shape[1]
     m_pad = mel_weights.shape[1]
-    chunk = _round_up(win, 128) + 128  # window + up-to-127 residue slack
 
     p = 128 // math.gcd(step_samples, 128)
-    # block sets M = block/p rows per residue-variant matmul: 64 -> M=16 at
-    # the default step (MXU 12.5% row-utilized); block_windows=512 -> M=128
-    # (full MXU rows) at the cost of up-to-block-1 windows of pad work
+    # block sets the matmul M: in grouped mode, M = block/p rows per
+    # residue-variant matmul (64 -> M=16 at the default step, MXU 12.5%
+    # row-utilized; block_windows=512 -> M=128); in masked mode the single
+    # matmul sees all M = block rows, and block auto-raises to the residue
+    # period (odd strides -> 128, a full MXU row tile)
     block = _round_up(max(p, block_windows or 64), p)
     if not supported_geometry(step_samples, max_block=block_windows or 64,
-                              win=win, interpret=interpret, passes=passes):
+                              win=win, interpret=interpret, passes=passes,
+                              mode=mode):
         raise ValueError(
-            f"step={step_samples}: residue period {p} exceeds the block "
-            f"size ({block_windows or 64}) or its basis-variant tensor "
-            f"({variants_vmem_bytes(step_samples, win, passes)} B) exceeds "
-            "the VMEM budget; use the XLA path"
+            f"step={step_samples} (mode={mode}): residue period {p} exceeds "
+            f"the block size ({block_windows or 64}) or the basis tensor "
+            "exceeds the VMEM budget; use the XLA path"
         )
 
     # left-pad so window 0 starts at a nonnegative position, then choose the
     # pad so position 0 keeps the residues' static pattern
     left = max(0, -offset0)
     c0 = offset0 + left  # first start within the padded signal, >= 0
+
+    # static per-slot geometry within a block (residues repeat per block:
+    # block*step is a multiple of 128 because block is a multiple of p)
+    starts_u = [step_samples * u + c0 for u in range(block)]
+    stat_aligned = tuple((st // 128) * 128 for st in starts_u)
+    rems = tuple(st - al for st, al in zip(starts_u, stat_aligned))
+
+    if mode == "masked":
+        # exactly the needed slack: max residue of the actual slot pattern
+        chunk = _round_up(win + max(rems), 128)
+    else:
+        chunk = _round_up(win, 128) + 128  # window + up-to-127 residue slack
+
     n_pad = _round_up(max(n_windows, 1), block)
     last = (n_pad - 1) * step_samples + c0 + chunk
     right = max(0, last - (s + left))
@@ -338,38 +504,9 @@ def fused_frame_power_mel(
         sig = jnp.pad(sig, ((0, 0), (0, s_pad - sig.shape[1])))
     sig = sig[:, None, :]  # [B, 1, s_pad]
 
-    # static per-slot geometry within a block
-    starts_u = [step_samples * u + c0 for u in range(block)]
-    stat_aligned = tuple((st // 128) * 128 for st in starts_u)
-    rems = tuple(st - al for st, al in zip(starts_u, stat_aligned))
-
-    # residue-shifted basis variants: variant r holds the basis at rows
-    # rem_r..rem_r+win of a [chunk, k_pad] zero matrix
-    rem_values = sorted(set(rems))
-    n_res = len(rem_values)
-    cos_v = jnp.zeros((n_res, chunk, k_pad), dtype=jnp.float32)
-    sin_v = jnp.zeros((n_res, chunk, k_pad), dtype=jnp.float32)
-    for i, r in enumerate(rem_values):
-        cos_v = cos_v.at[i, r : r + win].set(cos_basis)
-        sin_v = sin_v.at[i, r : r + win].set(sin_basis)
-
     nl = _n_limbs(passes)
     melw = mel_weights
-    if passes > 1:
-        # pre-split the constant operands into bf16 limbs on the host
-        # (leading limb axis; bf16 halves each limb's VMEM bytes)
-        cos_v = jnp.stack(_split_limbs(cos_v, nl))      # [nl, n_res, chunk, k]
-        sin_v = jnp.stack(_split_limbs(sin_v, nl))
-        melw = jnp.stack(_split_limbs(jnp.asarray(mel_weights), nl))
-
-    kernel = _make_kernel(
-        win=win,
-        chunk=chunk,
-        block=block,
-        step=step_samples,
-        rems=rems,
-        stat_aligned=stat_aligned,
-        n_residues=n_res,
+    common = dict(
         log_offset=float(dft.log_offset),
         log_min=float(dft.log_min),
         mel_log_off=float(fbank.log_off),
@@ -377,6 +514,95 @@ def fused_frame_power_mel(
         comp_log=bool(dft.comp_log_pow),
         passes=passes,
     )
+    if mode == "masked":
+        # single row-tiled basis: row m reuses basis row m mod win bit-
+        # exactly (cos(2*pi*k*m/win) and -sin are win-periodic in m), so
+        # each masked row's DFT is the true window DFT rotated by
+        # e^{-2pi*i*k*rem/win} -- invisible in power
+        idx = jnp.asarray(np.arange(chunk) % win)
+        cos_c = jnp.take(cos_basis, idx, axis=0)   # [chunk, k_pad]
+        sin_c = jnp.take(sin_basis, idx, axis=0)
+        wvec = (
+            np.ones(win, np.float32)
+            if window is None
+            else np.asarray(window, dtype=np.float32)
+        )
+        mask_np = np.zeros((block, chunk), dtype=np.float32)
+        for u, r in enumerate(rems):
+            mask_np[u, r : r + win] = wvec
+        mask = jnp.asarray(mask_np)
+        if passes > 1:
+            cos_c = jnp.stack(_split_limbs(cos_c, nl))  # [nl, chunk, k_pad]
+            sin_c = jnp.stack(_split_limbs(sin_c, nl))
+            melw = jnp.stack(_split_limbs(jnp.asarray(mel_weights), nl))
+        kernel = _make_masked_kernel(
+            chunk=chunk,
+            block=block,
+            step=step_samples,
+            stat_aligned=stat_aligned,
+            **common,
+        )
+        const_inputs = (mask, cos_c, sin_c, melw)
+        mask_spec = [pl.BlockSpec((block, chunk), lambda bi, wi: (0, 0))]
+        if passes == 1:
+            basis_specs = mask_spec + [
+                pl.BlockSpec((chunk, k_pad), lambda bi, wi: (0, 0)),
+                pl.BlockSpec((chunk, k_pad), lambda bi, wi: (0, 0)),
+                pl.BlockSpec((k_pad, m_pad), lambda bi, wi: (0, 0)),
+            ]
+        else:
+            basis_specs = mask_spec + [
+                pl.BlockSpec((nl, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
+                pl.BlockSpec((nl, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
+                pl.BlockSpec((nl, k_pad, m_pad), lambda bi, wi: (0, 0, 0)),
+            ]
+        contraction = chunk  # the single matmul contracts the full chunk
+    else:
+        # residue-shifted basis variants: variant r holds the basis at rows
+        # rem_r..rem_r+win of a [chunk, k_pad] zero matrix
+        rem_values = sorted(set(rems))
+        n_res = len(rem_values)
+        cos_v = jnp.zeros((n_res, chunk, k_pad), dtype=jnp.float32)
+        sin_v = jnp.zeros((n_res, chunk, k_pad), dtype=jnp.float32)
+        for i, r in enumerate(rem_values):
+            cos_v = cos_v.at[i, r : r + win].set(cos_basis)
+            sin_v = sin_v.at[i, r : r + win].set(sin_basis)
+
+        if passes > 1:
+            # pre-split the constant operands into bf16 limbs on the host
+            # (leading limb axis; bf16 halves each limb's VMEM bytes)
+            cos_v = jnp.stack(_split_limbs(cos_v, nl))  # [nl, n_res, chunk, k]
+            sin_v = jnp.stack(_split_limbs(sin_v, nl))
+            melw = jnp.stack(_split_limbs(jnp.asarray(mel_weights), nl))
+
+        kernel = _make_kernel(
+            win=win,
+            chunk=chunk,
+            block=block,
+            step=step_samples,
+            rems=rems,
+            stat_aligned=stat_aligned,
+            n_residues=n_res,
+            **common,
+        )
+        const_inputs = (cos_v, sin_v, melw)
+        if passes == 1:
+            basis_specs = [
+                pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
+                pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
+                pl.BlockSpec((k_pad, m_pad), lambda bi, wi: (0, 0)),
+            ]
+        else:
+            basis_specs = [
+                pl.BlockSpec(
+                    (nl, n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (nl, n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0, 0)
+                ),
+                pl.BlockSpec((nl, k_pad, m_pad), lambda bi, wi: (0, 0, 0)),
+            ]
+        contraction = win  # per-variant matmuls contract only basis rows
 
     grid = (b, n_pad // block)
     out_shape = [
@@ -385,24 +611,9 @@ def fused_frame_power_mel(
         jax.ShapeDtypeStruct((b, n_pad, m_pad), jnp.float32),
     ]
     flops = passes * (
-        2 * b * n_pad * win * k_pad * 2 + 2 * b * n_pad * k_pad * m_pad
+        2 * b * n_pad * contraction * k_pad * 2
+        + 2 * b * n_pad * k_pad * m_pad
     )
-    if passes == 1:
-        basis_specs = [
-            pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
-            pl.BlockSpec((n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
-            pl.BlockSpec((k_pad, m_pad), lambda bi, wi: (0, 0)),
-        ]
-    else:
-        basis_specs = [
-            pl.BlockSpec(
-                (nl, n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0, 0)
-            ),
-            pl.BlockSpec(
-                (nl, n_res, chunk, k_pad), lambda bi, wi: (0, 0, 0, 0)
-            ),
-            pl.BlockSpec((nl, k_pad, m_pad), lambda bi, wi: (0, 0, 0)),
-        ]
     power, logp, mel = pl.pallas_call(
         kernel,
         grid=grid,
@@ -421,7 +632,15 @@ def fused_frame_power_mel(
             bytes_accessed=4 * (b * s_pad + b * n_pad * (2 * k_pad + m_pad)),
             transcendentals=b * n_pad * (k_pad + m_pad),
         ),
-    )(sig, cos_v, sin_v, melw)
+    )(sig, *const_inputs)
+
+    if mode == "masked":
+        # masked-mode rows come out in natural window order
+        return (
+            power[:, :n_windows, :n_bins],
+            logp[:, :n_windows, :n_bins],
+            mel[:, :n_windows, :n_mel],
+        )
 
     # de-permute grouped kernel output rows back to window order (shared
     # grouping definition with the kernel: residue_grouping)

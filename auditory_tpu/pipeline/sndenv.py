@@ -122,6 +122,7 @@ class SndEnv:
         use_pallas: Optional[bool] = None,
         pallas_passes: int = 6,
         pallas_block: Optional[int] = None,
+        pallas_mode: str = "grouped",
         outputs: Optional[Tuple[str, ...]] = None,
         channels: int = 1,
         feature_stats: bool = False,
@@ -226,11 +227,17 @@ class SndEnv:
                 "(2D or 4D; sndenv.go:220-222)"
             )
         self.use_pallas = bool(use_pallas)
-        from ..ops.framefft import _n_limbs
+        from ..ops.framefft import PALLAS_MODES, _n_limbs
 
         _n_limbs(pallas_passes)  # validate: 1, 3 or 6
         self.pallas_passes = int(pallas_passes)
         self.pallas_block = pallas_block
+        if pallas_mode not in PALLAS_MODES:
+            raise ValueError(
+                f"pallas_mode must be one of {PALLAS_MODES}, got "
+                f"{pallas_mode!r}"
+            )
+        self.pallas_mode = pallas_mode
         self._pallas_interpret = jax.default_backend() != "tpu"
 
         # host-built constants
@@ -402,11 +409,18 @@ class SndEnv:
         from ..ops.framefft import fused_frame_power_mel, pad_basis
 
         t = self.timing
-        key = "pallas_basis"
+        masked = self.pallas_mode == "masked"
+        key = f"pallas_basis_{self.pallas_mode}"
         if key not in self._jit_cache:
-            cos_p, sin_p, w_p = pad_basis(
-                self.dft_basis[0], self.dft_basis[1], self.mel_des.weights
-            )
+            if masked and self.analysis_win is not None:
+                # masked mode needs the PURE complex-exponential basis (the
+                # row tiling relies on win-periodicity); the analysis window
+                # moves into the kernel's per-slot mask instead of the
+                # pre-folded self.dft_basis rows
+                cos_m, sin_m = design.dft_matrices(t.win_samples)
+            else:
+                cos_m, sin_m = self.dft_basis
+            cos_p, sin_p, w_p = pad_basis(cos_m, sin_m, self.mel_des.weights)
             self._jit_cache[key] = (
                 jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(w_p)
             )
@@ -428,6 +442,8 @@ class SndEnv:
             interpret=self._pallas_interpret,
             passes=self.pallas_passes,
             block_windows=self.pallas_block,
+            mode=self.pallas_mode,
+            window=self.analysis_win if masked else None,
         )
 
     def _uniform_power_fn(self, basis):
@@ -528,7 +544,7 @@ class SndEnv:
             and supported_geometry(
                 t.step_samples, max_block=self.pallas_block or 64,
                 win=t.win_samples, interpret=self._pallas_interpret,
-                passes=self.pallas_passes,
+                passes=self.pallas_passes, mode=self.pallas_mode,
             )
         )
         # introspection: which frontend did this build actually take

@@ -15,18 +15,19 @@ from tests.conftest import default_cfg_2d, tone
 SR = 16000
 
 
-def make_envs(cfg):
+def make_envs(cfg, mode="grouped"):
     xla = SndEnv(cfg, SR, dtype=jnp.float32, spectrum_method="matmul",
                  use_pallas=False)
     pal = SndEnv(cfg, SR, dtype=jnp.float32, spectrum_method="matmul",
-                 use_pallas=True)
+                 use_pallas=True, pallas_mode=mode)
     assert pal._pallas_interpret  # CPU test runs interpret mode
     return xla, pal
 
 
-def test_pallas_matches_xla_full_pipeline():
+@pytest.mark.parametrize("mode", ["grouped", "masked"])
+def test_pallas_matches_xla_full_pipeline(mode):
     cfg = default_cfg_2d()
-    xla, pal = make_envs(cfg)
+    xla, pal = make_envs(cfg, mode)
     sig = xla.pad(tone(1234.0, 0.3, SR)).astype(np.float32)
     o1 = xla.process(sig)
     o2 = pal.process(sig)
@@ -103,8 +104,9 @@ def test_pallas_requires_f32_and_no_smooth():
         SndEnv(cfg2, SR, dtype=jnp.float32, use_pallas=True)
 
 
+@pytest.mark.parametrize("mode", ["grouped", "masked"])
 @pytest.mark.parametrize("passes,atol", [(1, 2e-4), (3, 5e-3), (6, 2e-4)])
-def test_pallas_passes_variants(passes, atol):
+def test_pallas_passes_variants(passes, atol, mode):
     """The emulation levels track the XLA path at their documented grades.
     Interpret mode evaluates the bf16 limb casts literally, so passes=3
     carries its real ~2^-16 truncation (log-amplified at quiet mel bins)
@@ -114,7 +116,7 @@ def test_pallas_passes_variants(passes, atol):
     xla = SndEnv(cfg, SR, dtype=jnp.float32, spectrum_method="matmul",
                  use_pallas=False)
     pal = SndEnv(cfg, SR, dtype=jnp.float32, spectrum_method="matmul",
-                 use_pallas=True, pallas_passes=passes)
+                 use_pallas=True, pallas_passes=passes, pallas_mode=mode)
     sig = xla.pad(tone(987.0, 0.25, SR)).astype(np.float32)
     o1, o2 = xla.process(sig), pal.process(sig)
     np.testing.assert_allclose(
@@ -214,4 +216,95 @@ def test_pallas_odd_stride_period128():
             jnp.zeros((256, 128), jnp.float32),
             win=441, n_bins=221, n_mel=32,
             dft=xla.cfg.dft, fbank=xla.cfg.mel.fbank,
+        )
+
+
+def test_pallas_masked_odd_stride():
+    """Masked mode lifts the grouped kernel's two odd-stride blockers: the
+    block auto-raises to the residue period (no pallas_block needed) and
+    there is no residue-variant VMEM blowup, so the 44.1 kHz geometry that
+    grouped mode cannot compile (600 MB of basis variants) is
+    masked-eligible COMPILED, and the small odd-stride geometry runs at the
+    default block."""
+    from auditory_tpu.config import WindowParams
+    from auditory_tpu.ops.framefft import masked_vmem_bytes, supported_geometry
+
+    # 44.1 kHz: grouped rejected compiled, masked supported (tiny basis)
+    assert not supported_geometry(441, max_block=128, win=1102,
+                                  interpret=False, mode="grouped")
+    assert supported_geometry(441, max_block=128, win=1102,
+                              interpret=False, mode="masked")
+    assert masked_vmem_bytes(441, 1102, passes=6, block=128) < 16 * 2 ** 20
+
+    sr = 16000
+    outs = ("power_segment", "mel_fbank_segment", "step_valid")
+    wp = WindowParams(win_ms=8.0, step_ms=10.0625, segment_ms=100.625,
+                      stride_ms=100.625)
+    cfg = default_cfg_2d(params=wp)
+    xla = SndEnv(cfg, sr, dtype=jnp.float32, spectrum_method="conv",
+                 use_pallas=False, outputs=outs)
+    assert xla.timing.step_samples == 161  # odd stride: residue period 128
+
+    sig = xla.pad(tone(1234.0, 0.1, sr)).astype(np.float32)
+    pal = SndEnv(cfg, sr, dtype=jnp.float32, use_pallas=True,
+                 pallas_mode="masked", outputs=outs)  # default block: fine
+    o1, o2 = xla.process(sig), pal.process(sig)
+    assert pal._pallas_active
+    np.testing.assert_array_equal(
+        np.asarray(o1.step_valid), np.asarray(o2.step_valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1.power_segment), np.asarray(o2.power_segment),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1.mel_fbank_segment), np.asarray(o2.mel_fbank_segment),
+        rtol=1e-5, atol=1e-4,
+    )
+
+
+def test_pallas_masked_analysis_window():
+    """With window_fn set, masked mode must move the analysis window into
+    the per-slot mask (the tiled basis stays a pure complex exponential:
+    a window folded into the basis rows would NOT tile -- w[(rem+n) mod W]
+    != w[n]) and still match the XLA path, which folds the window into its
+    basis."""
+    import dataclasses as dc
+
+    outs = ("power_segment", "mel_fbank_segment", "step_valid")
+    cfg = default_cfg_2d()
+    cfg = dc.replace(cfg, dft=dc.replace(cfg.dft, window_fn="hamming"))
+    xla = SndEnv(cfg, SR, dtype=jnp.float32, spectrum_method="matmul",
+                 use_pallas=False, outputs=outs)
+    pal = SndEnv(cfg, SR, dtype=jnp.float32, use_pallas=True,
+                 pallas_mode="masked", outputs=outs)
+    sig = xla.pad(tone(987.0, 0.25, SR)).astype(np.float32)
+    o1, o2 = xla.process(sig), pal.process(sig)
+    assert pal._pallas_active
+    np.testing.assert_allclose(
+        np.asarray(o1.power_segment), np.asarray(o2.power_segment),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1.mel_fbank_segment), np.asarray(o2.mel_fbank_segment),
+        rtol=1e-5, atol=1e-4,
+    )
+
+
+def test_pallas_mode_validation():
+    from auditory_tpu.ops.framefft import fused_frame_power_mel
+
+    cfg = default_cfg_2d()
+    with pytest.raises(ValueError, match="pallas_mode"):
+        SndEnv(cfg, SR, use_pallas=True, pallas_mode="rotate")
+    # an explicit window is a masked-mode-only argument
+    with pytest.raises(ValueError, match="masked"):
+        fused_frame_power_mel(
+            jnp.zeros((1, 4096), jnp.float32), 160, 0, 8,
+            jnp.zeros((400, 256), jnp.float32),
+            jnp.zeros((400, 256), jnp.float32),
+            jnp.zeros((256, 128), jnp.float32),
+            win=400, n_bins=201, n_mel=32,
+            dft=cfg.dft, fbank=cfg.mel.fbank,
+            mode="grouped", window=np.hamming(400),
         )

@@ -107,6 +107,14 @@ def main() -> None:
         ("pallas_6", dict(use_pallas=True, pallas_passes=6)),
         ("pallas_3", dict(use_pallas=True, pallas_passes=3)),
         ("pallas_1", dict(use_pallas=True, pallas_passes=1)),
+        # mask-and-tile kernel (ops/framefft.py PALLAS_MODES 'masked'):
+        # ONE full-M matmul per block, no residue grouping, odd strides ok
+        ("pallasm_6", dict(use_pallas=True, pallas_passes=6,
+                           pallas_mode="masked")),
+        ("pallasm_3", dict(use_pallas=True, pallas_passes=3,
+                           pallas_mode="masked")),
+        ("pallasm_1", dict(use_pallas=True, pallas_passes=1,
+                           pallas_mode="masked")),
     ]
     if args.block:
         variants = [
@@ -120,12 +128,19 @@ def main() -> None:
     t = cfg.params.derive(sr)
     # coarse pre-filter at passes=1 (smallest VMEM footprint): drop pallas
     # rows only when even that cannot run; the per-variant _pallas_active
-    # check below handles pass counts whose larger limb tensors don't fit
+    # check below handles pass counts whose larger limb tensors don't fit.
+    # grouped and masked gate independently (masked supports odd strides)
     if not supported_geometry(t.step_samples, max_block=args.block or 64,
-                              win=t.win_samples, passes=1):
-        print(json.dumps({"skipped": "pallas variants: geometry unsupported "
-                          "(residue period/VMEM)", "step": t.step_samples}))
-        variants = [v for v in variants if not v[0].startswith("pallas")]
+                              win=t.win_samples, passes=1, mode="grouped"):
+        print(json.dumps({"skipped": "grouped pallas variants: geometry "
+                          "unsupported (residue period/VMEM)",
+                          "step": t.step_samples}))
+        variants = [v for v in variants if not v[0].startswith("pallas_")]
+    if not supported_geometry(t.step_samples, max_block=args.block or 64,
+                              win=t.win_samples, passes=1, mode="masked"):
+        print(json.dumps({"skipped": "masked pallas variants: geometry "
+                          "unsupported (VMEM)", "step": t.step_samples}))
+        variants = [v for v in variants if not v[0].startswith("pallasm_")]
 
     from auditory_tpu.dsp.dft import factored_dft_plan
 

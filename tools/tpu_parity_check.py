@@ -57,11 +57,11 @@ def make_batch(b: int, n: int) -> np.ndarray:
 
 
 def run(device, cfg, sigs, lens, use_pallas=False, passes=6,
-        precision="highest", frontend=None):
+        precision="highest", frontend=None, pallas_mode="grouped"):
     with jax.default_device(device):
         env = SndEnv(cfg, SR, dtype=jnp.float32, use_pallas=use_pallas,
                      pallas_passes=passes, matmul_precision=precision,
-                     spectrum_method=frontend)
+                     spectrum_method=frontend, pallas_mode=pallas_mode)
         fn = BatchedSndEnv(env).process_fn(sigs.shape[1], 0)
         out, _ = fn(jnp.asarray(sigs), jnp.asarray(lens))
         return (
@@ -88,6 +88,11 @@ def main() -> None:
         "(vs the exact CPU f32 reference); bounds scale with the tier's "
         "documented grade: high ~2^-16 operand truncation, default = bf16 "
         "operands (diagnostic only -- must FAIL the exact bounds)",
+    )
+    ap.add_argument(
+        "--pallas-mode", default="grouped", choices=("grouped", "masked"),
+        help="kernel formulation for --pallas probes (ops/framefft.py "
+        "PALLAS_MODES): 'masked' is the mask-and-tile single-matmul kernel",
     )
     ap.add_argument(
         "--frontend", default=None,
@@ -121,6 +126,7 @@ def main() -> None:
         tpu_devs[0], cfg, sigs, lens,
         use_pallas=bool(args.pallas), passes=args.pallas or 6,
         precision=args.precision, frontend=args.frontend,
+        pallas_mode=args.pallas_mode,
     )
     pow_c, mel_c, gab_c = run(cpu, cfg, sigs, lens)
 
@@ -139,7 +145,7 @@ def main() -> None:
     # bounds -- probe it only to see the measured numbers.
     fe = args.frontend or "conv"
     tag = (
-        f"pallas-{args.pallas}p" if args.pallas
+        f"pallas-{args.pallas_mode}-{args.pallas}p" if args.pallas
         else fe if args.precision == "highest"
         else f"{fe}-{args.precision}"
     )
