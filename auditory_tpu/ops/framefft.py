@@ -39,15 +39,19 @@ grade (~2^-16), ``passes=6`` full f32 emulation -- verified on chip at the
 same exact-f32 parity bounds as the conv path (power 7.0e-7 rel-to-peak,
 mel 1.05e-4 abs; tools/tpu_parity_check.py --pallas 6).
 
-PERFORMANCE: the default conv frontend remains faster than GROUPED mode at
-every matched grade (B=512 x 3 s mel-only: conv HIGHEST 4.78 ms vs passes=6
-10.2 ms at block=64; conv default 3.25 ms vs passes=1 4.16 ms) -- the
-residue-grouped matmuls see only M = block/period rows (16 at the default
-geometry, 12.5% of the MXU), where the conv's implicit GEMM tiles full
-rows. MASKED mode (round 4) fixes exactly that: one full-M matmul per
-block against a single tiled basis (see PALLAS_MODES); its measured
-standing vs the conv is recorded in BENCH_NOTES_r04.md. The kernel remains
-opt-in (use_pallas=True).
+PERFORMANCE (measured, B=512 x 3 s mel-only, 16 kHz): masked mode fixes
+grouped mode's row starvation -- passes=6 halves from 9.84 ms (grouped) to
+5.88-5.98 ms, and passes=1 with output gating TIES the conv default tier
+(3.44 vs 3.45 ms) -- but the XLA conv stays ahead at the exact grade
+(4.6-4.8 ms): the manual limb emulation (12 in-kernel dots + per-block
+operand splits) costs more than XLA's HLO-level pass structure. block=128
+measured WORSE than 64 both modes (n_pad padding waste: 384 vs 320 rows
+for 300 windows). At 44.1 kHz (masked-only eligibility) the kernel loses
+to dense frames at both grades (26.5 vs 18.1 exact; 9.42 vs 9.01
+default): chunk pads 1103 -> 1280 and p=128 forces block=128's 28% n_pad
+waste. The XLA dense frontends remain the dispatch picks at every grade;
+the kernel stays the opt-in fused-fusion position (use_pallas=True). See
+BENCH_NOTES_r04.md.
 """
 
 from __future__ import annotations
@@ -235,21 +239,35 @@ def _make_tail(
     mel_log_min: float,
     comp_log: bool,
     passes: int,
+    emit_power: bool,
+    emit_logp: bool,
 ):
     """Shared power -> (log, mel) kernel tail (dft/dft.go:80-85,
-    mel/mel.go:134-153 semantics) used by both kernel modes."""
+    mel/mel.go:134-153 semantics) used by both kernel modes.
+
+    ``emit_power``/``emit_logp`` gate the wide per-bin outputs: XLA cannot
+    dead-code-eliminate through the pallas_call boundary, so a mel-only
+    caller would otherwise pay 2 x [n_win, k_pad] of pure HBM write
+    traffic per batch. ``out_refs`` holds only the requested refs, in
+    (power, log_power, mel) order; mel is always last."""
     nl = _n_limbs(passes)
 
-    def tail(power, melw_ref, power_ref, logp_ref, mel_ref):
-        power_ref[0] = power
+    def tail(power, melw_ref, out_refs):
+        i = 0
+        if emit_power:
+            out_refs[i][0] = power
+            i += 1
 
-        if comp_log:
-            sh = power + log_offset
-            logp_ref[0] = jnp.where(
-                sh == 0.0, log_min, jnp.log(jnp.where(sh == 0.0, 1.0, sh))
-            )
-        else:
-            logp_ref[0] = jnp.zeros_like(power)
+        if emit_logp:
+            if comp_log:
+                sh = power + log_offset
+                out_refs[i][0] = jnp.where(
+                    sh == 0.0, log_min,
+                    jnp.log(jnp.where(sh == 0.0, 1.0, sh)),
+                )
+            else:
+                out_refs[i][0] = jnp.zeros_like(power)
+            i += 1
 
         if passes == 1:
             mel_sum = jnp.dot(
@@ -261,7 +279,7 @@ def _make_tail(
                 p_limbs, [melw_ref[l] for l in range(nl)], passes
             )
         mel_sum = mel_sum + mel_log_off
-        mel_ref[0] = jnp.where(
+        out_refs[i][0] = jnp.where(
             mel_sum == 0.0,
             mel_log_min,
             jnp.log(jnp.where(mel_sum == 0.0, 1.0, mel_sum)),
@@ -285,6 +303,8 @@ def _make_kernel(
     mel_log_min: float,
     comp_log: bool,
     passes: int,
+    emit_power: bool,
+    emit_logp: bool,
 ):
     # Mosaic on this TPU supports neither unaligned dynamic loads nor
     # unaligned static value-slices, so the residue shift moves into the
@@ -300,7 +320,7 @@ def _make_kernel(
 
     nl = _n_limbs(passes)
 
-    def kernel(signal_ref, cos_ref, sin_ref, melw_ref, power_ref, logp_ref, mel_ref):
+    def kernel(signal_ref, cos_ref, sin_ref, melw_ref, *out_refs):
         wblk = pl.program_id(1)
         # dynamic block base on the signal axis; multiple of 128 because
         # block*step is (block is padded to the residue period)
@@ -340,7 +360,7 @@ def _make_kernel(
                 im_groups.append(_limb_dot(g_limbs, sin_l, passes))
         re = jnp.concatenate(re_groups, axis=0)  # [block, k_pad] grouped order
         im = jnp.concatenate(im_groups, axis=0)
-        tail(re * re + im * im, melw_ref, power_ref, logp_ref, mel_ref)
+        tail(re * re + im * im, melw_ref, out_refs)
 
     tail = _make_tail(
         log_offset=log_offset,
@@ -349,6 +369,8 @@ def _make_kernel(
         mel_log_min=mel_log_min,
         comp_log=comp_log,
         passes=passes,
+        emit_power=emit_power,
+        emit_logp=emit_logp,
     )
     return kernel
 
@@ -365,6 +387,8 @@ def _make_masked_kernel(
     mel_log_min: float,
     comp_log: bool,
     passes: int,
+    emit_power: bool,
+    emit_logp: bool,
 ):
     # Mask-and-tile formulation (see PALLAS_MODES): every block slot loads
     # its 128-aligned [1, chunk] chunk, the static mask zeroes (or
@@ -380,12 +404,11 @@ def _make_masked_kernel(
         mel_log_min=mel_log_min,
         comp_log=comp_log,
         passes=passes,
+        emit_power=emit_power,
+        emit_logp=emit_logp,
     )
 
-    def kernel(
-        signal_ref, mask_ref, cos_ref, sin_ref, melw_ref,
-        power_ref, logp_ref, mel_ref,
-    ):
+    def kernel(signal_ref, mask_ref, cos_ref, sin_ref, melw_ref, *out_refs):
         wblk = pl.program_id(1)
         # dynamic block base on the signal axis; multiple of 128 because
         # block*step is (block is padded to the residue period)
@@ -406,7 +429,7 @@ def _make_masked_kernel(
             g_limbs = _split_limbs(group, nl)
             re = _limb_dot(g_limbs, [cos_ref[l] for l in range(nl)], passes)
             im = _limb_dot(g_limbs, [sin_ref[l] for l in range(nl)], passes)
-        tail(re * re + im * im, melw_ref, power_ref, logp_ref, mel_ref)
+        tail(re * re + im * im, melw_ref, out_refs)
 
     return kernel
 
@@ -430,7 +453,10 @@ def fused_frame_power_mel(
     block_windows: Optional[int] = None,
     mode: str = "grouped",
     window: Optional[np.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    emit: Tuple[bool, bool] = (True, True),
+) -> Tuple[
+    Optional[jnp.ndarray], Optional[jnp.ndarray], jnp.ndarray
+]:
     """Fused frontend on the uniform grid start_i = step*i + offset0.
 
     Returns (power, log_power, log_mel): [B, n_win, n_bins] x2,
@@ -449,6 +475,11 @@ def fused_frame_power_mel(
     basis rows (the tiled masked basis must stay a pure complex
     exponential for the shift theorem to hold, so the window moves into
     the per-slot mask instead).
+
+    ``emit`` = (power, log_power) gates the wide per-bin outputs (mel is
+    always produced): XLA cannot DCE through the pallas_call boundary, so
+    a mel-only caller passing (False, False) saves 2 x [B, n_win, k_pad]
+    of pure HBM write traffic. Non-emitted results return None.
     """
     if mode not in PALLAS_MODES:
         raise ValueError(f"mode must be one of {PALLAS_MODES}, got {mode!r}")
@@ -506,6 +537,7 @@ def fused_frame_power_mel(
 
     nl = _n_limbs(passes)
     melw = mel_weights
+    emit_power, emit_logp = bool(emit[0]), bool(emit[1])
     common = dict(
         log_offset=float(dft.log_offset),
         log_min=float(dft.log_min),
@@ -513,6 +545,8 @@ def fused_frame_power_mel(
         mel_log_min=float(fbank.log_min),
         comp_log=bool(dft.comp_log_pow),
         passes=passes,
+        emit_power=emit_power,
+        emit_logp=emit_logp,
     )
     if mode == "masked":
         # single row-tiled basis: row m reuses basis row m mod win bit-
@@ -605,53 +639,55 @@ def fused_frame_power_mel(
         contraction = win  # per-variant matmuls contract only basis rows
 
     grid = (b, n_pad // block)
+    n_wide = int(emit_power) + int(emit_logp)
     out_shape = [
-        jax.ShapeDtypeStruct((b, n_pad, k_pad), jnp.float32),
-        jax.ShapeDtypeStruct((b, n_pad, k_pad), jnp.float32),
-        jax.ShapeDtypeStruct((b, n_pad, m_pad), jnp.float32),
-    ]
+        jax.ShapeDtypeStruct((b, n_pad, k_pad), jnp.float32)
+        for _ in range(n_wide)
+    ] + [jax.ShapeDtypeStruct((b, n_pad, m_pad), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, block, k_pad), lambda bi, wi: (bi, wi, 0))
+        for _ in range(n_wide)
+    ] + [pl.BlockSpec((1, block, m_pad), lambda bi, wi: (bi, wi, 0))]
     flops = passes * (
         2 * b * n_pad * contraction * k_pad * 2
         + 2 * b * n_pad * k_pad * m_pad
     )
-    power, logp, mel = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, s_pad), lambda bi, wi: (bi, 0, 0)),
         ] + basis_specs,
-        out_specs=[
-            pl.BlockSpec((1, block, k_pad), lambda bi, wi: (bi, wi, 0)),
-            pl.BlockSpec((1, block, k_pad), lambda bi, wi: (bi, wi, 0)),
-            pl.BlockSpec((1, block, m_pad), lambda bi, wi: (bi, wi, 0)),
-        ],
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=4 * (b * s_pad + b * n_pad * (2 * k_pad + m_pad)),
+            bytes_accessed=4 * (
+                b * s_pad + b * n_pad * (n_wide * k_pad + m_pad)
+            ),
             transcendentals=b * n_pad * (k_pad + m_pad),
         ),
     )(sig, *const_inputs)
+    it = iter(res)
+    power = next(it) if emit_power else None
+    logp = next(it) if emit_logp else None
+    mel = next(it)
 
     if mode == "masked":
         # masked-mode rows come out in natural window order
-        return (
-            power[:, :n_windows, :n_bins],
-            logp[:, :n_windows, :n_bins],
-            mel[:, :n_windows, :n_mel],
-        )
-
-    # de-permute grouped kernel output rows back to window order (shared
-    # grouping definition with the kernel: residue_grouping)
-    _, row_of_slot = residue_grouping(rems)
-    blocks = np.arange(n_pad // block, dtype=np.int64)[:, None] * block
-    rows_of_window = (blocks + row_of_slot[None, :]).reshape(-1)[:n_windows]
-    rows = jnp.asarray(rows_of_window)
+        rows = slice(None, n_windows)
+    else:
+        # de-permute grouped kernel output rows back to window order (shared
+        # grouping definition with the kernel: residue_grouping)
+        _, row_of_slot = residue_grouping(rems)
+        blocks = np.arange(n_pad // block, dtype=np.int64)[:, None] * block
+        rows_np = (blocks + row_of_slot[None, :]).reshape(-1)[:n_windows]
+        rows = jnp.asarray(rows_np)
 
     return (
-        power[:, rows, :n_bins],
-        logp[:, rows, :n_bins],
+        power[:, rows, :n_bins] if emit_power else None,
+        logp[:, rows, :n_bins] if emit_logp else None,
         mel[:, rows, :n_mel],
     )
 

@@ -426,6 +426,22 @@ class SndEnv:
             )
         cos_p, sin_p, w_p = self._jit_cache[key]
 
+        # gate the kernel's wide per-bin outputs on what the program
+        # actually consumes (XLA cannot DCE through the pallas_call
+        # boundary, so un-emitted outputs are pure HBM write savings):
+        # power additionally feeds the Energy chain, whose value reaches
+        # the energy output AND every MFCC field (coef0 <- Energy)
+        outs = self.outputs
+        energy_users = {
+            "energy", "mfcc_segment", "mfcc_deltas", "mfcc_delta_deltas"
+        }
+        emit_power = (
+            outs is None
+            or "power_segment" in outs
+            or bool(energy_users & set(outs))
+        )
+        emit_logp = outs is None or "log_power_segment" in outs
+
         return fused_frame_power_mel(
             signals.astype(jnp.float32),
             t.step_samples,
@@ -444,6 +460,7 @@ class SndEnv:
             block_windows=self.pallas_block,
             mode=self.pallas_mode,
             window=self.analysis_win if masked else None,
+            emit=(emit_power, emit_logp),
         )
 
     def _uniform_power_fn(self, basis):
@@ -712,10 +729,16 @@ class SndEnv:
             from ..dsp.dft import log_power as _log_power
 
             en_bins = steps if cfg.energy_mode in ("sndenv", "gaborview") else None
-            en_src = power[..., :en_bins] if en_bins else power
-            if cfg.dft.comp_log_pow:
+            if power is None:
+                # pallas emit-gating dropped the power output: by the gating
+                # rule (_frontend_pallas) no requested output consumes the
+                # Energy chain, so skip it entirely
+                logp_narrow = None
+            elif cfg.dft.comp_log_pow:
+                en_src = power[..., :en_bins] if en_bins else power
                 logp_narrow = _log_power(en_src, cfg.dft)
             else:
+                en_src = power[..., :en_bins] if en_bins else power
                 logp_narrow = jnp.zeros_like(en_src)
 
             need_power = self.outputs is None or "power_segment" in self.outputs
@@ -741,8 +764,13 @@ class SndEnv:
                 # row-gathers over the *small* spectra (wide power/log-power
                 # only when those tensors are requested)
                 mel_vals = mel_vals[:, map_idx]
-                logp_narrow = logp_narrow[:, map_idx]
-                power = power[:, map_idx] if need_power else None
+                if logp_narrow is not None:
+                    logp_narrow = logp_narrow[:, map_idx]
+                power = (
+                    power[:, map_idx]
+                    if (need_power and power is not None)
+                    else None
+                )
                 logp = (
                     logp[:, map_idx]
                     if (need_logp and logp is not None)
@@ -762,12 +790,14 @@ class SndEnv:
             if logp is not None:
                 logp = jnp.where(vmask, logp, 0)
             mel_vals = jnp.where(vmask, mel_vals, 0)
-            logp_narrow = jnp.where(vmask, logp_narrow, 0)
-
-            en = energy(logp_narrow, cfg.energy_mode)  # [B, seg, steps]
+            if logp_narrow is not None:
+                logp_narrow = jnp.where(vmask, logp_narrow, 0)
+                en = energy(logp_narrow, cfg.energy_mode)  # [B, seg, steps]
+            else:
+                en = None  # no requested output consumes Energy
 
             mfcc = deltas = ddeltas = None
-            if cfg.mel.mfcc:
+            if cfg.mel.mfcc and en is not None:
                 mfcc = mfcc_dct(mel_vals, dct_m, cfg.mel.n_coefs, precision=self.matmul_precision)
                 mfcc = jnp.where(vmask, mfcc, 0)
                 # coef0 <- Energy for ALL steps (sndenv.go:368-372; runs after

@@ -291,6 +291,45 @@ def test_pallas_masked_analysis_window():
     )
 
 
+@pytest.mark.parametrize("mode", ["grouped", "masked"])
+def test_pallas_emit_gating(mode):
+    """Output gating: a mel-only env must skip the kernel's wide power/
+    log-power HBM writes (the fields come back None) yet still match the
+    XLA mel; an mfcc-requesting env must still emit power internally (the
+    Energy chain feeds coef0) and match the XLA mfcc bit-for-bit in
+    structure."""
+    cfg = default_cfg_2d()
+    outs = ("mel_fbank_segment", "step_valid")
+    xla = SndEnv(cfg, SR, dtype=jnp.float32, spectrum_method="matmul",
+                 use_pallas=False, outputs=outs)
+    pal = SndEnv(cfg, SR, dtype=jnp.float32, use_pallas=True,
+                 pallas_mode=mode, outputs=outs)
+    sig = xla.pad(tone(1234.0, 0.3, SR)).astype(np.float32)
+    o1, o2 = xla.process(sig), pal.process(sig)
+    assert pal._pallas_active
+    assert o2.power_segment is None and o2.log_power_segment is None
+    np.testing.assert_allclose(
+        np.asarray(o1.mel_fbank_segment), np.asarray(o2.mel_fbank_segment),
+        rtol=1e-5, atol=1e-4,
+    )
+
+    # mfcc without power_segment: power must still be emitted for Energy
+    outs2 = ("mfcc_segment", "energy", "step_valid")
+    xla2 = SndEnv(cfg, SR, dtype=jnp.float32, spectrum_method="matmul",
+                  use_pallas=False, outputs=outs2)
+    pal2 = SndEnv(cfg, SR, dtype=jnp.float32, use_pallas=True,
+                  pallas_mode=mode, outputs=outs2)
+    o3, o4 = xla2.process(sig), pal2.process(sig)
+    assert o4.power_segment is None  # field still dropped from outputs
+    np.testing.assert_allclose(
+        np.asarray(o3.energy), np.asarray(o4.energy), rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o3.mfcc_segment), np.asarray(o4.mfcc_segment),
+        rtol=1e-4, atol=2e-3,
+    )
+
+
 def test_pallas_mode_validation():
     from auditory_tpu.ops.framefft import fused_frame_power_mel
 
