@@ -251,6 +251,7 @@ class MultiStreamOnline:
         overflow: str = "error",
         profile: bool = False,
         max_segments_per_poll: int = 1,
+        pipeline_depth: int = 1,
         **env_kw,
     ):
         """``transfer_dtype``: dtype of the per-poll packed host copy.
@@ -288,6 +289,19 @@ class MultiStreamOnline:
         producers: larger K uploads a K-segment window span per poll even
         when only one segment is pending. Outputs equal K=1 polls (same
         window grid, one segment-axis batch; tested at 1e-9 in f64).
+
+        ``pipeline_depth`` (D): with D >= 2, poll() keeps up to D-1 device
+        calls in flight and returns the OLDEST completed one, so poll
+        N+1's on-device compute overlaps poll N's packed host copy -- the
+        two dominant fixed per-poll costs (round-4 profile: compute p50
+        ~50 ms + d2h ~31 ms of a ~92 ms 128-stream poll). Steady-state
+        poll period drops toward max(compute, copy) at the price of one
+        poll of added result latency (the first D-1 polls return []).
+        Per-stream state still advances only at harvest: a failed device
+        call rolls back EVERY in-flight claim (results are never skipped;
+        the next poll re-assembles the same segments from the ring, whose
+        history is only trimmed at successful harvest). D=1 (default) is
+        the latency-optimal synchronous behavior.
         """
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
@@ -323,6 +337,14 @@ class MultiStreamOnline:
         if max_segments_per_poll < 1:
             raise ValueError("max_segments_per_poll must be >= 1")
         self._k = int(max_segments_per_poll)
+        if pipeline_depth < 1:
+            raise ValueError("pipeline_depth must be >= 1")
+        self._depth = int(pipeline_depth)
+        # in-flight device calls (pipeline_depth >= 2): FIFO of dicts
+        # {packed, ready, seg0, k_arr}; _inflight_segs[i] = segments of
+        # stream i claimed by in-flight calls (cursor NOT yet advanced)
+        self._inflight: list = []
+        self._inflight_segs = np.zeros(n_streams, np.int64)
         t = self.env.timing
         self._span_poll = (
             self._pre + (self._k - 1) * t.stride_samples + self._post
@@ -419,8 +441,12 @@ class MultiStreamOnline:
         t = self.env.timing
         new_start_min = new_end - self._cap
         k = -(-(new_start_min + self._pre) // t.stride_samples)  # ceil div
-        k = max(k, int(self._next_seg[i]))
-        self._dropped[i] += k - int(self._next_seg[i])
+        # floor at the EFFECTIVE cursor: segments claimed by in-flight
+        # pipelined polls were already copied out of the ring at dispatch
+        # and WILL be emitted, so they are neither droppable nor dropped
+        claimed = int(self._next_seg[i] + self._inflight_segs[i])
+        k = max(k, claimed)
+        self._dropped[i] += k - claimed
         self._next_seg[i] = k
         self._start[i] = max(
             int(self._start[i]), k * t.stride_samples - self._pre
@@ -475,11 +501,15 @@ class MultiStreamOnline:
         self._total_segs[stream] = max(self.env.seg_cnt(padded_end), 0)
 
     def _ready_streams(self) -> np.ndarray:
+        # readiness is judged at the EFFECTIVE cursor (committed +
+        # in-flight claims) so pipelined polls never re-assemble segments
+        # an un-harvested device call already covers
         t = self.env.timing
+        eff = self._next_seg + self._inflight_segs
         ready = np.where(
             self._closed,
-            self._next_seg < self._total_segs,
-            self._end >= self._next_seg * t.stride_samples + self._post,
+            eff < self._total_segs,
+            self._end >= eff * t.stride_samples + self._post,
         )
         return np.nonzero(ready)[0]
 
@@ -572,7 +602,13 @@ class MultiStreamOnline:
 
         Per-stream state advances only AFTER the device call returns, so a
         failed dispatch (e.g. a flaky remote compile) loses nothing: the
-        next poll retries the same segments."""
+        next poll retries the same segments.
+
+        With ``pipeline_depth`` D >= 2 the call instead dispatches the
+        current ready segments, keeps up to D-1 calls in flight, and
+        returns the OLDEST completed call's results — the first D-1 polls
+        return [] while the pipeline fills, and a device failure rolls
+        back every in-flight claim (nothing is skipped)."""
         import time as _time
 
         prof = self.poll_phases
@@ -587,20 +623,38 @@ class MultiStreamOnline:
         else:
             _mark = lambda phase: None
 
+        entry = self._assemble_and_dispatch(_mark)
+        if self._depth == 1:
+            return self._harvest(entry, _mark) if entry is not None else []
+        if entry is not None:
+            self._inflight.append(entry)
+        if self._inflight and (
+            entry is None or len(self._inflight) >= self._depth
+        ):
+            return self._harvest(self._inflight.pop(0), _mark)
+        return []
+
+    def _assemble_and_dispatch(self, _mark):
+        """Gather every ready stream's window span from the ring, upload,
+        and dispatch the jitted poll program (async dispatch — no block).
+        Returns None when no stream is ready, else the in-flight entry.
+        The drained segments are CLAIMED (``_inflight_segs``) so the next
+        assemble starts past them, but the committed cursor only advances
+        at :meth:`_harvest`."""
         ready = self._ready_streams()
         if len(ready) == 0:
-            return []
+            return None
         t = self.env.timing
-        # segments drained this poll: up to K per ready stream (open
+        eff_next = (self._next_seg + self._inflight_segs)[ready]
+        # segments drained this call: up to K per ready stream (open
         # streams: how many whole segments the buffered audio backs;
         # closed: the remaining padded total)
         open_pending = (
-            self._end[ready] - self._next_seg[ready] * t.stride_samples
-            - self._post
+            self._end[ready] - eff_next * t.stride_samples - self._post
         ) // t.stride_samples + 1
         k_arr = np.where(
             self._closed[ready],
-            self._total_segs[ready] - self._next_seg[ready],
+            self._total_segs[ready] - eff_next,
             open_pending,
         )
         k_arr = np.clip(k_arr, 1, self._k).astype(np.int64)
@@ -610,7 +664,7 @@ class MultiStreamOnline:
         # tail of closed streams (step validity is masked by sig_lens) or
         # not-yet-fed audio of trailing segments beyond k_arr (computed
         # then discarded -- only the first k_arr segments are emitted).
-        lo = self._next_seg[ready] * t.stride_samples - self._pre
+        lo = eff_next * t.stride_samples - self._pre
         coords = lo[:, None] + np.arange(self._span_poll, dtype=np.int64)
         vals = self._bufs[
             ready[:, None], (coords % self._cap).astype(np.intp)
@@ -633,11 +687,38 @@ class MultiStreamOnline:
         _mark("h2d")
         packed = self._fn(*dev_in)
         _mark("dispatch")
-        if prof is not None:
-            packed.block_until_ready()
-            _mark("compute")
-        # ONE host copy for the whole batch, split per key host-side
-        buf = np.asarray(packed)
+        self._inflight_segs[ready] += k_arr
+        return {
+            "packed": packed, "ready": ready, "seg0": eff_next,
+            "k_arr": k_arr,
+        }
+
+    def _rollback(self, entry) -> None:
+        # device failure: un-claim the failed entry AND everything behind
+        # it in the pipeline (later in-flight calls were assembled assuming
+        # this one's segments were drained, so partial rollback would emit
+        # out of order); the next poll re-assembles everything from the
+        # ring, whose history is only trimmed at successful harvest
+        for e in [entry] + self._inflight:
+            self._inflight_segs[e["ready"]] -= e["k_arr"]
+        self._inflight.clear()
+
+    def _harvest(self, entry, _mark):
+        """Block on one dispatched call, unpack its packed buffer, COMMIT
+        the cursor advance, and return its results."""
+        prof = self.poll_phases
+        t = self.env.timing
+        ready, seg0, k_arr = entry["ready"], entry["seg0"], entry["k_arr"]
+        try:
+            packed = entry["packed"]
+            if prof is not None:
+                packed.block_until_ready()
+                _mark("compute")
+            # ONE host copy for the whole batch, split per key host-side
+            buf = np.asarray(packed)
+        except BaseException:
+            self._rollback(entry)
+            raise
         _mark("d2h")
         qscales = None
         if self._quantize and "__qmeta__" in self._layout:
@@ -672,13 +753,18 @@ class MultiStreamOnline:
         results = [
             (
                 int(i),
-                int(self._next_seg[i]) + j,
+                int(s0) + j,
                 {k: v[i, j].copy() for k, v in host.items()},
             )
-            for i, ki in zip(ready, k_arr)
+            for i, s0, ki in zip(ready, seg0, k_arr)
             for j in range(int(ki))
         ]
-        self._next_seg[ready] += k_arr
+        self._inflight_segs[ready] -= k_arr
+        # drop_oldest may have advanced the committed cursor past this
+        # call's claim while it was in flight — never move it backwards
+        self._next_seg[ready] = np.maximum(
+            self._next_seg[ready], seg0 + k_arr
+        )
         new_lo = self._next_seg[ready] * t.stride_samples - self._pre
         self._start[ready] = np.minimum(
             np.maximum(self._start[ready], np.maximum(new_lo, 0)),
@@ -687,10 +773,24 @@ class MultiStreamOnline:
         _mark("emit")
         return results
 
+    def flush_pipeline(self):
+        """Harvest every in-flight pipelined call WITHOUT dispatching new
+        work, oldest-first; returns their combined results ([] when
+        nothing is in flight, always at ``pipeline_depth=1``). Use to
+        quiesce the pipeline without draining buffered backlog."""
+        results = []
+        while self._inflight:
+            results.extend(
+                self._harvest(self._inflight.pop(0), lambda phase: None)
+            )
+        return results
+
     def drain(self):
-        """Poll until no stream has pending segments (e.g. after close)."""
+        """Poll until no stream has pending segments (e.g. after close).
+        With ``pipeline_depth`` >= 2 this also flushes the in-flight
+        pipeline (a poll may return [] while calls are still in flight)."""
         while True:
             got = self.poll()
-            if not got:
+            if not got and not self._inflight:
                 return
             yield from got

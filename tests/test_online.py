@@ -722,3 +722,139 @@ def test_multistream_overlapping_segments_geometry():
             k2[(i, j)]["mel_fbank_segment"], out["mel_fbank_segment"],
             atol=1e-5, err_msg=f"K=2 vs K=1: stream {i} seg {j}",
         )
+
+
+@pytest.mark.parametrize("depth", [2, 3])
+def test_multistream_pipelined_matches_sync(depth):
+    """pipeline_depth=D keeps up to D-1 device calls in flight (poll N+1's
+    compute overlaps poll N's host copy on a real device). Every emitted
+    (stream, seg_idx, value) must equal the synchronous depth=1 run, no
+    segment may be emitted twice or skipped, and the pipeline must
+    actually fill (some polls return [] with work in flight)."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    cfg = default_cfg_2d()
+    durs = [0.53, 0.21, 0.77]
+    sigs = [tone(500.0 + 350 * i, d, SR) for i, d in enumerate(durs)]
+
+    def run(d, k=1):
+        ms = MultiStreamOnline(cfg, SR, n_streams=3, dtype=jnp.float64,
+                               pipeline_depth=d, max_segments_per_poll=k)
+        rng = np.random.default_rng(11)
+        cursors = [0, 0, 0]
+        got = {}
+        deferred = 0
+
+        def collect(res):
+            for i_, k_, out in res:
+                assert (i_, k_) not in got, f"duplicate emit {(i_, k_)}"
+                got[(i_, k_)] = out
+
+        while any(c < len(s) for c, s in zip(cursors, sigs)):
+            i = int(rng.integers(0, 3))
+            if cursors[i] >= len(sigs[i]):
+                continue
+            n = int(rng.integers(200, 6000))
+            ms.feed(i, sigs[i][cursors[i] : cursors[i] + n])
+            cursors[i] += n
+            res = ms.poll()
+            if not res and ms._inflight:
+                deferred += 1
+            collect(res)
+        for i in range(3):
+            ms.close(i)
+        collect(list(ms.drain()))
+        assert not ms._inflight
+        assert not ms._inflight_segs.any()
+        return got, deferred
+
+    ref, _ = run(1)
+    pipe, deferred = run(depth)
+    assert deferred > 0  # the pipeline actually held calls in flight
+    assert set(pipe) == set(ref)
+    for sk in ref:
+        for key in ("mel_fbank_segment", "gabor_raw", "step_valid"):
+            np.testing.assert_allclose(
+                pipe[sk][key], ref[sk][key], atol=1e-9,
+                err_msg=f"{sk} {key}",
+            )
+    # composes with K>1 draining
+    pk, _ = run(depth, k=3)
+    assert set(pk) == set(ref)
+    for sk in ref:
+        np.testing.assert_allclose(
+            pk[sk]["mel_fbank_segment"], ref[sk]["mel_fbank_segment"],
+            atol=1e-9, err_msg=f"pipelined K=3 {sk}",
+        )
+
+
+def test_multistream_pipelined_failure_rolls_back():
+    """A device failure at harvest must roll back EVERY in-flight claim:
+    nothing is skipped, and the next polls re-emit the exact segments the
+    failed calls covered."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    cfg = default_cfg_2d()
+    sig = tone(660.0, 0.53, SR)
+
+    sync = MultiStreamOnline(cfg, SR, n_streams=1, dtype=jnp.float64)
+    sync.feed(0, sig)
+    sync.close(0)
+    ref = {k: out for _, k, out in sync.drain()}
+    assert len(ref) >= 2
+
+    ms = MultiStreamOnline(cfg, SR, n_streams=1, dtype=jnp.float64,
+                           pipeline_depth=2)
+    ms.feed(0, sig)
+    ms.close(0)
+    assert ms.poll() == []  # pipeline fills: call A in flight
+    assert len(ms._inflight) == 1
+    claimed = ms._inflight_segs.copy()
+    assert claimed[0] >= 1
+
+    class Boom:
+        def __array__(self, *a, **k):
+            raise RuntimeError("injected device failure")
+
+    ms._inflight[0] = dict(ms._inflight[0], packed=Boom())
+    with pytest.raises(RuntimeError, match="injected"):
+        # dispatches call B then harvests the poisoned A
+        ms.poll()
+    assert ms._inflight == []  # B's claim was rolled back with A's
+    assert not ms._inflight_segs.any()
+
+    got = {k: out for _, k, out in ms.drain()}
+    assert set(got) == set(ref)  # every segment re-emitted, none skipped
+    for k in ref:
+        np.testing.assert_allclose(
+            got[k]["mel_fbank_segment"], ref[k]["mel_fbank_segment"],
+            atol=1e-9, err_msg=f"segment {k}",
+        )
+
+
+def test_multistream_pipelined_validation():
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        MultiStreamOnline(default_cfg_2d(), SR, n_streams=1,
+                          pipeline_depth=0)
+
+
+def test_multistream_flush_pipeline():
+    """flush_pipeline() harvests in-flight calls without dispatching new
+    work, even when backlog would make poll() dispatch again."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+
+    cfg = default_cfg_2d()
+    ms = MultiStreamOnline(cfg, SR, n_streams=1, dtype=jnp.float64,
+                           pipeline_depth=2)
+    assert ms.flush_pipeline() == []  # idle: nothing in flight
+    ms.feed(0, tone(440.0, 0.9, SR))  # backlog of several segments
+    assert ms.poll() == []  # fills the pipeline
+    assert len(ms._inflight) == 1
+    got = ms.flush_pipeline()
+    assert got and not ms._inflight
+    # backlog remains buffered (flush did NOT dispatch): next poll drains
+    assert ms._ready_streams().size == 1
+    seg_idx = [k for _, k, _ in got]
+    assert seg_idx == list(range(len(seg_idx)))

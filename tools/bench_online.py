@@ -38,6 +38,11 @@ def main() -> None:
                     "a comma list (e.g. 1,4) runs the K scenarios in "
                     "interleaved epochs so link-weather drift hits every K "
                     "equally and the comparison is fair")
+    ap.add_argument("--pipeline-depth", type=str, default="1",
+                    help="MultiStreamOnline pipeline_depth; a comma list "
+                    "(e.g. 1,2) runs the scenarios interleaved (both the "
+                    "aggregate and overload runs). D>=2 overlaps poll N+1's "
+                    "device compute with poll N's packed host copy")
     ap.add_argument("--profile-poll", action="store_true",
                     help="with --overload: time each poll phase "
                     "(gather/h2d/dispatch/compute/d2h/unpack/emit) and "
@@ -86,30 +91,44 @@ def main() -> None:
     import jax.numpy as jnp
 
     td = jnp.int8 if args.int8 else jnp.float16 if args.f16 else None
-    ms = MultiStreamOnline(cfg, sr, n_streams=args.streams,
-                           outputs=outputs_sel, transfer_dtype=td)
-    # steady state: everyone buffered past the first segment
-    for _ in range(args.warmup):
-        for s in range(args.streams):
-            ms.feed(s, (0.1 * rng.standard_normal(chunk_n)).astype(np.float32))
-        list(ms.poll())
-    t0 = time.perf_counter()
-    n_seg = 0
-    for _ in range(args.chunks):
-        for s in range(args.streams):
-            ms.feed(s, (0.1 * rng.standard_normal(chunk_n)).astype(np.float32))
-        n_seg += sum(1 for _ in ms.poll())
-    dt = time.perf_counter() - t0
-    audio_sec = args.chunks * args.streams * 0.1
-    print(json.dumps({
-        "metric": "multistream_aggregate",
-        "streams": args.streams,
-        "outputs": args.outputs,
-        "transfer": "int8" if args.int8 else "f16" if args.f16 else "f32",
-        "ms_per_segment": round(dt / max(n_seg, 1) * 1e3, 2),
-        "aggregate_rtf": round(audio_sec / dt, 1),
-        "segments": n_seg,
-    }))
+    depths = [int(x) for x in str(args.pipeline_depth).split(",")]
+    for depth in depths:
+        ms = MultiStreamOnline(cfg, sr, n_streams=args.streams,
+                               outputs=outputs_sel, transfer_dtype=td,
+                               pipeline_depth=depth)
+        # steady state: everyone buffered past the first segment
+        for _ in range(args.warmup):
+            for s in range(args.streams):
+                ms.feed(
+                    s, (0.1 * rng.standard_normal(chunk_n)).astype(np.float32)
+                )
+            list(ms.poll())
+        # quiesce: a warmup call left in flight would be harvested for
+        # free inside the timed region, biasing D>=2 runs
+        ms.flush_pipeline()
+        t0 = time.perf_counter()
+        n_seg = 0
+        for _ in range(args.chunks):
+            for s in range(args.streams):
+                ms.feed(
+                    s, (0.1 * rng.standard_normal(chunk_n)).astype(np.float32)
+                )
+            n_seg += sum(1 for _ in ms.poll())
+        # flush the in-flight pipeline inside the timed region so D>=2
+        # reports the same segment count as D=1
+        n_seg += len(ms.flush_pipeline())
+        dt = time.perf_counter() - t0
+        audio_sec = args.chunks * args.streams * 0.1
+        print(json.dumps({
+            "metric": "multistream_aggregate",
+            "streams": args.streams,
+            "outputs": args.outputs,
+            "transfer": "int8" if args.int8 else "f16" if args.f16 else "f32",
+            "pipeline_depth": depth,
+            "ms_per_segment": round(dt / max(n_seg, 1) * 1e3, 2),
+            "aggregate_rtf": round(audio_sec / dt, 1),
+            "segments": n_seg,
+        }))
 
     if args.overload:
         # overload: each cycle feeds 400 ms of audio per stream but polls
@@ -126,13 +145,14 @@ def main() -> None:
         from auditory_tpu.utils.canary import d2h_canary, make_canary_buffer
 
         ks = [int(x) for x in str(args.poll_k).split(",")]
+        scenarios = [(k, d) for k in ks for d in depths]
         runs = {}
-        for k in ks:
+        for k, d in scenarios:
             ms2 = MultiStreamOnline(
                 cfg, sr, n_streams=args.streams, outputs=outputs_sel,
                 transfer_dtype=td, max_buffer_seconds=2.0,
                 overflow="drop_oldest", profile=args.profile_poll,
-                max_segments_per_poll=k,
+                max_segments_per_poll=k, pipeline_depth=d,
             )
             for _ in range(args.warmup):
                 for s in range(args.streams):
@@ -141,11 +161,12 @@ def main() -> None:
                         .astype(np.float32),
                     )
                 list(ms2.poll())
+            ms2.flush_pipeline()  # quiesce (see the aggregate run)
             # dropped_segments() is cumulative from stream creation;
             # snapshot after warmup so drop_frac reflects the measured
             # phase only (the warmup cycles shed segments too and would
             # bias the ratio high)
-            runs[k] = dict(
+            runs[(k, d)] = dict(
                 ms=ms2, lat=[], canary=[], n_seg=0,
                 dropped0=sum(
                     ms2.dropped_segments(s) for s in range(args.streams)
@@ -160,8 +181,8 @@ def main() -> None:
         epochs = 4
         per_epoch = max(1, args.chunks // epochs)
         for _ in range(epochs):
-            for k in ks:
-                r = runs[k]
+            for kd in scenarios:
+                r = runs[kd]
                 for _ in range(per_epoch):
                     for s in range(args.streams):
                         r["ms"].feed(
@@ -172,12 +193,22 @@ def main() -> None:
                     t0 = time.perf_counter()
                     r["n_seg"] += sum(1 for _ in r["ms"].poll())
                     r["lat"].append(time.perf_counter() - t0)
-        _report_overload(args, runs, ks)
+        # flush in-flight pipelined calls (harvest only, no new dispatch:
+        # draining the overload backlog here would distort the scenario)
+        # so D>=2 counts every dispatched segment; keep lat/canary paired
+        # for the attribution arrays
+        for r in runs.values():
+            if r["ms"]._inflight:
+                r["canary"].append(d2h_canary(canary_buf))
+                t0 = time.perf_counter()
+                r["n_seg"] += len(r["ms"].flush_pipeline())
+                r["lat"].append(time.perf_counter() - t0)
+        _report_overload(args, runs, scenarios)
 
 
-def _report_overload(args, runs, ks):
-    for k in ks:
-        r = runs[k]
+def _report_overload(args, runs, scenarios):
+    for k, d in scenarios:
+        r = runs[(k, d)]
         ms2, lat2, canary2, n_seg2 = r["ms"], r["lat"], r["canary"], r["n_seg"]
         dropped = sum(
             ms2.dropped_segments(s) for s in range(args.streams)
@@ -197,6 +228,7 @@ def _report_overload(args, runs, ks):
             "metric": "multistream_overload_4x",
             "streams": args.streams,
             "poll_k": k,
+            "pipeline_depth": d,
             "ms_per_segment": round(
                 float(np.sum(lat2)) * 1e3 / max(n_seg2, 1), 3
             ),
@@ -227,7 +259,12 @@ def _report_overload(args, runs, ks):
                 for ph, a in arrs.items()
             }
             # which phase explains the slow polls: mean share of each
-            # phase inside the slowest poll decile
+            # phase inside the slowest poll decile. With pipeline_depth
+            # >= 2 the phase arrays can differ in length (a poll that
+            # dispatched without harvesting records only 3 phases) --
+            # trim to the common prefix for the joint statistic
+            n_min = min(len(a) for a in arrs.values())
+            arrs = {ph: a[:n_min] for ph, a in arrs.items()}
             tot = np.sum(list(arrs.values()), axis=0)
             slow = tot >= np.quantile(tot, 0.9)
             shares = {
@@ -238,6 +275,7 @@ def _report_overload(args, runs, ks):
                 "metric": "poll_phase_profile",
                 "streams": args.streams,
                 "poll_k": k,
+                "pipeline_depth": d,
                 "phases": phases,
                 "slow_decile_share": shares,
             }))
