@@ -227,6 +227,11 @@ class MultiStreamOnline:
     Semantics per stream are identical to :class:`OnlineSndEnv` (same
     rolling-buffer math, same offline bit-equivalence, same flush padding).
 
+    Not thread-safe: feed/poll/close mutate shared flat state, so callers
+    must serialize access (one poller thread; producers hand chunks to it
+    via a queue). The GIL makes individual numpy ops atomic but interleaved
+    feed+poll from two threads can split a feed across a poll's gather.
+
     Usage::
 
         ms = MultiStreamOnline(cfg, 16000, n_streams=16,
