@@ -346,10 +346,14 @@ class MultiStreamOnline:
             raise ValueError("pipeline_depth must be >= 1")
         self._depth = int(pipeline_depth)
         # in-flight device calls (pipeline_depth >= 2): FIFO of dicts
-        # {packed, ready, seg0, k_arr}; _inflight_segs[i] = segments of
-        # stream i claimed by in-flight calls (cursor NOT yet advanced)
+        # {packed, ready, seg0, k_arr}. _claim_end[i] = ABSOLUTE end of the
+        # segment range claimed by in-flight calls for stream i; the
+        # effective assembly cursor is max(_next_seg, _claim_end), NOT
+        # next_seg + count — drop_oldest can advance the committed cursor
+        # PAST an in-flight claim, after which a relative count would make
+        # assembly skip one segment per drop event permanently
         self._inflight: list = []
-        self._inflight_segs = np.zeros(n_streams, np.int64)
+        self._claim_end = np.zeros(n_streams, np.int64)
         t = self.env.timing
         self._span_poll = (
             self._pre + (self._k - 1) * t.stride_samples + self._post
@@ -403,6 +407,12 @@ class MultiStreamOnline:
             if profile else None
         )
 
+    @property
+    def _inflight_segs(self) -> np.ndarray:
+        """Per-stream count of segments claimed by in-flight calls but not
+        yet committed ([N] int64, diagnostic)."""
+        return np.maximum(self._claim_end - self._next_seg, 0)
+
     def pending_samples(self, stream: int) -> int:
         """Samples currently buffered for one stream."""
         return int(self._end[stream] - self._start[stream])
@@ -449,9 +459,9 @@ class MultiStreamOnline:
         # floor at the EFFECTIVE cursor: segments claimed by in-flight
         # pipelined polls were already copied out of the ring at dispatch
         # and WILL be emitted, so they are neither droppable nor dropped
-        claimed = int(self._next_seg[i] + self._inflight_segs[i])
-        k = max(k, claimed)
-        self._dropped[i] += k - claimed
+        ce = max(int(self._next_seg[i]), int(self._claim_end[i]))
+        k = max(k, ce)
+        self._dropped[i] += k - ce
         self._next_seg[i] = k
         self._start[i] = max(
             int(self._start[i]), k * t.stride_samples - self._pre
@@ -510,7 +520,7 @@ class MultiStreamOnline:
         # in-flight claims) so pipelined polls never re-assemble segments
         # an un-harvested device call already covers
         t = self.env.timing
-        eff = self._next_seg + self._inflight_segs
+        eff = np.maximum(self._next_seg, self._claim_end)
         ready = np.where(
             self._closed,
             eff < self._total_segs,
@@ -650,7 +660,7 @@ class MultiStreamOnline:
         if len(ready) == 0:
             return None
         t = self.env.timing
-        eff_next = (self._next_seg + self._inflight_segs)[ready]
+        eff_next = np.maximum(self._next_seg, self._claim_end)[ready]
         # segments drained this call: up to K per ready stream (open
         # streams: how many whole segments the buffered audio backs;
         # closed: the remaining padded total)
@@ -692,21 +702,20 @@ class MultiStreamOnline:
         _mark("h2d")
         packed = self._fn(*dev_in)
         _mark("dispatch")
-        self._inflight_segs[ready] += k_arr
+        self._claim_end[ready] = eff_next + k_arr
         return {
             "packed": packed, "ready": ready, "seg0": eff_next,
             "k_arr": k_arr,
         }
 
-    def _rollback(self, entry) -> None:
+    def _rollback(self) -> None:
         # device failure: un-claim the failed entry AND everything behind
         # it in the pipeline (later in-flight calls were assembled assuming
         # this one's segments were drained, so partial rollback would emit
         # out of order); the next poll re-assembles everything from the
         # ring, whose history is only trimmed at successful harvest
-        for e in [entry] + self._inflight:
-            self._inflight_segs[e["ready"]] -= e["k_arr"]
         self._inflight.clear()
+        self._claim_end = self._next_seg.copy()
 
     def _harvest(self, entry, _mark):
         """Block on one dispatched call, unpack its packed buffer, COMMIT
@@ -722,7 +731,7 @@ class MultiStreamOnline:
             # ONE host copy for the whole batch, split per key host-side
             buf = np.asarray(packed)
         except BaseException:
-            self._rollback(entry)
+            self._rollback()
             raise
         _mark("d2h")
         qscales = None
@@ -764,7 +773,6 @@ class MultiStreamOnline:
             for i, s0, ki in zip(ready, seg0, k_arr)
             for j in range(int(ki))
         ]
-        self._inflight_segs[ready] -= k_arr
         # drop_oldest may have advanced the committed cursor past this
         # call's claim while it was in flight — never move it backwards
         self._next_seg[ready] = np.maximum(

@@ -858,3 +858,62 @@ def test_multistream_flush_pipeline():
     assert ms._ready_streams().size == 1
     seg_idx = [k for _, k, _ in got]
     assert seg_idx == list(range(len(seg_idx)))
+
+
+def test_multistream_pipelined_drop_oldest_accounting():
+    """drop_oldest while a pipelined call is in flight: in-flight segments
+    were already copied out of the ring at dispatch, so they must be
+    EMITTED (never counted dropped), dropped+emitted indices must be
+    disjoint and cover the range, and surviving segments must stay
+    bit-identical to the offline run."""
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+    from auditory_tpu.pipeline.sndenv import SndEnv
+
+    cfg = default_cfg_2d()
+    env = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    sig = tone(820.0, 1.7, SR)
+    offline = env.process(env.pad(sig))
+    n_off = offline.mel_fbank_segment.shape[0]
+
+    ms = MultiStreamOnline(cfg, SR, n_streams=1, dtype=jnp.float64,
+                           max_buffer_seconds=0.0, overflow="drop_oldest",
+                           pipeline_depth=2)
+    got = {}
+    need = ms._post + ms.env.timing.stride_samples  # first segment ready
+    ms.feed(0, sig[:need])
+    assert ms.poll() == []  # call A in flight, claiming segment(s)
+    claimed = int(ms._inflight_segs[0])
+    assert claimed >= 1
+    # the 0-second cap may already have dropped a leading segment before
+    # the first poll; the claim starts wherever the cursor then stood
+    seg0_a = int(ms._inflight[0]["seg0"][0])
+    # overfeed with NO harvest: drop_oldest must floor at the claimed
+    # cursor, never dropping what call A already copied out
+    for chunk in np.array_split(sig[need:], 5):
+        ms.feed(0, chunk)
+    assert ms._next_seg[0] >= claimed  # drops happened past the claim
+    dropped_mid = ms.dropped_segments(0)
+    assert dropped_mid > 0
+    for _, k, out in ms.poll() + ms.flush_pipeline():
+        assert k not in got
+        got[k] = out
+    ms.close(0)
+    for _, k, out in ms.drain():
+        assert k not in got
+        got[k] = out
+    assert not ms._inflight and not ms._inflight_segs.any()
+
+    dropped = ms.dropped_segments(0)
+    ks = sorted(got)
+    # the in-flight claim was emitted despite the drops advancing past it
+    for j in range(claimed):
+        assert seg0_a + j in got, (seg0_a, j, ks)
+    # emitted and dropped partition [0, n_off): count matches and no
+    # emitted index was counted dropped
+    assert len(ks) + dropped == n_off, (len(ks), dropped, n_off)
+    for k in ks:
+        np.testing.assert_allclose(
+            np.asarray(got[k]["mel_fbank_segment"]),
+            np.asarray(offline.mel_fbank_segment[k]),
+            atol=1e-9, err_msg=f"segment {k}",
+        )
