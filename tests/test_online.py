@@ -699,9 +699,10 @@ def test_multistream_overlapping_segments_geometry():
         got_ref[k] = out
     assert len(got_ref) >= 3  # the overlap actually multiplies segments
 
-    def run(k):
+    def run(k, depth=1):
         ms = MultiStreamOnline(cfg, SR, n_streams=2,
-                               max_segments_per_poll=k)
+                               max_segments_per_poll=k,
+                               pipeline_depth=depth)
         assert ms._prog_segs > ms._k or k > 1
         for s in range(2):
             ms.feed(s, sig)
@@ -711,6 +712,14 @@ def test_multistream_overlapping_segments_geometry():
     k1 = run(1)
     k2 = run(2)
     assert set(k1) == set(k2)
+    # pipelined poll over the overlapping-segment geometry: the trailing
+    # computed-then-discarded span segments must not leak into the claim
+    p2 = run(1, depth=2)
+    assert set(p2) == set(k1)
+    for key, out in k1.items():
+        np.testing.assert_array_equal(
+            p2[key]["mel_fbank_segment"], out["mel_fbank_segment"]
+        )
     assert sorted(j for (i, j) in k1 if i == 0) == sorted(got_ref)
     for (i, j), out in k1.items():
         np.testing.assert_allclose(
