@@ -92,6 +92,13 @@ def main() -> None:
 
     td = jnp.int8 if args.int8 else jnp.float16 if args.f16 else None
     depths = [int(x) for x in str(args.pipeline_depth).split(",")]
+    # one instance per depth, measured in INTERLEAVED epochs (same
+    # fairness design as the overload --poll-k comparison: link weather
+    # drifts minute-to-minute, so sequential depth runs would confound).
+    # Each epoch flushes its pipeline inside its own timed window — D>=2
+    # pays its fill/drain at every epoch boundary (conservative) and
+    # never gets free compute time while other depths hold the clock.
+    mss, agg = {}, {}
     for depth in depths:
         ms = MultiStreamOnline(cfg, sr, n_streams=args.streams,
                                outputs=outputs_sel, transfer_dtype=td,
@@ -103,31 +110,37 @@ def main() -> None:
                     s, (0.1 * rng.standard_normal(chunk_n)).astype(np.float32)
                 )
             list(ms.poll())
-        # quiesce: a warmup call left in flight would be harvested for
-        # free inside the timed region, biasing D>=2 runs
-        ms.flush_pipeline()
-        t0 = time.perf_counter()
-        n_seg = 0
-        for _ in range(args.chunks):
-            for s in range(args.streams):
-                ms.feed(
-                    s, (0.1 * rng.standard_normal(chunk_n)).astype(np.float32)
-                )
-            n_seg += sum(1 for _ in ms.poll())
-        # flush the in-flight pipeline inside the timed region so D>=2
-        # reports the same segment count as D=1
-        n_seg += len(ms.flush_pipeline())
-        dt = time.perf_counter() - t0
-        audio_sec = args.chunks * args.streams * 0.1
+        ms.flush_pipeline()  # quiesce: no free warmup harvests
+        mss[depth] = ms
+        agg[depth] = dict(t=0.0, n=0)
+    agg_epochs = 4
+    agg_per_epoch = max(1, args.chunks // agg_epochs)
+    for _ in range(agg_epochs):
+        for depth, ms in mss.items():
+            a = agg[depth]
+            t0 = time.perf_counter()
+            for _ in range(agg_per_epoch):
+                for s in range(args.streams):
+                    ms.feed(
+                        s,
+                        (0.1 * rng.standard_normal(chunk_n))
+                        .astype(np.float32),
+                    )
+                a["n"] += sum(1 for _ in ms.poll())
+            a["n"] += len(ms.flush_pipeline())
+            a["t"] += time.perf_counter() - t0
+    for depth in depths:
+        a = agg[depth]
+        audio_sec = agg_epochs * agg_per_epoch * args.streams * 0.1
         print(json.dumps({
             "metric": "multistream_aggregate",
             "streams": args.streams,
             "outputs": args.outputs,
             "transfer": "int8" if args.int8 else "f16" if args.f16 else "f32",
             "pipeline_depth": depth,
-            "ms_per_segment": round(dt / max(n_seg, 1) * 1e3, 2),
-            "aggregate_rtf": round(audio_sec / dt, 1),
-            "segments": n_seg,
+            "ms_per_segment": round(a["t"] / max(a["n"], 1) * 1e3, 2),
+            "aggregate_rtf": round(audio_sec / a["t"], 1),
+            "segments": a["n"],
         }))
 
     if args.overload:
