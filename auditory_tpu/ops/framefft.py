@@ -52,6 +52,19 @@ default): chunk pads 1103 -> 1280 and p=128 forces block=128's 28% n_pad
 waste. The XLA dense frontends remain the dispatch picks at every grade;
 the kernel stays the opt-in fused-fusion position (use_pallas=True). See
 BENCH_NOTES_r04.md.
+
+'merged' mode probed whether the dot COUNT (vs MACs) carries any of the
+deficit: one cos|sin operand makes each limb product a single [block,
+chunk] x [chunk, 2*k_pad] dot -- the conv's per-pass GEMM shape, half the
+dots, identical MACs. Measured NEUTRAL at 6/3 passes (5.81/4.25 ms vs
+masked 5.75/4.22, same invocation) and WORSE at passes=1 (4.28 vs 3.49):
+MXU time tracks padded MACs, not dot count. With that, the kernel's cost
+is linear in the limb-PRODUCT count (~3.5 + k*0.75 ms for k products)
+while the conv's HIGHEST==HIGH time says the conv is data-movement-bound,
+not MAC-bound: the exact grade needs 6 bf16x bf16 products (3 limbs) by
+arithmetic necessity, so no kernel of this family can beat the conv at
+exact. The one tier where the kernel leads is high/3-pass (masked 4.22 vs
+conv 4.57, -8%, single reading) -- not enough margin to move the dispatch.
 """
 
 from __future__ import annotations
@@ -84,7 +97,18 @@ __all__ = ["fused_frame_power_mel", "pad_basis", "supported_geometry"]
 #       kernel emits -- so no rotation is materialized. Fixes both grouped
 #       losses (full-M matmul, one basis copy) and lifts the residue-period
 #       VMEM blowup: odd strides (44.1 kHz) become Pallas-eligible.
-PALLAS_MODES = ("grouped", "masked")
+#   "merged": masked + fused re|im basis -- the cos and -sin tiled bases
+#       concatenate along the bin axis into one [chunk, 2*k_pad] operand,
+#       so each limb product is ONE MXU dot producing [block, 2*k_pad]
+#       (re | im by static column split) instead of two k_pad-wide dots.
+#       Identical MACs and identical per-product f32 accumulation (the
+#       MXU contracts per output column), but half the dot count: the XLA
+#       conv frontend owes part of its exact-grade lead to computing
+#       re+im as output channels of a single contraction per pass -- this
+#       gives the kernel the same GEMM shape per pass.
+PALLAS_MODES = ("grouped", "masked", "merged")
+# modes sharing the mask-and-tile load/mask structure (single tiled basis)
+_MASKLIKE = ("masked", "merged")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -142,14 +166,15 @@ def supported_geometry(
     not). Interpret mode (CPU tests) has no VMEM, so the budget check is
     skipped there; ``win=0`` (unknown) also skips it.
 
-    ``masked``: the block auto-raises to the residue period (p <= 128
-    always, and M = block full matmul rows cost nothing extra), so only
-    the -- tiny -- tiled-basis VMEM budget applies: every uniform-grid
-    geometry is supported, including odd strides."""
+    ``masked``/``merged``: the block auto-raises to the residue period
+    (p <= 128 always, and M = block full matmul rows cost nothing extra),
+    so only the -- tiny -- tiled-basis VMEM budget applies: every
+    uniform-grid geometry is supported, including odd strides (merged
+    holds the same total basis bytes as masked, just concatenated)."""
     if mode not in PALLAS_MODES:
         raise ValueError(f"mode must be one of {PALLAS_MODES}, got {mode!r}")
     p = 128 // math.gcd(step_samples, 128)
-    if mode == "masked":
+    if mode in _MASKLIKE:
         if win and not interpret:
             return (
                 masked_vmem_bytes(step_samples, win, passes, max_block)
@@ -389,6 +414,7 @@ def _make_masked_kernel(
     passes: int,
     emit_power: bool,
     emit_logp: bool,
+    merged_k_pad: int = 0,
 ):
     # Mask-and-tile formulation (see PALLAS_MODES): every block slot loads
     # its 128-aligned [1, chunk] chunk, the static mask zeroes (or
@@ -396,6 +422,10 @@ def _make_masked_kernel(
     # full-M matmul runs against the row-tiled basis. The masked row's DFT
     # comes out phase-rotated by e^{-2pi*i*k*rem_u/win} (shift theorem);
     # power = re^2 + im^2 is rotation-invariant, so the result is exact.
+    #
+    # merged_k_pad > 0 selects the merged formulation: one cos|sin basis
+    # ref of [.., chunk, 2*k_pad], ONE dot per limb product, re/im by
+    # static column split (see PALLAS_MODES 'merged').
     nl = _n_limbs(passes)
     tail = _make_tail(
         log_offset=log_offset,
@@ -408,7 +438,7 @@ def _make_masked_kernel(
         emit_logp=emit_logp,
     )
 
-    def kernel(signal_ref, mask_ref, cos_ref, sin_ref, melw_ref, *out_refs):
+    def _load_group(signal_ref, mask_ref):
         wblk = pl.program_id(1)
         # dynamic block base on the signal axis; multiple of 128 because
         # block*step is (block is padded to the residue period)
@@ -417,7 +447,10 @@ def _make_masked_kernel(
         for u in range(block):
             aligned = pl.multiple_of(dyn + stat_aligned[u], 128)
             rows.append(signal_ref[0, 0, pl.ds(aligned, chunk)])
-        group = jnp.stack(rows) * mask_ref[:, :]  # [block, chunk]
+        return jnp.stack(rows) * mask_ref[:, :]  # [block, chunk]
+
+    def kernel(signal_ref, mask_ref, cos_ref, sin_ref, melw_ref, *out_refs):
+        group = _load_group(signal_ref, mask_ref)
         if passes == 1:
             re = jnp.dot(
                 group, cos_ref[:, :], preferred_element_type=jnp.float32
@@ -431,7 +464,22 @@ def _make_masked_kernel(
             im = _limb_dot(g_limbs, [sin_ref[l] for l in range(nl)], passes)
         tail(re * re + im * im, melw_ref, out_refs)
 
-    return kernel
+    def merged_kernel(signal_ref, mask_ref, cs_ref, melw_ref, *out_refs):
+        group = _load_group(signal_ref, mask_ref)
+        if passes == 1:
+            reim = jnp.dot(
+                group, cs_ref[:, :], preferred_element_type=jnp.float32
+            )
+        else:
+            g_limbs = _split_limbs(group, nl)
+            reim = _limb_dot(
+                g_limbs, [cs_ref[l] for l in range(nl)], passes
+            )
+        re = reim[:, :merged_k_pad]
+        im = reim[:, merged_k_pad:]
+        tail(re * re + im * im, melw_ref, out_refs)
+
+    return merged_kernel if merged_k_pad else kernel
 
 
 def fused_frame_power_mel(
@@ -483,10 +531,11 @@ def fused_frame_power_mel(
     """
     if mode not in PALLAS_MODES:
         raise ValueError(f"mode must be one of {PALLAS_MODES}, got {mode!r}")
-    if window is not None and mode != "masked":
+    if window is not None and mode not in _MASKLIKE:
         raise ValueError(
-            "an explicit analysis window requires mode='masked'; grouped "
-            "mode folds the window into the basis rows upstream"
+            "an explicit analysis window requires a mask-and-tile mode "
+            "('masked'/'merged'); grouped mode folds the window into the "
+            "basis rows upstream"
         )
     assert dft.prev_smooth == 0.0, "prev_smooth>0 uses the XLA path"
     b, s = signals.shape
@@ -520,7 +569,7 @@ def fused_frame_power_mel(
     stat_aligned = tuple((st // 128) * 128 for st in starts_u)
     rems = tuple(st - al for st, al in zip(starts_u, stat_aligned))
 
-    if mode == "masked":
+    if mode in _MASKLIKE:
         # exactly the needed slack: max residue of the actual slot pattern
         chunk = _round_up(win + max(rems), 128)
     else:
@@ -548,7 +597,7 @@ def fused_frame_power_mel(
         emit_power=emit_power,
         emit_logp=emit_logp,
     )
-    if mode == "masked":
+    if mode in _MASKLIKE:
         # single row-tiled basis: row m reuses basis row m mod win bit-
         # exactly (cos(2*pi*k*m/win) and -sin are win-periodic in m), so
         # each masked row's DFT is the true window DFT rotated by
@@ -565,31 +614,42 @@ def fused_frame_power_mel(
         for u, r in enumerate(rems):
             mask_np[u, r : r + win] = wvec
         mask = jnp.asarray(mask_np)
-        if passes > 1:
-            cos_c = jnp.stack(_split_limbs(cos_c, nl))  # [nl, chunk, k_pad]
-            sin_c = jnp.stack(_split_limbs(sin_c, nl))
-            melw = jnp.stack(_split_limbs(jnp.asarray(mel_weights), nl))
+        merged = mode == "merged"
+        if merged:
+            # fused re|im operand: one dot per limb product (same MACs,
+            # half the dot count; see PALLAS_MODES 'merged')
+            cs_c = jnp.concatenate([cos_c, sin_c], axis=1)  # [chunk, 2k]
+            if passes > 1:
+                cs_c = jnp.stack(_split_limbs(cs_c, nl))
+                melw = jnp.stack(_split_limbs(jnp.asarray(mel_weights), nl))
+            basis_inputs = (cs_c,)
+        else:
+            if passes > 1:
+                cos_c = jnp.stack(_split_limbs(cos_c, nl))  # [nl, chunk, k]
+                sin_c = jnp.stack(_split_limbs(sin_c, nl))
+                melw = jnp.stack(_split_limbs(jnp.asarray(mel_weights), nl))
+            basis_inputs = (cos_c, sin_c)
         kernel = _make_masked_kernel(
             chunk=chunk,
             block=block,
             step=step_samples,
             stat_aligned=stat_aligned,
+            merged_k_pad=k_pad if merged else 0,
             **common,
         )
-        const_inputs = (mask, cos_c, sin_c, melw)
+        const_inputs = (mask, *basis_inputs, melw)
         mask_spec = [pl.BlockSpec((block, chunk), lambda bi, wi: (0, 0))]
+        kc = 2 * k_pad if merged else k_pad
         if passes == 1:
             basis_specs = mask_spec + [
-                pl.BlockSpec((chunk, k_pad), lambda bi, wi: (0, 0)),
-                pl.BlockSpec((chunk, k_pad), lambda bi, wi: (0, 0)),
-                pl.BlockSpec((k_pad, m_pad), lambda bi, wi: (0, 0)),
-            ]
+                pl.BlockSpec((chunk, kc), lambda bi, wi: (0, 0))
+                for _ in basis_inputs
+            ] + [pl.BlockSpec((k_pad, m_pad), lambda bi, wi: (0, 0))]
         else:
             basis_specs = mask_spec + [
-                pl.BlockSpec((nl, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
-                pl.BlockSpec((nl, chunk, k_pad), lambda bi, wi: (0, 0, 0)),
-                pl.BlockSpec((nl, k_pad, m_pad), lambda bi, wi: (0, 0, 0)),
-            ]
+                pl.BlockSpec((nl, chunk, kc), lambda bi, wi: (0, 0, 0))
+                for _ in basis_inputs
+            ] + [pl.BlockSpec((nl, k_pad, m_pad), lambda bi, wi: (0, 0, 0))]
         contraction = chunk  # the single matmul contracts the full chunk
     else:
         # residue-shifted basis variants: variant r holds the basis at rows
@@ -674,8 +734,8 @@ def fused_frame_power_mel(
     logp = next(it) if emit_logp else None
     mel = next(it)
 
-    if mode == "masked":
-        # masked-mode rows come out in natural window order
+    if mode in _MASKLIKE:
+        # mask-and-tile rows come out in natural window order
         rows = slice(None, n_windows)
     else:
         # de-permute grouped kernel output rows back to window order (shared

@@ -409,7 +409,9 @@ class SndEnv:
         from ..ops.framefft import fused_frame_power_mel, pad_basis
 
         t = self.timing
-        masked = self.pallas_mode == "masked"
+        from ..ops.framefft import _MASKLIKE
+
+        masked = self.pallas_mode in _MASKLIKE
         key = f"pallas_basis_{self.pallas_mode}"
         if key not in self._jit_cache:
             if masked and self.analysis_win is not None:

@@ -24,7 +24,7 @@ def make_envs(cfg, mode="grouped"):
     return xla, pal
 
 
-@pytest.mark.parametrize("mode", ["grouped", "masked"])
+@pytest.mark.parametrize("mode", ["grouped", "masked", "merged"])
 def test_pallas_matches_xla_full_pipeline(mode):
     cfg = default_cfg_2d()
     xla, pal = make_envs(cfg, mode)
@@ -104,7 +104,7 @@ def test_pallas_requires_f32_and_no_smooth():
         SndEnv(cfg2, SR, dtype=jnp.float32, use_pallas=True)
 
 
-@pytest.mark.parametrize("mode", ["grouped", "masked"])
+@pytest.mark.parametrize("mode", ["grouped", "masked", "merged"])
 @pytest.mark.parametrize("passes,atol", [(1, 2e-4), (3, 5e-3), (6, 2e-4)])
 def test_pallas_passes_variants(passes, atol, mode):
     """The emulation levels track the XLA path at their documented grades.
@@ -263,7 +263,8 @@ def test_pallas_masked_odd_stride():
     )
 
 
-def test_pallas_masked_analysis_window():
+@pytest.mark.parametrize("mode", ["masked", "merged"])
+def test_pallas_masked_analysis_window(mode):
     """With window_fn set, masked mode must move the analysis window into
     the per-slot mask (the tiled basis stays a pure complex exponential:
     a window folded into the basis rows would NOT tile -- w[(rem+n) mod W]
@@ -277,7 +278,7 @@ def test_pallas_masked_analysis_window():
     xla = SndEnv(cfg, SR, dtype=jnp.float32, spectrum_method="matmul",
                  use_pallas=False, outputs=outs)
     pal = SndEnv(cfg, SR, dtype=jnp.float32, use_pallas=True,
-                 pallas_mode="masked", outputs=outs)
+                 pallas_mode=mode, outputs=outs)
     sig = xla.pad(tone(987.0, 0.25, SR)).astype(np.float32)
     o1, o2 = xla.process(sig), pal.process(sig)
     assert pal._pallas_active
@@ -291,7 +292,7 @@ def test_pallas_masked_analysis_window():
     )
 
 
-@pytest.mark.parametrize("mode", ["grouped", "masked"])
+@pytest.mark.parametrize("mode", ["grouped", "masked", "merged"])
 def test_pallas_emit_gating(mode):
     """Output gating: a mel-only env must skip the kernel's wide power/
     log-power HBM writes (the fields come back None) yet still match the

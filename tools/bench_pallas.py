@@ -115,6 +115,15 @@ def main() -> None:
                            pallas_mode="masked")),
         ("pallasm_1", dict(use_pallas=True, pallas_passes=1,
                            pallas_mode="masked")),
+        # merged kernel: masked + fused re|im basis (ONE dot per limb
+        # product against the [chunk, 2*k_pad] cos|sin operand -- the XLA
+        # conv's per-pass GEMM shape)
+        ("pallasf_6", dict(use_pallas=True, pallas_passes=6,
+                           pallas_mode="merged")),
+        ("pallasf_3", dict(use_pallas=True, pallas_passes=3,
+                           pallas_mode="merged")),
+        ("pallasf_1", dict(use_pallas=True, pallas_passes=1,
+                           pallas_mode="merged")),
     ]
     if args.block:
         variants = [
@@ -140,7 +149,8 @@ def main() -> None:
                               win=t.win_samples, passes=1, mode="masked"):
         print(json.dumps({"skipped": "masked pallas variants: geometry "
                           "unsupported (VMEM)", "step": t.step_samples}))
-        variants = [v for v in variants if not v[0].startswith("pallasm_")]
+        variants = [v for v in variants
+                    if not v[0].startswith(("pallasm_", "pallasf_"))]
 
     from auditory_tpu.dsp.dft import factored_dft_plan
 

@@ -90,9 +90,11 @@ def main() -> None:
         "operands (diagnostic only -- must FAIL the exact bounds)",
     )
     ap.add_argument(
-        "--pallas-mode", default="grouped", choices=("grouped", "masked"),
+        "--pallas-mode", default="grouped",
+        choices=("grouped", "masked", "merged"),
         help="kernel formulation for --pallas probes (ops/framefft.py "
-        "PALLAS_MODES): 'masked' is the mask-and-tile single-matmul kernel",
+        "PALLAS_MODES): 'masked' is the mask-and-tile single-matmul kernel, "
+        "'merged' its fused re|im-basis variant",
     )
     ap.add_argument(
         "--frontend", default=None,
