@@ -56,6 +56,9 @@ def main() -> None:
     mfcc = ("mfcc_segment", "mfcc_deltas", "mfcc_delta_deltas", "energy")
     gabor = ("gabor_raw", "gabor_kwta")
     variants = [
+        # raw frontend without log/mel (XLA DCEs them): splits the
+        # conv/frames GEMM from the elementwise tail at small geometries
+        ("power_only", cfg_nok, ("power_segment", "step_valid")),
         ("mel_only", cfg_nok, ("mel_fbank_segment", "step_valid")),
         ("mel_mfcc_nodeltas", cfg_nok,
          ("mel_fbank_segment", "step_valid", "mfcc_segment", "energy")),
