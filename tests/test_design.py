@@ -173,3 +173,33 @@ def test_clamp_mel_to_nyquist():
     low = clamp_mel_to_nyquist(cfg, 8000)
     assert low.mel.fbank.hi_hz == 4000.0
     assert low.mel.fbank.n_filters == cfg.mel.fbank.n_filters
+
+
+def test_gabor_gemm_matches_conv():
+    """The static-patch GEMM lowering (convolve(method='gemm')) must be
+    bit-identical to the conv lowering at f64 across geometries, including
+    NaN inputs (the 0.5 substitution happens before either contraction) and
+    the 4-D out_pools clamping. Measured on chip bit-exact too
+    (tools/probe_gabor.py); 'conv' stays the default by measurement."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from auditory_tpu.config import GaborSet, default_gabor_specs
+    from auditory_tpu.dsp.design import gabor_filters
+    from auditory_tpu.dsp.gabor import convolve
+
+    gset = GaborSet(size_x=9, size_y=9, stride_x=3, stride_y=3, gain=2.0,
+                    specs=default_gabor_specs(phases=(0.0, 1.5708)))
+    filts = jnp.asarray(gabor_filters(gset))
+    rng = np.random.default_rng(7)
+    for shape, pools in [((3, 4, 32, 14), None), ((5, 32, 14), None),
+                         ((2, 3, 40, 20), None), ((2, 2, 32, 14), (4, 2))]:
+        x = rng.standard_normal(shape)
+        x.flat[::83] = np.nan
+        xj = jnp.asarray(x)
+        a = convolve(xj, filts, gset, out_pools=pools, method="conv")
+        b = convolve(xj, filts, gset, out_pools=pools, method="gemm")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="method"):
+        convolve(jnp.zeros((2, 32, 14)), filts, gset, method="winograd")
