@@ -133,26 +133,31 @@ def convolve(
         vx = max(0, (n_time - gset.size_x) // gset.stride_x + 1)
         fy = min(f_count, vy)
         tx = min(t_count, vx)
-        xs = x[:, 0]  # [B, n_freq, n_time]
-        patches = jnp.stack(
-            [
-                xs[
-                    :,
-                    i * gset.stride_y : i * gset.stride_y + gset.size_y,
-                    j * gset.stride_x : j * gset.stride_x + gset.size_x,
-                ]
-                for i in range(fy)
-                for j in range(tx)
-            ],
-            axis=1,
-        )  # [B, fy*tx, sy, sx]
-        pm = patches.reshape(patches.shape[0], fy * tx, -1)
-        km = k[:, 0].reshape(k.shape[0], -1).T  # [sy*sx, nf]
-        out = jnp.matmul(
-            pm, km, precision=precision, preferred_element_type=x.dtype
-        )  # [B, fy*tx, nf]
-        out = out.reshape(out.shape[0], fy, tx, -1)
-        out = jnp.moveaxis(out, -1, 1)  # [B, nf, fy, tx]
+        if fy * tx == 0:
+            # degenerate out_pools (zero positions): match the conv
+            # branch's empty-slice result instead of stacking nothing
+            out = jnp.zeros((x.shape[0], k.shape[0], fy, tx), x.dtype)
+        else:
+            xs = x[:, 0]  # [B, n_freq, n_time]
+            patches = jnp.stack(
+                [
+                    xs[
+                        :,
+                        i * gset.stride_y : i * gset.stride_y + gset.size_y,
+                        j * gset.stride_x : j * gset.stride_x + gset.size_x,
+                    ]
+                    for i in range(fy)
+                    for j in range(tx)
+                ],
+                axis=1,
+            )  # [B, fy*tx, sy, sx]
+            pm = patches.reshape(patches.shape[0], fy * tx, -1)
+            km = k[:, 0].reshape(k.shape[0], -1).T  # [sy*sx, nf]
+            out = jnp.matmul(
+                pm, km, precision=precision, preferred_element_type=x.dtype
+            )  # [B, fy*tx, nf]
+            out = out.reshape(out.shape[0], fy, tx, -1)
+            out = jnp.moveaxis(out, -1, 1)  # [B, nf, fy, tx]
     else:
         out = jax.lax.conv_general_dilated(
             x,

@@ -201,5 +201,14 @@ def test_gabor_gemm_matches_conv():
         a = convolve(xj, filts, gset, out_pools=pools, method="conv")
         b = convolve(xj, filts, gset, out_pools=pools, method="gemm")
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # degenerate out_pools (zero positions): both lowerings emit the
+    # same empty-axis shape instead of the gemm path crashing on an
+    # empty stack
+    for pools0 in [(0, 2), (4, 0)]:
+        a = convolve(jnp.zeros((2, 32, 14)), filts, gset,
+                     out_pools=pools0, method="conv")
+        b = convolve(jnp.zeros((2, 32, 14)), filts, gset,
+                     out_pools=pools0, method="gemm")
+        assert a.shape == b.shape and 0 in a.shape
     with pytest.raises(ValueError, match="method"):
         convolve(jnp.zeros((2, 32, 14)), filts, gset, method="winograd")
