@@ -46,6 +46,13 @@ def main() -> None:
                     help="comma list of N1xN2 splits to probe as extra "
                     "exact-tier factored rows (e.g. 75x16,24x50): validates "
                     "the plan cost model's split ranking on real hardware")
+    ap.add_argument("--interleave", type=int, default=0,
+                    help="epoch-interleaved mode: N epochs, each timing every "
+                    "selected variant once (--iters reps each), reported as "
+                    "per-epoch medians + pairwise epoch-paired deltas. Use "
+                    "for near-tied variants (<~2x): sequential one-invocation "
+                    "blocks cannot resolve ~1.1x deltas on this link "
+                    "(BENCH_NOTES_r04 hygiene corollary)")
     args = ap.parse_args()
 
     import jax
@@ -182,6 +189,7 @@ def main() -> None:
         variants = [v for v in variants if any(k in v[0] for k in keys)]
 
     rng = np.random.default_rng(0)
+    prepared = []  # (name, fn, sd, ld, total_samples)
     for name, kw in variants:
         kw = dict(kw)
         plan_override = kw.pop("_factored_plan_override", None)
@@ -215,6 +223,9 @@ def main() -> None:
             print(json.dumps({"variant": name,
                               "skipped": "geometry routed to XLA"}))
             continue
+        if args.interleave:
+            prepared.append((name, fn, sd, ld, float(lengths.sum())))
+            continue
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out, _ = fn(sd, ld)
@@ -225,6 +236,48 @@ def main() -> None:
             "ms_per_batch": round(dt * 1e3, 3),
             "rtf": round(float(lengths.sum()) / sr / dt, 1),
         }), flush=True)
+
+    if args.interleave and prepared:
+        # Epoch-interleaved timing: every epoch times every variant once, so
+        # link-weather drift hits all variants equally and epoch-paired
+        # deltas cancel it. This is the only measurement shape that resolves
+        # ~1.1x differences on this relay (BENCH_NOTES_r04).
+        per_epoch = {name: [] for name, *_ in prepared}
+        for _ in range(args.interleave):
+            for name, fn, sd, ld, _tot in prepared:
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    out, _ = fn(sd, ld)
+                jax.block_until_ready(out)
+                per_epoch[name].append(
+                    (time.perf_counter() - t0) / args.iters * 1e3)
+        for name, fn, sd, ld, tot in prepared:
+            ms = sorted(per_epoch[name])
+            med = ms[len(ms) // 2]
+            print(json.dumps({
+                "variant": name,
+                "ms_per_batch": round(med, 3),
+                "ms_min": round(ms[0], 3),
+                "ms_max": round(ms[-1], 3),
+                "epochs": args.interleave,
+                "rtf": round(tot / sr / (med / 1e3), 1),
+            }), flush=True)
+        # pairwise epoch-paired comparison for every variant pair
+        for i in range(len(prepared)):
+            for j in range(i + 1, len(prepared)):
+                a, b = prepared[i][0], prepared[j][0]
+                deltas = sorted(
+                    (eb - ea) / ea * 100.0
+                    for ea, eb in zip(per_epoch[a], per_epoch[b]))
+                wins_a = sum(1 for d in deltas if d > 0)
+                print(json.dumps({
+                    "pair": f"{a} vs {b}",
+                    "b_minus_a_pct_median": round(
+                        deltas[len(deltas) // 2], 2),
+                    "pct_min": round(deltas[0], 2),
+                    "pct_max": round(deltas[-1], 2),
+                    "a_wins": f"{wins_a}/{len(deltas)}",
+                }), flush=True)
 
 
 if __name__ == "__main__":
