@@ -56,10 +56,25 @@ UNIFORM_SPECTRUM_METHODS = (
 )
 
 
+def _pad128(n: int) -> int:
+    """MXU tile padding: TPU GEMMs pad BOTH contraction and output dims to
+    the 128-wide tile (measured, BENCH_NOTES_r04.md roofline correction)."""
+    return -(-n // 128) * 128
+
+
+def _frames_padded_contraction(step: int, win: int) -> int:
+    """Total 128-padded contraction the frames frontend pays per window:
+    one GEMM per step-aligned block (the last possibly partial), each
+    padded to the MXU tile. The windowed frontend pays _pad128(win) plus
+    a windows-materialization HBM charge instead."""
+    j_blocks = max(1, -(-win // step))
+    return sum(_pad128(min(step, win - j * step)) for j in range(j_blocks))
+
+
 def preferred_spectrum_frontend(
     step_samples: int, win_samples: int, precision: str = "highest"
 ) -> str:
-    """Measured dispatch rule (v3) for ``spectrum_method='matmul'`` (the
+    """Measured dispatch rule (v4) for ``spectrum_method='matmul'`` (the
     f32 default). Three frontends compete; which one wins is set by the
     overlap factor J = win/step, then by stride alignment and window size:
 
@@ -97,26 +112,64 @@ def preferred_spectrum_frontend(
     400x40     10    13.40  33.50   13.07     windowed~conv
     =========  ====  =====  ======  ========  ==========
 
-    Rule terms, each pinned by >= 2 measured points:
+    v4 re-measured every near-tie row EPOCH-INTERLEAVED (``bench_pallas.py
+    --interleave``: every epoch times every variant once; epoch-paired
+    deltas cancel link weather — sequential one-invocation blocks resolve
+    ~2x deltas, not ~1.1x ones). Paired medians, 12-16 epochs each
+    (2026-08-20, all regime-ok):
+
+    =========  =====  =====  ======  ========  =================
+    win x step J      conv   frames  windowed  paired winner
+    =========  =====  =====  ======  ========  =================
+    400x160    2.5    4.64   4.99    4.73      conv (12-15/16)
+    320x80     4      6.6    +20%    6.79      tie conv~windowed
+    400x80     5      8.81   11.08   8.69      tie conv~windowed
+    640x160    4      16.48  18.49   18.52     conv (12/12)
+    800x160    5      23.27  25.73   23.11     tie conv~windowed
+    800x320    2.5    15.62  12.8-13.1  13.73  frames (12/12)
+    1103x441   2.5    —      19.17   23.15     frames (12/12)
+    1200x240   5      ~60    37.07   41.11     FRAMES (12/12; v3
+                                               said windowed — the
+                                               sequential reading
+                                               had it reversed)
+    =========  =====  =====  ======  ========  =================
+
+    Mechanism (explains every sign): frames pays sum(pad128(block)) of
+    contraction per window (``_frames_padded_contraction``); windowed pays
+    pad128(W) plus a windows-materialization HBM write (~2W words/window,
+    worth 10-20% measured — 44.1 kHz: frames wins by 20.7% at a padded-MAC
+    ratio of only 1.11). frames therefore wins whenever its padded
+    contraction total does not exceed windowed's (1200x240: 5*256 == 1280
+    == pad(1200)); windowed only wins when the step's tile-padding waste
+    is large (800x160: 5*256 = 1280 vs 896, ratio 1.43).
+
+    Rule terms, each pinned by >= 2 measured points (paired where cited):
 
     1. step >= win -> frames (pins: 200x240, 320x320, 640x640).
-    2. J >= 4 -> never frames (pins: all six J>=4 rows); windowed when
-       win > 768 (pins: 1200x240 -12% vs frames, 800x160 best; counter-pin
-       640x160 where conv wins by 14%), conv below. Under reduced
-       ``precision='default'`` the windowed threshold drops to 512
-       (640x160 default: windowed 7.38 vs conv 8.37; 1200x240 default:
-       windowed 12.75 vs conv 21.4).
+    2. J >= 4, win > threshold (768 exact / 512 at
+       ``precision='default'``, pins 640x160 exact conv +12.5% paired vs
+       default windowed 7.38 vs conv 8.37): frames when
+       frames_padded_contraction <= pad128(win) (pin 1200x240 +11.1%
+       paired over windowed; at 'default' the MAC gap shrinks and the
+       materialization charge frames avoids only grows in relative
+       terms), else windowed (pin 800x160 tie-with-conv, frames +10.5%).
+       Below the threshold -> conv (paired pins 640x160, 400x80, 320x80;
+       sequential 400x40, 200x40).
     3. moderate overlap (the reference's win = 2.5*step family):
-       frames at odd strides (gcd(step,128) < 16; pins 44.1/22.05 kHz)
-       or win > 512 (pins 800x320 +9%, 1200x480 +37%), else conv
-       (pins 400x160, 200x80).
+       frames at odd strides (gcd(step,128) < 16; pins 44.1 kHz paired
+       +20.7% over windowed, 22.05 kHz) or win > 512 (paired pins
+       800x320 frames +18% over conv / +5.8% over windowed; 1200x480
+       +37% over conv), else conv (paired pin 400x160; 200x80).
     """
     if step_samples >= win_samples:
         return "frames"
     j = win_samples / step_samples
     if j >= 4.0:
         windowed_min = 512 if precision == "default" else 768
-        return "windowed" if win_samples > windowed_min else "conv"
+        if win_samples <= windowed_min:
+            return "conv"
+        frames_pad = _frames_padded_contraction(step_samples, win_samples)
+        return "frames" if frames_pad <= _pad128(win_samples) else "windowed"
     if math.gcd(step_samples, 128) < 16:
         return "frames"
     return "frames" if win_samples > 512 else "conv"

@@ -471,7 +471,7 @@ class SndEnv:
         [N, n_windows, bins]``.
 
         'matmul' (the default) auto-selects by the measured dispatch rule
-        (preferred_spectrum_frontend, v3: conv / frames / windowed by
+        (preferred_spectrum_frontend, v4: conv / frames / windowed by
         overlap factor, stride alignment and window size); 'factored'
         backfills its plan, with prime/refused geometries falling back to
         frames rather than passing a None plan downstream.

@@ -215,33 +215,47 @@ def test_preferred_frontend_rate_grid():
 
 
 def test_preferred_frontend_off_family():
-    """Rule v3's off-family terms, each pinned by the round-4 on-chip grid
-    (BENCH_NOTES_r04.md): step >= win degenerates framing to a reshape
-    (frames); heavy overlap (J = win/step >= 4) never picks frames and
-    routes large windows to the materialized-windows single GEMM, with the
-    windowed threshold dropping 768 -> 512 under reduced precision
-    (640x160: conv wins exact but windowed wins bf16-operand)."""
+    """Rule v4's off-family terms, each pinned by the round-4 on-chip grid
+    and the late-round epoch-PAIRED re-measurements (BENCH_NOTES_r04.md):
+    step >= win degenerates framing to a reshape (frames); heavy overlap
+    (J = win/step >= 4) routes large windows to frames when its 128-padded
+    per-block contraction total matches windowed's single pad128(win)
+    contraction (it then does the same padded MACs without the
+    windows-materialization HBM write), to the materialized-windows single
+    GEMM otherwise, with the large-window threshold dropping 768 -> 512
+    under reduced precision (640x160: conv wins exact but windowed wins
+    bf16-operand)."""
     from auditory_tpu.dsp.dft import preferred_spectrum_frontend as pref
 
     # term 1: step >= win -> frames (pins: 200x240, 320x320, 640x640)
     assert pref(240, 200) == "frames"
     assert pref(320, 320) == "frames"
     assert pref(640, 640) == "frames"
-    # term 2: J >= 4, win <= 768 -> conv (pins: 320x80, 640x160, 400x40)
+    # term 2: J >= 4, win <= 768 -> conv (paired pins: 320x80, 640x160,
+    # 400x80; sequential 400x40)
     assert pref(80, 320) == "conv"
     assert pref(160, 640) == "conv"
     assert pref(40, 400) == "conv"
-    # term 2: J >= 4, win > 768 -> windowed (pins: 1200x240 -12% vs
-    # frames / -33% vs conv; 800x160 windowed==conv best)
-    assert pref(240, 1200) == "windowed"
+    # term 2: J >= 4, win > 768: frames at equal padded contraction
+    # (1200x240: 5*pad(240)=1280 == pad(1200), paired +11.1% over
+    # windowed 12/12 -- v3's windowed pick was a weather-reversed
+    # sequential reading); windowed when step padding is wasteful
+    # (800x160: 5*pad(160)=1280 > pad(800)=896, paired tie-with-conv,
+    # frames +10.5%)
+    assert pref(240, 1200) == "frames"
     assert pref(160, 800) == "windowed"
-    # term 2 precision split: 640x160 exact -> conv (14.74 vs 17.1 ms)
-    # but default-precision -> windowed (7.38 vs 8.37 ms)
+    # term 2 precision split: 640x160 exact -> conv (paired 12/12)
+    # but default-precision -> windowed (7.38 vs 8.37 ms); the
+    # equal-padding frames pick is precision-independent (at 'default'
+    # the materialization charge frames avoids only grows relatively)
     assert pref(160, 640, precision="default") == "windowed"
-    assert pref(240, 1200, precision="default") == "windowed"
+    assert pref(240, 1200, precision="default") == "frames"
     assert pref(160, 640, precision="high") == "conv"
     # term 3 unchanged: moderate overlap keeps the rate-grid behavior
-    # (200x100: gcd(100,128)=4 -> frames; measured a 1% tie there)
+    # (200x100: gcd(100,128)=4 -> frames; measured a 1% tie there);
+    # paired re-confirmations: 400x160 conv best 12-15/16; 800x320
+    # frames +18% over conv, +5.8% over windowed; 1103x441 frames
+    # +20.7% over windowed
     assert pref(100, 200) == "frames"
     assert pref(160, 400) == "conv"
 
