@@ -62,13 +62,22 @@ def _pad128(n: int) -> int:
     return -(-n // 128) * 128
 
 
+def _frame_block_sizes(step: int, win: int) -> Tuple[int, ...]:
+    """Block sizes of the frames frontend's J = ceil(win/step) step-aligned
+    shifted GEMMs (the last block possibly partial). THE single source of
+    the frames blocking — :func:`power_spectrum_frames` (the kernel) and
+    :func:`_frames_padded_contraction` (the dispatch cost model) both use
+    it, so the model cannot drift from the code it models."""
+    j_blocks = max(1, -(-win // step))
+    return tuple(min(step, win - j * step) for j in range(j_blocks))
+
+
 def _frames_padded_contraction(step: int, win: int) -> int:
     """Total 128-padded contraction the frames frontend pays per window:
-    one GEMM per step-aligned block (the last possibly partial), each
+    one GEMM per step-aligned block (see :func:`_frame_block_sizes`), each
     padded to the MXU tile. The windowed frontend pays _pad128(win) plus
     a windows-materialization HBM charge instead."""
-    j_blocks = max(1, -(-win // step))
-    return sum(_pad128(min(step, win - j * step)) for j in range(j_blocks))
+    return sum(_pad128(b) for b in _frame_block_sizes(step, win))
 
 
 def preferred_spectrum_frontend(
@@ -79,17 +88,22 @@ def preferred_spectrum_frontend(
     overlap factor J = win/step, then by stride alignment and window size:
 
     - ``frames`` (J block-shifted dense GEMMs): wins when step >= win —
-      framing degenerates to a reshape, zero redundant bytes. Loses badly
-      at heavy overlap (J >= 4: it materializes/streams J redundant copies;
-      measured up to 2.5x slower at 400x40).
+      framing degenerates to a reshape, zero redundant bytes — and, more
+      generally, whenever its 128-padded per-block contraction total does
+      not exceed pad128(win) (then it does the same padded MACs as the
+      windowed GEMM without the windows-materialization HBM write; v4 pin
+      1200x240 +11% paired). Loses badly at heavy overlap with SMALL
+      steps, where per-block tile padding multiplies its MACs (400x40:
+      10*pad(40)=1280 vs pad(400)=512, measured 2.5x slower).
     - ``conv`` (ONE strided conv, implicit GEMM): wins for small aligned
       windows at moderate overlap, and at heavy overlap up to win ~640.
       Its lowering falls apart at odd strides (3-6x off the GEMM floor)
       and its relative cost grows with kernel size.
     - ``windowed`` (materialize windows, ONE dense GEMM): the heavy-overlap
-      large-window specialist — the materialization charge is amortized by
-      the exact-W contraction; wins 12-33% over conv/frames at
-      win >= 800, J >= 4.
+      large-window specialist when frames' step padding is wasteful
+      (800x160: 5*pad(160)=1280 vs pad(800)=896 — windowed ties conv,
+      frames +10.5% paired); its materialization write costs 10-20%
+      against an equal-padded-MAC frames formulation.
 
     Exact-grade on-chip shoot-outs (ms/batch, B=512 x 3 s; round-3 family
     table in BENCH_NOTES_r03.md, round-4 off-family grid in
@@ -108,7 +122,9 @@ def preferred_spectrum_frontend(
     200x40     5     3.58   5.53    3.3-3.7   conv~windowed
     400x80     5     7.69   9.81    7.35      windowed~conv
     800x160    5     21.85  24.48   21.53     windowed~conv
-    1200x240   5     60.16  45.10   40.31     windowed
+    1200x240   5     60.16  45.10   40.31     windowed [SEQUENTIAL
+                                              reading, reversed by the
+                                              v4 paired re-measure below]
     400x40     10    13.40  33.50   13.07     windowed~conv
     =========  ====  =====  ======  ========  ==========
 
@@ -148,12 +164,17 @@ def preferred_spectrum_frontend(
     1. step >= win -> frames (pins: 200x240, 320x320, 640x640).
     2. J >= 4, win > threshold (768 exact / 512 at
        ``precision='default'``, pins 640x160 exact conv +12.5% paired vs
-       default windowed 7.38 vs conv 8.37): frames when
-       frames_padded_contraction <= pad128(win) (pin 1200x240 +11.1%
-       paired over windowed; at 'default' the MAC gap shrinks and the
-       materialization charge frames avoids only grows in relative
-       terms), else windowed (pin 800x160 tie-with-conv, frames +10.5%).
-       Below the threshold -> conv (paired pins 640x160, 400x80, 320x80;
+       default windowed 7.38 vs conv 8.37): at MAC-bound precision
+       grades, frames when frames_padded_contraction <= pad128(win)
+       (pin 1200x240 exact +11.1% paired over windowed 12/12), else
+       windowed (pin 800x160 tie-with-conv, frames +10.5%). At
+       ``precision='default'`` (1-pass bf16 operands) the contraction is
+       cheap and the path turns data-movement-bound, where frames' J-fold
+       frame re-read LOSES to windowed's one materialize+read: measured
+       paired at 1200x240 default, windowed 12.33 ms vs conv 21.46 vs
+       frames 26.68 (windowed over frames by 54%, 12/12) -- so 'default'
+       always dispatches windowed above its threshold. Below the
+       threshold -> conv (paired pins 640x160, 400x80, 320x80;
        sequential 400x40, 200x40).
     3. moderate overlap (the reference's win = 2.5*step family):
        frames at odd strides (gcd(step,128) < 16; pins 44.1 kHz paired
@@ -168,8 +189,11 @@ def preferred_spectrum_frontend(
         windowed_min = 512 if precision == "default" else 768
         if win_samples <= windowed_min:
             return "conv"
-        frames_pad = _frames_padded_contraction(step_samples, win_samples)
-        return "frames" if frames_pad <= _pad128(win_samples) else "windowed"
+        if precision != "default":
+            frames_pad = _frames_padded_contraction(step_samples, win_samples)
+            if frames_pad <= _pad128(win_samples):
+                return "frames"
+        return "windowed"
     if math.gcd(step_samples, 128) < 16:
         return "frames"
     return "frames" if win_samples > 512 else "conv"
@@ -307,14 +331,15 @@ def power_spectrum_frames(
     cos_m, sin_m = basis
     w, k = cos_m.shape
     step = step_samples
-    j_blocks = max(1, -(-w // step))
+    block_sizes = _frame_block_sizes(step, w)
+    j_blocks = len(block_sizes)
     frames = _step_frames(signals, step, offset0, n_windows, j_blocks)
 
     kernel = jnp.concatenate([cos_m, sin_m], axis=1)  # [W, 2K]
     acc = None
-    for j in range(j_blocks):
-        bj = kernel[j * step : min((j + 1) * step, w)]  # [step_j, 2K]
-        fr = frames[:, j : j + n_windows, : bj.shape[0]]
+    for j, bsz in enumerate(block_sizes):
+        bj = kernel[j * step : j * step + bsz]  # [step_j, 2K]
+        fr = frames[:, j : j + n_windows, :bsz]
         term = jnp.matmul(
             fr, bj, precision=precision,
             preferred_element_type=signals.dtype,
@@ -565,7 +590,7 @@ def factored_split_cost(win: int, step: int, n1: int, n2: int) -> int:
 
     Pure scalar geometry -- plan selection calls this for every candidate
     divisor without building the (costly) f64 basis/twiddle matrices."""
-    pad = lambda c: -(-c // 128) * 128
+    pad = _pad128
     h1 = n1 // 2 + 1
     k2 = (win // 2) // n1 + 1
     if step % n2 == 0:  # polyphase stage 1
@@ -626,10 +651,8 @@ def factored_dft_plan(
     if best is None:
         return None
     if not allow_dominated:
-        pad = lambda c: -(-c // 128) * 128
         k = w // 2 + 1
-        j = max(1, -(-w // step))
-        dense = j * pad(step) * pad(2 * k)
+        dense = _frames_padded_contraction(step, w) * _pad128(2 * k)
         # Measured safety margin: where probed on chip, the model
         # underestimates the factored side by up to 2x (the stage-2
         # batched einsum and the non-polyphase transpose passes are not

@@ -37,14 +37,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from auditory_tpu.config import SndEnvConfig
-from auditory_tpu.dsp.dft import factored_dft_plan, preferred_spectrum_frontend
+from auditory_tpu.dsp.dft import (
+    _frames_padded_contraction,
+    _pad128 as _pad,
+    factored_dft_plan,
+    preferred_spectrum_frontend,
+)
 
 MACS_PER_S = 16.5e12      # exact-f32 (6-pass) MXU MAC rate, v5e
 WORDS_PER_S = 205e9       # HBM f32 words/s (~819 GB/s)
-
-
-def _pad(c: int) -> int:
-    return -(-c // 128) * 128
 
 
 def geometry(rate: int, win_ms: float, step_ms: float):
@@ -89,7 +90,7 @@ def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
     # contraction (step, except the last partial block) pads to its own
     # 128-multiple, and the frame tensor is re-read J times.
     j = max(1, -(-win // step))
-    k_padded = sum(_pad(min(step, win - jj * step)) for jj in range(j))
+    k_padded = _frames_padded_contraction(step, win)
     macs = nw_total * k_padded * _pad(2 * k)
     words = in_words * j + out_words
     rows["frames"] = (macs, words)
