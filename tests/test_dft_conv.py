@@ -262,6 +262,34 @@ def test_preferred_frontend_off_family():
     assert pref(160, 400) == "conv"
 
 
+def test_frame_block_sizes_invariants():
+    """`_frame_block_sizes` is the single source of the frames-frontend
+    blocking shared by the kernel (`power_spectrum_frames`) and the
+    dispatch cost model (`_frames_padded_contraction`); its invariants:
+    blocks tile the window exactly, none exceeds the step, only the last
+    may be partial, and the degenerate step >= win case is one full-window
+    block (framing-as-reshape, dispatch term 1)."""
+    from auditory_tpu.dsp.dft import (
+        _frame_block_sizes,
+        _frames_padded_contraction,
+        _pad128,
+    )
+
+    for step, win in [(160, 400), (240, 1200), (160, 800), (40, 400),
+                      (221, 551), (441, 1103), (37, 100), (1, 5)]:
+        blocks = _frame_block_sizes(step, win)
+        assert sum(blocks) == win, (step, win)
+        assert len(blocks) == -(-win // step), (step, win)
+        assert all(0 < b <= step for b in blocks), (step, win)
+        assert all(b == step for b in blocks[:-1]), (step, win)
+        assert _frames_padded_contraction(step, win) == sum(
+            _pad128(b) for b in blocks
+        )
+    # step >= win: a single full-window block
+    assert _frame_block_sizes(240, 200) == (200,)
+    assert _frame_block_sizes(320, 320) == (320,)
+
+
 @pytest.mark.parametrize(
     "w,step,offset0",
     [
