@@ -3,7 +3,8 @@
 Each scenario drives MultiStreamOnline twice with identical random feeds —
 once synchronous (pipeline_depth=1, max_segments_per_poll=1) and once with
 random throughput knobs (depth 2-3, K 1-3, random poll cadence, random
-close order, bounded/unbounded buffers) — and asserts the emitted
+close order, bounded/unbounded buffers, random mid-run flush_pipeline()
+quiesces and double-poll bursts) — and asserts the emitted
 (stream, seg_idx) -> value maps agree (bit-exact in f64 at K=1; 1e-9 at
 K>1, whose K-segment-span program XLA may reassociate). Under
 drop_oldest it instead asserts the partition invariant: emitted + dropped
@@ -51,8 +52,22 @@ def run_scenario(rng, knobs):
         cursors[i] += sz
     close_order = rng.permutation(n)
     poll_every = int(rng.integers(1, 4))  # poll after every k-th feed
+    # random quiesce/burst schedule (knobbed run only): after feed j,
+    # flush_pipeline() harvests all in-flight calls without dispatching
+    # (exercises the pipeline's mid-stream quiesce path under random
+    # timing); a burst polls twice back-to-back (second poll usually
+    # finds the just-dispatched call still warm). Neither may change the
+    # emitted (stream, seg) -> value map.
+    flush_after = {int(j) for j in
+                   rng.choice(max(1, len(feeds)), size=min(3, len(feeds)),
+                              replace=False)
+                   if rng.random() < 0.5}
+    burst_after = {int(j) for j in
+                   rng.choice(max(1, len(feeds)), size=min(3, len(feeds)),
+                              replace=False)
+                   if rng.random() < 0.5}
 
-    def drive(depth, k, bounded, overflow):
+    def drive(depth, k, bounded, overflow, perturb=False):
         ms = MultiStreamOnline(
             cfg, SR, n_streams=n, dtype=jnp.float64,
             pipeline_depth=depth, max_segments_per_poll=k,
@@ -72,6 +87,10 @@ def run_scenario(rng, knobs):
             ms.feed(i, sigs[i][lo:hi])
             if j % poll_every == 0:
                 collect(ms.poll())
+                if perturb and j in burst_after:
+                    collect(ms.poll())
+            if perturb and j in flush_after:
+                collect(ms.flush_pipeline())
         for i in close_order:
             ms.close(int(i))
             collect(ms.poll())
@@ -98,7 +117,7 @@ def run_scenario(rng, knobs):
     if overflow == "error":
         # unbounded error-policy never drops: emitted maps must agree
         ref, dref = drive(1, 1, False, "error")
-        got, dgot = drive(depth, k, False, "error")
+        got, dgot = drive(depth, k, False, "error", perturb=True)
         assert dref == dgot == [0] * len(dref)
         assert set(got) == set(ref), (sorted(ref), sorted(got))
         for key in ref:
@@ -108,7 +127,7 @@ def run_scenario(rng, knobs):
         # legitimately drops a different set), so assert the partition
         # invariant + value equality on surviving segments
         ref, _ = drive(1, 1, False, "error")  # droplsess oracle
-        got, drops = drive(depth, k, True, "drop_oldest")
+        got, drops = drive(depth, k, True, "drop_oldest", perturb=True)
         per_stream_total = {}
         for (i_, k_) in ref:
             per_stream_total[i_] = max(per_stream_total.get(i_, -1), k_)
