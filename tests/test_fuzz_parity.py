@@ -67,6 +67,29 @@ def sample_cfg(rng: np.random.Generator):
                 cfg.dft, window_fn=str(rng.choice(["hamming", "hann"]))
             )
         )
+    # previously-unsampled knobs (each plumbed through both the pipeline
+    # and the goref oracle; sampled independently so their interactions
+    # with geometry/frontends get fuzzed too):
+    if rng.random() < 0.2:  # temporal smoothing recurrence (dft/dft.go:67-69)
+        cfg = dataclasses.replace(cfg, dft=dataclasses.replace(
+            cfg.dft, prev_smooth=float(rng.choice([0.3, 0.5, 0.7]))))
+    if rng.random() < 0.15:  # power-only mode (no log spectrum output)
+        cfg = dataclasses.replace(cfg, dft=dataclasses.replace(
+            cfg.dft, comp_log_pow=False))
+    if rng.random() < 0.2:  # log floors (log_offset=0 hits the ==0 -> LogMin
+        cfg = dataclasses.replace(cfg, dft=dataclasses.replace(  # floor path)
+            cfg.dft,
+            log_offset=float(rng.choice([0.0, 0.5])),
+            log_min=float(rng.choice([-100.0, -50.0]))))
+    if rng.random() < 0.2:  # mel log floors (mel/mel.go:133-139)
+        cfg = dataclasses.replace(cfg, mel=dataclasses.replace(
+            cfg.mel, fbank=dataclasses.replace(
+                cfg.mel.fbank,
+                log_off=float(rng.choice([0.0, 1.0])),
+                log_min=float(rng.choice([-10.0, -5.0])))))
+    if cfg.mel.mfcc and rng.random() < 0.3:  # DCT truncation width
+        cfg = dataclasses.replace(cfg, mel=dataclasses.replace(
+            cfg.mel, n_coefs=int(rng.choice([8, 13, 20]))))
     return cfg, sr
 
 

@@ -136,6 +136,40 @@ def test_prev_smooth_recurrence():
     assert_segments_match(cfg, sig, SR)
 
 
+def test_power_only_mode():
+    """CompLogPow=false: the log spectrum stays unwritten (zeros) and every
+    downstream stage (mel reads raw power) is unaffected (dft/dft.go:73-83
+    gate; oracle reproduces the skip)."""
+    cfg = default_cfg_2d()
+    cfg = dataclasses.replace(
+        cfg, dft=dataclasses.replace(cfg.dft, comp_log_pow=False)
+    )
+    sig = tone(800.0, 0.25, SR)
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    assert_segments_match(cfg, env.pad(sig), SR)
+
+
+def test_log_floor_variants():
+    """Non-default log floors: log_offset=0 sends the zero-padding bins of a
+    part-silent signal through the exact ``== 0`` -> LogMin floor
+    (dft/dft.go:73-83), and non-default mel floors (mel/mel.go:133-139)
+    exercise the fbank's own offset/floor pair."""
+    cfg = default_cfg_2d()
+    cfg = dataclasses.replace(
+        cfg,
+        dft=dataclasses.replace(cfg.dft, log_offset=0.0, log_min=-50.0),
+        mel=dataclasses.replace(
+            cfg.mel,
+            fbank=dataclasses.replace(
+                cfg.mel.fbank, log_off=1.0, log_min=-5.0
+            ),
+        ),
+    )
+    sig = np.concatenate([np.zeros(int(0.12 * SR)), tone(800.0, 0.13, SR)])
+    env = SndEnv(cfg, SR, dtype=jnp.float64)
+    assert_segments_match(cfg, env.pad(sig), SR)
+
+
 def test_gaborview_modes():
     cfg = dataclasses.replace(
         default_cfg_2d(), energy_mode="sndenv", delta_mode="gaborview"
