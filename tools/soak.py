@@ -41,7 +41,22 @@ def main() -> int:
         try:
             t = cfg.params.derive(sr)
             dur = (t.segment_samples + 2 * t.stride_samples + 171) / sr
-            sig = tone(float(rng.uniform(200, min(3500, sr / 2 - 500))), dur, sr)
+            f0 = float(rng.uniform(200, min(3500, sr / 2 - 500)))
+            sig = tone(f0, dur, sr)
+            # signal-family sampling (matches the targeted parity tests'
+            # diversity: noise hits no-harmonic spectra, part-silence hits
+            # the ==0 -> LogMin floors, two-tone hits intermodulation bins)
+            kind = rng.random()
+            if kind < 0.2:
+                sig = np.random.default_rng(seed).normal(
+                    scale=0.2, size=len(sig))
+            elif kind < 0.35:
+                sig = sig.copy()
+                sig[: len(sig) // 3] = 0.0
+            elif kind < 0.5:
+                sig = sig + tone(
+                    float(rng.uniform(200, min(3500, sr / 2 - 500))),
+                    dur, sr, amp=0.2)
             env = SndEnv(cfg, sr, dtype=jnp.float64)
             # sample the spectrum frontend (and, off-grid, occasionally the
             # per-segment restructuring) so the soak exercises every
