@@ -55,7 +55,7 @@ def _build_cfg(args) -> SndEnvConfig:
             stride_ms=args.stride_ms,
             border_steps=args.border_steps,
         ),
-        dft=DFTParams(),
+        dft=DFTParams(window_fn=args.window_fn),
         mel=MelParams(
             fbank=FilterBank(n_filters=args.mel_filters, hi_hz=args.hi_hz),
             mfcc=not args.no_mfcc,
@@ -80,6 +80,12 @@ def _add_pipeline_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gabor-stride", type=int, default=3)
     p.add_argument("--gabor-gain", type=float, default=2.0)
     p.add_argument("--gabor-phases", type=int, default=2, choices=(1, 2))
+    p.add_argument(
+        "--window-fn", choices=("hamming", "hann"), default=None,
+        help="opt-in analysis window folded into every DFT frontend "
+        "(SURVEY extension; the reference applies NONE -- rectangular "
+        "straight into the FFT, dft/dft.go:42-59; omit for parity)",
+    )
     p.add_argument("--f64", action="store_true", help="float64 (CPU) parity mode")
 
 
@@ -306,6 +312,7 @@ def _segment_pipeline(args, w, prefix=""):
             win_ms=g("win_ms"), step_ms=g("step_ms"),
             resize=not args.no_resize,
         ),
+        dft=DFTParams(window_fn=g("window_fn")),
         mel=MelParams(fbank=FilterBank(n_filters=g("mel_filters"))),
         gabor=gset,
         dtype=jnp.float64 if args.f64 else jnp.float32,
@@ -666,6 +673,11 @@ def main(argv=None) -> int:
     p.add_argument("--gabor-stride-y", type=int, default=3)
     p.add_argument("--gabor-gain", type=float, default=1.5)
     p.add_argument("--gabor-phases", type=int, default=1, choices=(1, 2))
+    p.add_argument(
+        "--window-fn", choices=("hamming", "hann"), default=None,
+        help="opt-in analysis window (reference applies none; omit for "
+        "parity, dft/dft.go:42-59)",
+    )
     # B-side params for --compare (unset -> inherit the A value;
     # gbv.go:243-258 dual WParams/PParams/GParams)
     p.add_argument("--compare", action="store_true",
@@ -684,6 +696,7 @@ def main(argv=None) -> int:
     p.add_argument("--b-gabor-stride-y", type=int, default=None)
     p.add_argument("--b-gabor-gain", type=float, default=None)
     p.add_argument("--b-gabor-phases", type=int, default=None, choices=(1, 2))
+    p.add_argument("--b-window-fn", choices=("hamming", "hann"), default=None)
     p.set_defaults(fn=cmd_segment)
 
     p = sub.add_parser("info", help="WAV metadata")

@@ -187,3 +187,45 @@ def test_cli_process_precision_tier(tmp_path):
     np.testing.assert_array_equal(
         np.load(o1)["mel_fbank_segment"], np.load(o2)["mel_fbank_segment"]
     )
+
+
+def test_cli_process_window_fn_flag(tmp_path):
+    """`process --window-fn hamming` reaches the spectrum: the windowed run
+    must match SndEnv(window_fn='hamming') exactly and differ from the
+    rectangular default (the reference applies NO analysis window,
+    dft/dft.go:42-59 -- the flag is the SURVEY's opt-in extension)."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from auditory_tpu.cli import main
+    from auditory_tpu.config import DFTParams
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+    from auditory_tpu.pipeline.sndenv import SndEnv
+    from tests.conftest import default_cfg_2d, tone
+
+    sr = 16000
+    p = str(tmp_path / "t.wav")
+    sig = tone(700.0, 0.2, sr)
+    write_wav(p, float_to_wave(sig, sr))
+    o1, o2 = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    assert main(["process", p, "--out", o1, "--no-kwta"]) == 0
+    assert main(["process", p, "--out", o2, "--no-kwta",
+                 "--window-fn", "hamming"]) == 0
+    rect = np.load(o1)["power_segment"]
+    ham = np.load(o2)["power_segment"]
+    assert not np.allclose(rect, ham)
+
+    from auditory_tpu.io.wav import load_wav
+
+    base = default_cfg_2d()
+    cfg = dc.replace(
+        base,
+        dft=DFTParams(window_fn="hamming"),
+        kwta=dc.replace(base.kwta, on=False),
+    )
+    env = SndEnv(cfg, sr)
+    ref = np.asarray(
+        env.process(env.pad(load_wav(p).sound_to_tensor())).power_segment
+    )
+    np.testing.assert_array_equal(ham, ref)

@@ -48,8 +48,9 @@ def main() -> int:
             # the ==0 -> LogMin floors, two-tone hits intermodulation bins)
             kind = rng.random()
             if kind < 0.2:
-                sig = np.random.default_rng(seed).normal(
-                    scale=0.2, size=len(sig))
+                # draw from the per-seed rng so different seed BASES get
+                # different noise realizations at equal loop indices
+                sig = rng.normal(scale=0.2, size=len(sig))
             elif kind < 0.35:
                 sig = sig.copy()
                 sig[: len(sig) // 3] = 0.0
