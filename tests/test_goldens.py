@@ -21,7 +21,9 @@ def test_golden(path):
     g = np.load(path)
     sr = int(g["sample_rate"])
     sig = g["signal"]
-    env = SndEnv(default_cfg_2d(), sr, dtype=jnp.float64, spectrum_method="fft")
+    channels = int(g["channels"]) if "channels" in g.files else 1
+    env = SndEnv(default_cfg_2d(), sr, dtype=jnp.float64,
+                 spectrum_method="fft", channels=channels)
     out = env.process(sig)
     n_seg = int(g["n_segments"])
     assert out.power_segment.shape[0] == n_seg

@@ -7,6 +7,11 @@ principle drift together; freezing oracle outputs into version-controlled
 deliberately re-verified against the Go reference:
 
     python tools/make_goldens.py
+
+When ADDING cases, keep the existing .npz files as checked in (git checkout
+the unchanged names after running): regeneration can shift pre-existing
+goldens by ~1 ulp (libm/numpy version drift in f64 log), and the frozen
+round-1-era bytes are the stronger co-drift insurance.
 """
 
 import os
@@ -49,13 +54,14 @@ def synth(name: str, sr: int) -> np.ndarray:
     return sig.astype(np.float64)
 
 
-def run_oracle(sig: np.ndarray, sr: int) -> dict:
+def run_oracle(sig: np.ndarray, sr: int, channels: int = 1) -> dict:
     ref = SndEnvRef(cfg_default())
-    ref.init(sig, sr)
+    ref.init(sig, sr, channels=channels)
     segs = max(ref.seg_cnt, 0)
     out = {
         "signal": sig,
         "sample_rate": np.int64(sr),
+        "channels": np.int64(channels),
         "n_segments": np.int64(segs),
     }
     keys = (
@@ -75,22 +81,47 @@ def run_oracle(sig: np.ndarray, sr: int) -> dict:
     return out
 
 
+# the full reference eyeball-validation set (the Go repo's only test
+# assets, examples/processspeech/sounds/): pure tones, a tone mix, noise,
+# silence (hits the ==0 -> LogMin floors at 44.1 kHz geometry), bug.wav
+# (the decode edge case the reference kept), and a spoken syllable
+REF_WAVS = (
+    "800", "2000", "5000", "7000", "800_2000_5000",
+    "noise130ms", "silence_100ms", "bug", "female_la_100ms",
+)
+
+
+def stereo_synth(sr: int) -> np.ndarray:
+    """Interleaved 2-channel signal exercising the reference's stereo
+    SoundToTensor flatten quirk (sound/sound.go:116-127: frames flatten
+    interleaved, and SndEnv's SegCnt divides by ch, sndenv.go:263-265)."""
+    r = np.random.default_rng(777)
+    t = np.arange(int(0.31 * sr)) / sr
+    left = 0.4 * np.sin(2 * np.pi * 620 * t) + 1e-4 * r.standard_normal(len(t))
+    right = 0.3 * np.sin(2 * np.pi * 1750 * t) + 1e-4 * r.standard_normal(len(t))
+    inter = np.empty(2 * len(t), dtype=np.float64)
+    inter[0::2] = left
+    inter[1::2] = right
+    return inter
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     cases = {}
     for name, sr in (("tone_mix", 16000), ("noise", 16000)):
-        cases[name] = (synth(name, sr), sr)
-    for wav in ("800", "female_la_100ms"):
+        cases[name] = (synth(name, sr), sr, 1)
+    cases["stereo_tones"] = (stereo_synth(16000), 16000, 2)
+    for wav in REF_WAVS:
         path = os.path.join(REF_SOUNDS, wav + ".wav")
         if os.path.exists(path):
             w = load_wav(path)
             ref = SndEnvRef(cfg_default())
             ref.init(np.zeros(1), w.sample_rate)  # timing only
             sig = ref.pad(w.sound_to_tensor())
-            cases["wav_" + wav] = (sig, w.sample_rate)
+            cases["wav_" + wav] = (sig, w.sample_rate, 1)
 
-    for name, (sig, sr) in cases.items():
-        data = run_oracle(sig, sr)
+    for name, (sig, sr, ch) in cases.items():
+        data = run_oracle(sig, sr, channels=ch)
         out = os.path.join(OUT_DIR, f"{name}.npz")
         np.savez_compressed(out, **data)
         print(f"{out}: {data['n_segments']} segments, "
