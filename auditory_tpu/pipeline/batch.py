@@ -625,6 +625,83 @@ class BatchedSndEnv:
             res = (out, res[1][:b]) + res[2:]
         return res
 
+    def process_local(
+        self,
+        signals: np.ndarray,
+        lengths: np.ndarray,
+        add_ms: int = 0,
+        divisors: Optional[np.ndarray] = None,
+    ):
+        """Multi-process SPMD entry (``jax.distributed``): each process
+        passes only its LOCAL batch rows; the global batch is the
+        process-ordered concatenation and runs as ONE jitted SPMD program
+        over the multi-process mesh, XLA inserting any cross-process
+        collectives (for this pipeline: the feature-stats all-reduce only).
+
+        Every process must pass the same local row count. Rows are padded
+        internally to the per-process device multiple with zero-length
+        rows (inert: their seg_valid is all-False and the stats masks
+        exclude them); they are NOT trimmed from the returned global
+        arrays -- use the returned pad count after gathering.
+
+        Returns ``(res, pad_rows)``: ``res`` is the same tuple
+        :meth:`process` returns pre-trim (outputs/packed, seg_valid, and
+        the stats dict when ``feature_stats``), every leaf a global
+        ``jax.Array`` addressable only for this process' shards
+        (``parallel.distributed.allgather`` replicates them); ``pad_rows``
+        is the number of zero rows appended to each process' local block
+        (global row ``p * (b_local + pad_rows) + i`` is process p's row i).
+        """
+        from ..parallel.distributed import global_batch_from_local
+
+        if self.mesh is None or self.shard_axis != "batch":
+            raise ValueError(
+                "process_local requires a mesh with shard_axis='batch'"
+            )
+        mesh = self.mesh
+        n_local = sum(
+            1
+            for d in mesh.devices.flat
+            if d.process_index == jax.process_index()
+        )
+        if n_local == 0:
+            raise ValueError(
+                "this process owns no devices of the mesh; every "
+                "participating process must contribute devices"
+            )
+        signals = np.asarray(signals)
+        b = signals.shape[0]
+        b_padded = pad_to_multiple(max(b, 1), n_local)
+        pad = b_padded - b
+        lengths = np.asarray(lengths, dtype=np.int32)
+        with_div = divisors is not None
+        if with_div:
+            divisors = np.asarray(divisors, dtype=np.float32)
+        if pad:
+            signals = np.concatenate(
+                [signals, np.zeros((pad,) + signals.shape[1:], signals.dtype)]
+            )
+            lengths = np.concatenate([lengths, np.zeros(pad, dtype=np.int32)])
+            if with_div:
+                divisors = np.concatenate(
+                    [divisors, np.ones(pad, dtype=np.float32)]
+                )
+        fn, pack_meta = self._fn_and_meta(
+            signals.shape[-1], add_ms, with_div
+        )
+        g = lambda x: global_batch_from_local(mesh, x, self.axis_name)
+        args = (
+            (g(signals), g(divisors), g(lengths))
+            if with_div
+            else (g(signals), g(lengths))
+        )
+        res = fn(*args)
+        if self.pack_keys is not None:
+            res = (PackedBatch(data=res[0], **pack_meta),) + tuple(res[1:])
+        # single-process meshes work here too: the path then equals
+        # process() without the trim
+        return res, pad
+
     @property
     def batch_multiple(self) -> int:
         if self.mesh is None or self.shard_axis != "batch":
@@ -1354,6 +1431,50 @@ class CorpusRunner:
             "files_ok": n_ok,
             "files_failed": n_err,
         }
+
+    def run_distributed(
+        self,
+        wav_paths: Sequence[str],
+        out_dir: str,
+        resume: bool = True,
+        add_ms: int = 0,
+    ) -> Tuple[CorpusStats, Optional[Dict[str, Any]]]:
+        """Multi-process corpus extraction under ``jax.distributed``: this
+        process runs the deterministic interleaved file shard
+        ``wav_paths[jax.process_index()::jax.process_count()]`` (decode/
+        compute/write fully local -- the corpus is pointwise per utterance,
+        so scale-out needs no hot-path collectives), every process
+        barriers, and rank 0 merges the per-shard manifests and raw f64
+        feature-stat moments into the single-run artifacts
+        (:meth:`merge_shards`; moment sums add exactly, so the merged
+        corpus statistics equal a single-process run's).
+
+        ``out_dir`` must be a shared filesystem path (every process writes
+        its shard's ``.npz``/manifest there). Returns
+        ``(local CorpusStats, merge summary on rank 0 else None)``.
+        """
+        import jax as _jax
+
+        from ..parallel.distributed import barrier
+
+        pid, nproc = _jax.process_index(), _jax.process_count()
+        if nproc == 1:
+            # single process: run() writes the unsuffixed artifacts
+            # directly; nothing to merge
+            return self.run(wav_paths, out_dir, resume=resume,
+                            add_ms=add_ms), None
+        stats = self.run(
+            wav_paths, out_dir, resume=resume, add_ms=add_ms,
+            shard_index=pid, num_shards=nproc,
+        )
+        barrier("corpus_run_distributed")
+        summary = None
+        if pid == 0:
+            summary = self.merge_shards(out_dir)
+        # second barrier: no process returns (and possibly reads merged
+        # artifacts or exits) until rank 0 has finished writing them
+        barrier("corpus_merge_distributed")
+        return stats, summary
 
     # batches per f32 device partial before an f64 host fold: 64 batches of
     # <=2^18 steps each stay far below f32's 2^24 integer-precision limit

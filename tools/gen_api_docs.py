@@ -39,6 +39,7 @@ MODULES = [
     "auditory_tpu.pipeline.streaming",
     "auditory_tpu.pipeline.online",
     "auditory_tpu.parallel.mesh",
+    "auditory_tpu.parallel.distributed",
     "auditory_tpu.speech",
     "auditory_tpu.speech.timit",
     "auditory_tpu.speech.synthcvs",
