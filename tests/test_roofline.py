@@ -11,8 +11,8 @@ from roofline import frontend_floors, geometry  # noqa: E402
 
 def test_geometry_matches_pipeline_derivation():
     # 44.1 kHz must give the pipeline's prime 1103, not a naive round 1102
-    assert geometry(44100, 25.0, 10.0) == (1103, 441, 552)
-    assert geometry(16000, 25.0, 10.0) == (400, 160, 201)
+    assert geometry(44100, 25.0, 10.0) == (1103, 441, 552, 4410)
+    assert geometry(16000, 25.0, 10.0) == (400, 160, 201, 1600)
 
 
 def test_floors_sane():

@@ -43,6 +43,19 @@ def main() -> None:
                     "(e.g. 1,2) runs the scenarios interleaved (both the "
                     "aggregate and overload runs). D>=2 overlaps poll N+1's "
                     "device compute with poll N's packed host copy")
+    ap.add_argument("--capacity-table", action="store_true",
+                    help="ONE epoch-interleaved invocation sweeping "
+                    "{64,128,256,512} streams x {f32,f16,int8} x depth "
+                    "{1,2} (serving outputs) -- the round-5 capacity "
+                    "table artifact; every cell sees the same link "
+                    "weather, so cross-cell deltas are paired-fair")
+    ap.add_argument("--epochs", type=int, default=6,
+                    help="capacity-table interleaved epochs")
+    ap.add_argument("--cycles", type=int, default=4,
+                    help="capacity-table feed+poll cycles per epoch per cell")
+    ap.add_argument("--streams-list", type=str, default="64,128,256,512",
+                    help="capacity-table stream counts (comma list; the "
+                    "default is the official table's grid)")
     ap.add_argument("--profile-poll", action="store_true",
                     help="with --overload: time each poll phase "
                     "(gather/h2d/dispatch/compute/d2h/unpack/emit) and "
@@ -56,6 +69,8 @@ def main() -> None:
     from auditory_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.capacity_table:
+        return _capacity_table(args)
     sr = 16000
     chunk_n = sr // 10  # 100 ms
     cfg = SndEnvConfig(
@@ -217,6 +232,138 @@ def main() -> None:
                 r["n_seg"] += len(r["ms"].flush_pipeline())
                 r["lat"].append(time.perf_counter() - t0)
         _report_overload(args, runs, scenarios)
+
+
+def _capacity_table(args) -> None:
+    """The serving capacity table as ONE artifact: every (streams,
+    transfer, depth) cell measured in interleaved epochs within this single
+    invocation, so link weather -- which swings sequential readings by tens
+    of percent on this relay (BENCH_NOTES_r04.md: the D=1 baseline moved
+    152->116x within an hour) -- hits every cell equally. Cross-cell
+    deltas here are epoch-paired and fair; the round-4 README table was
+    stitched from cross-day runs and its int8-vs-f16 @512 delta (4%) was
+    below the link's sequential resolution (VERDICT r4 weak #1)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from auditory_tpu.config import (
+        GaborSet,
+        SndEnvConfig,
+        default_gabor_specs,
+    )
+    from auditory_tpu.pipeline.online import MultiStreamOnline
+    from auditory_tpu.utils.canary import classify_link, d2h_canary, \
+        make_canary_buffer
+
+    sr = 16000
+    chunk_n = sr // 10
+    cfg = SndEnvConfig(
+        gabor=GaborSet(
+            size_x=9, size_y=9, stride_x=3, stride_y=3, gain=2.0,
+            specs=default_gabor_specs(phases=(0.0, 1.5708)),
+        )
+    )
+    outputs_sel = ("mel_fbank_segment", "gabor_kwta", "step_valid")
+    rng = np.random.default_rng(0)
+    # pre-generated chunk pool: host-side rng must not sit inside the
+    # timed windows (512 streams x 1600 samples x many cycles)
+    pool = [
+        (0.1 * rng.standard_normal(chunk_n)).astype(np.float32)
+        for _ in range(101)
+    ]
+    streams_list = [int(x) for x in args.streams_list.split(",")]
+    scenarios = [
+        (s, tname, td, d)
+        for s in streams_list
+        for tname, td in (("f32", None), ("f16", jnp.float16),
+                          ("int8", jnp.int8))
+        for d in (1, 2)
+    ]
+    runs = {}
+    for s, tname, td, d in scenarios:
+        ms = MultiStreamOnline(
+            cfg, sr, n_streams=s, outputs=outputs_sel, transfer_dtype=td,
+            pipeline_depth=d, max_buffer_seconds=5.0,
+        )
+        for _ in range(args.warmup):
+            for sid in range(s):
+                ms.feed(sid, pool[(sid + 1) % len(pool)])
+            list(ms.poll())
+        ms.flush_pipeline()
+        # one untimed epoch-shaped pass (cycles + flush): compiles every
+        # program the timed epochs will run, incl. the flush-path buckets
+        # (a cold first epoch would contaminate all 24 cells' pairings)
+        for _ in range(args.cycles):
+            for sid in range(s):
+                ms.feed(sid, pool[sid % len(pool)])
+            list(ms.poll())
+        ms.flush_pipeline()
+        runs[(s, tname, d)] = dict(ms=ms, epoch_t=[], epoch_n=[])
+        print(json.dumps({"warmed": [s, tname, d]}), flush=True)
+
+    canary_buf = make_canary_buffer(jnp, jax.device_put)
+    d2h_canary(canary_buf)
+    canaries = []
+    ci = 0
+    for _ in range(args.epochs):
+        canaries.append(d2h_canary(canary_buf))
+        for s, tname, td, d in scenarios:
+            r = runs[(s, tname, d)]
+            ms = r["ms"]
+            n = 0
+            t0 = _time.perf_counter()
+            for _ in range(args.cycles):
+                for sid in range(s):
+                    ms.feed(sid, pool[ci % len(pool)])
+                    ci += 1
+                n += sum(1 for _ in ms.poll())
+            n += len(ms.flush_pipeline())  # D=2 pays its drain every epoch
+            r["epoch_t"].append(_time.perf_counter() - t0)
+            r["epoch_n"].append(n)
+
+    by_cell = {}
+    for s, tname, td, d in scenarios:
+        r = runs[(s, tname, d)]
+        t_sum, n_sum = sum(r["epoch_t"]), sum(r["epoch_n"])
+        audio = args.epochs * args.cycles * s * 0.1
+        # per-epoch rtf list enables paired cross-cell comparisons
+        rtfs = [
+            args.cycles * s * 0.1 / t for t in r["epoch_t"]
+        ]
+        by_cell[(s, tname, d)] = rtfs
+        print(json.dumps({
+            "metric": "capacity_cell",
+            "streams": s, "transfer": tname, "pipeline_depth": d,
+            "aggregate_rtf": round(audio / t_sum, 1),
+            "ms_per_segment": round(t_sum / max(n_sum, 1) * 1e3, 3),
+            "segments": n_sum,
+            "epoch_rtf": [round(x, 1) for x in rtfs],
+        }), flush=True)
+
+    # paired verdicts: int8 vs f16 and D2 vs D1, per stream count
+    for s in streams_list:
+        for (name, a_key, b_key) in (
+            ("int8_vs_f16_D1", (s, "int8", 1), (s, "f16", 1)),
+            ("int8_vs_f16_D2", (s, "int8", 2), (s, "f16", 2)),
+            ("D2_vs_D1_f16", (s, "f16", 2), (s, "f16", 1)),
+        ):
+            a, b = np.asarray(by_cell[a_key]), np.asarray(by_cell[b_key])
+            deltas = (a - b) / b
+            wins = int((deltas > 0).sum())
+            print(json.dumps({
+                "paired": name, "streams": s,
+                "median_delta_pct": round(float(np.median(deltas)) * 100, 1),
+                "wins": f"{wins}/{len(deltas)}",
+            }), flush=True)
+    cs = np.asarray(canaries)
+    print(json.dumps({
+        "canary_p50_ms": round(float(np.median(cs)) * 1e3, 2),
+        "canary_max_ms": round(float(cs.max()) * 1e3, 2),
+        "regime": classify_link(list(cs)),
+    }), flush=True)
 
 
 def _report_overload(args, runs, scenarios):

@@ -46,6 +46,15 @@ from auditory_tpu.dsp.dft import (
 
 MACS_PER_S = 16.5e12      # exact-f32 (6-pass) MXU MAC rate, v5e
 WORDS_PER_S = 205e9       # HBM f32 words/s (~819 GB/s)
+# windowed take-along gather: MEASURED achieved bandwidth, not peak
+# (tools/probe_offgrid_gather.py, round 5: 89.6 GB/s = 11% of HBM at the
+# 22.05 kHz 551-sample-window geometry -- the gather lowering is
+# index-bound). Off-grid geometries (stride % step != 0) have no uniform
+# grid and must pay this; every gather-free restructuring measured WORSE
+# (span_windows/span_frames -29% paired, probe_offgrid_fix.py; pipeline
+# per-segment variants -23..-42% in round 4) because the reshape/concat
+# materialization passes lower even slower than the gather.
+GATHER_WORDS_PER_S = 89.6e9 / 4
 
 
 def geometry(rate: int, win_ms: float, step_ms: float):
@@ -58,13 +67,14 @@ def geometry(rate: int, win_ms: float, step_ms: float):
             cfg.params, win_ms=win_ms, step_ms=step_ms)
     )
     t = cfg.params.derive(rate)
-    return t.win_samples, t.step_samples, t.win_samples // 2 + 1
+    return t.win_samples, t.step_samples, t.win_samples // 2 + 1, \
+        t.stride_samples
 
 
 def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
                     batch: int = 512, seconds: float = 3.0) -> dict:
     """Floor times (ms) per frontend for a [batch, seconds] corpus slab."""
-    win, step, k = geometry(rate, win_ms, step_ms)
+    win, step, k, stride = geometry(rate, win_ms, step_ms)
     n_windows = int(seconds * 1000.0 / step_ms)  # per signal (grid steps)
     nw_total = batch * n_windows
 
@@ -143,6 +153,44 @@ def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
         floors["factored"]["split"] = f"{plan.n1}*{plan.n2}" + (
             "" if plan.polyphase else " (windowed)"
         )
+    if stride % step != 0:
+        # off-grid geometry (e.g. 22.05 kHz stride 2205, step 221): no
+        # uniform window grid exists, so the PRODUCTION frontend is the
+        # per-window take-along gather + dense GEMM. The gather is charged
+        # at its MEASURED achieved bandwidth (GATHER_WORDS_PER_S -- 11% of
+        # HBM peak, lowering-bound; probe_offgrid_gather.py), serial with
+        # the GEMM term. The fused program overlaps the two phases
+        # (measured fused/serial = 0.74), so a measured time slightly
+        # UNDER this serial floor means the path is done, not that the
+        # floor is wrong.
+        # off-grid window count: seg_cnt * segment_steps PER-SEGMENT
+        # windows -- the border-overlap windows recompute per segment
+        # (no shared grid to dedup on), ~40% more than the uniform grid's
+        cfg = SndEnvConfig()
+        cfg = dataclasses.replace(
+            cfg, params=dataclasses.replace(
+                cfg.params, win_ms=win_ms, step_ms=step_ms)
+        )
+        tm = cfg.params.derive(rate)
+        n_samples = int(seconds * rate)
+        seg_cnt = max((n_samples - tm.segment_samples) // stride + 1, 0)
+        nw_off = batch * seg_cnt * tm.segment_steps
+        macs = nw_off * _pad(win) * _pad(2 * k)
+        t_flop = macs / MACS_PER_S
+        t_mem = (in_words + nw_off * k) / WORDS_PER_S
+        # 2 passes (read the indexed samples + write the windows tensor),
+        # the same accounting the probe's achieved-bandwidth figure uses
+        t_gather = 2 * win * nw_off / GATHER_WORDS_PER_S
+        floor = max(t_flop, t_mem) + t_gather
+        floor_s["gather"] = floor
+        floors["gather"] = {
+            "flop_ms": round(1e3 * t_flop, 3),
+            "mem_ms": round(1e3 * t_mem, 3),
+            "gather_ms": round(1e3 * t_gather, 3),
+            "floor_ms": round(1e3 * floor, 3),
+            "bound": "gather-lowering",
+        }
+        out["dispatch"] = "gather (off-grid)"
     out["floors"] = floors
     out["rtf_at_floor"] = {
         name: round(out["audio_s"] / floor_s[name])
