@@ -552,3 +552,53 @@ def test_corpus_runner_spectrum_method_plumbs_through():
     r = CorpusRunner(default_cfg_2d(), SR, spectrum_method="factored")
     assert r.env.factored_plan is not None
     assert r.env.spectrum_method == "factored"
+
+
+def test_process_local_single_process_equals_process():
+    """BatchedSndEnv.process_local on a single-process mesh: the same SPMD
+    code path the multi-process fabric runs (tests/test_multiprocess.py
+    covers 2 OS processes; this covers the helper semantics in-process) --
+    results equal process(), pad rows are inert and reported."""
+    from auditory_tpu.parallel.distributed import (
+        global_batch_from_local,
+        is_multiprocess_mesh,
+    )
+
+    env = SndEnv(default_cfg_2d(), SR, dtype=jnp.float32, feature_stats=True)
+    mesh = make_mesh()
+    assert not is_multiprocess_mesh(mesh)
+    benv = BatchedSndEnv(env, mesh=mesh)
+    n = env.timing.segment_samples + env.timing.stride_samples
+    rng = np.random.default_rng(3)
+    b = 6  # not a multiple of 8 devices -> pad rows exercised
+    signals = rng.normal(scale=0.1, size=(b, n)).astype(np.float32)
+    lengths = np.full(b, n, dtype=np.int32)
+
+    res, pad = benv.process_local(signals, lengths)
+    out, seg_valid, stats = res
+    assert pad == 2 and out.mel_fbank_segment.shape[0] == b + pad
+    ref_out, ref_valid, ref_stats = benv.process(signals, lengths)
+    np.testing.assert_array_equal(
+        np.asarray(seg_valid)[:b], np.asarray(ref_valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.mel_fbank_segment)[:b],
+        np.asarray(ref_out.mel_fbank_segment),
+    )
+    # pad rows are zero-length -> no valid segments, stats unchanged
+    assert not np.asarray(seg_valid)[b:].any()
+    for k in ("sum", "sumsq", "count"):
+        np.testing.assert_allclose(
+            np.asarray(stats[k]), np.asarray(ref_stats[k]), rtol=1e-6
+        )
+
+    # global_batch_from_local on one process == plain sharded device_put
+    # (rows must divide over the local devices; process_local pads first)
+    sig8 = np.concatenate([signals, signals[:2]])
+    g = global_batch_from_local(mesh, sig8)
+    assert g.shape == sig8.shape
+    np.testing.assert_array_equal(np.asarray(g), sig8)
+
+    # refused without a batch-sharded mesh
+    with pytest.raises(ValueError, match="process_local"):
+        BatchedSndEnv(env).process_local(signals, lengths)
