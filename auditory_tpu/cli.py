@@ -204,6 +204,31 @@ def cmd_corpus_merge(args) -> int:
 
 
 def cmd_corpus(args) -> int:
+    distributed = bool(args.coordinator)
+    if distributed:
+        if args.shard:
+            print("error: --shard and --coordinator are exclusive (the "
+                  "distributed path shards by rank automatically)",
+                  file=sys.stderr)
+            return 2
+        if args.num_processes < 1 or not (
+            0 <= args.process_id < args.num_processes
+        ):
+            print("error: --coordinator requires --num-processes N and "
+                  "--process-id in [0, N)", file=sys.stderr)
+            return 2
+        # must run before anything touches a jax backend.
+        # AUDITORY_TPU_CPU_DEVICES=N selects the N-virtual-CPU-device test
+        # fabric with gloo cross-process collectives (tests/CI); unset, the
+        # real backend and its native fabric are used.
+        from .parallel.distributed import initialize
+
+        cpu_devs = int(os.environ.get("AUDITORY_TPU_CPU_DEVICES", "0"))
+        initialize(
+            args.coordinator, args.num_processes, args.process_id,
+            cpu_test_devices=cpu_devs or None,
+        )
+
     import jax.numpy as jnp
 
     from .parallel.mesh import make_mesh
@@ -249,8 +274,15 @@ def cmd_corpus(args) -> int:
             print(f"error: --shard must be I/N with 0 <= I < N, got "
                   f"{args.shard!r}", file=sys.stderr)
             return 2
-    stats = runner.run(paths, args.out, resume=not args.no_resume,
-                       shard_index=shard_index, num_shards=num_shards)
+    if distributed:
+        stats, summary = runner.run_distributed(
+            paths, args.out, resume=not args.no_resume
+        )
+        if summary is not None:
+            print(json.dumps({"merged": summary}))
+    else:
+        stats = runner.run(paths, args.out, resume=not args.no_resume,
+                           shard_index=shard_index, num_shards=num_shards)
     print(
         json.dumps(
             {
@@ -641,6 +673,19 @@ def main(argv=None) -> int:
         "deterministic slice paths[I::N] with per-shard manifest/stats "
         "(pass the SAME glob on every host; combine with corpus-merge)",
     )
+    p.add_argument(
+        "--coordinator", default="",
+        help="host:port of the jax.distributed coordinator: run the LIVE "
+        "multi-process path (CorpusRunner.run_distributed) -- every "
+        "process takes its paths[rank::nproc] slice, barriers, and rank 0 "
+        "merges manifests/stats automatically (no corpus-merge step). "
+        "Requires --num-processes/--process-id; --out must be a shared "
+        "filesystem path",
+    )
+    p.add_argument("--num-processes", type=int, default=0,
+                   help="with --coordinator: total process count")
+    p.add_argument("--process-id", type=int, default=-1,
+                   help="with --coordinator: this process' rank")
     _add_pipeline_args(p)
     _add_precision_arg(p)
     p.set_defaults(fn=cmd_corpus)

@@ -152,3 +152,54 @@ def test_distributed_corpus_matches_single_process(mp_run, tmp_path):
     # f64 fold -- a few-ulp-of-f32 difference, nothing more
     np.testing.assert_allclose(a["mel_mean"], b["mel_mean"], rtol=1e-4)
     np.testing.assert_allclose(a["mel_std"], b["mel_std"], rtol=1e-3)
+
+
+def test_cli_corpus_distributed(tmp_path):
+    """`cli corpus --coordinator` drives the live multi-process path: two
+    CLI processes split the files by rank and rank 0 merges automatically
+    (no corpus-merge step)."""
+    from auditory_tpu.io.wav import float_to_wave, write_wav
+    from tests.conftest import tone
+
+    corpus = tmp_path / "wavs"
+    corpus.mkdir()
+    for i in range(4):
+        write_wav(str(corpus / f"u{i}.wav"),
+                  float_to_wave(tone(400.0 + 90 * i, 0.25, 16000), 16000))
+    out = tmp_path / "feats"
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["AUDITORY_TPU_CPU_DEVICES"] = "2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "auditory_tpu.cli", "corpus",
+             "--glob", str(corpus / "*.wav"), "--out", str(out),
+             "--batch-size", "2",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(rank)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank}:\n{o[-3000:]}"
+    assert '"merged"' in outs[0] and '"merged"' not in outs[1]
+    assert sorted(f for f in os.listdir(out) if f.endswith(".npz")) == [
+        f"u{i}.npz" for i in range(4)
+    ]
+    assert (out / "manifest.jsonl").exists()
+    assert (out / "feature_stats.json").exists()
+
+    # flag validation: --shard conflicts; bad rank refused
+    from auditory_tpu.cli import main as cli_main
+
+    assert cli_main(["corpus", "--glob", str(corpus / "*.wav"),
+                     "--out", str(out), "--coordinator", "x:1",
+                     "--shard", "0/2", "--num-processes", "2",
+                     "--process-id", "0"]) == 2
+    assert cli_main(["corpus", "--glob", str(corpus / "*.wav"),
+                     "--out", str(out), "--coordinator", "x:1",
+                     "--num-processes", "2", "--process-id", "5"]) == 2
