@@ -39,6 +39,7 @@ __all__ = [
     "is_multiprocess_mesh",
     "global_batch_from_local",
     "allgather",
+    "gather_local_rows",
     "barrier",
 ]
 
@@ -122,6 +123,30 @@ def allgather(tree):
         if x is None
         else np.asarray(multihost_utils.process_allgather(x, tiled=True)),
         tree,
+        is_leaf=lambda v: v is None,
+    )
+
+
+def gather_local_rows(tree, local_rows: int, pad_rows: int):
+    """Gather ``BatchedSndEnv.process_local`` outputs to full host copies
+    and drop every process' internal pad rows.
+
+    The global batch is the process-ordered concatenation of per-process
+    blocks of ``local_rows + pad_rows`` rows (``process_local``'s return
+    contract); this replicates the leaves (:func:`allgather`) and keeps
+    rows ``p * (local_rows + pad_rows) + [0, local_rows)`` for each
+    process p -- i.e. the caller-ordered batch, pad-free, identical on
+    every process.
+    """
+    gathered = allgather(tree)
+    block = local_rows + pad_rows
+    keep = np.concatenate([
+        np.arange(p * block, p * block + local_rows)
+        for p in range(jax.process_count())
+    ])
+    return jax.tree_util.tree_map(
+        lambda x: None if x is None else x[keep],
+        gathered,
         is_leaf=lambda v: v is None,
     )
 

@@ -32,6 +32,7 @@ def main() -> None:
     from auditory_tpu.parallel.distributed import (
         allgather,
         barrier,
+        gather_local_rows,
         initialize,
     )
 
@@ -84,19 +85,12 @@ def main() -> None:
     # the global batch really is sharded across processes
     own = {d.process_index for d in out.mel_fbank_segment.sharding.device_set}
     assert len(own) == nproc, own
-    g_mel, g_valid, g_stats = allgather(
-        (out.mel_fbank_segment, seg_valid, stats)
+    g_stats = allgather(stats)  # scalars/vectors: no batch rows to trim
+    g_mel, g_valid, g_mfcc, g_deltas = gather_local_rows(
+        (out.mel_fbank_segment, seg_valid, out.mfcc_segment,
+         out.mfcc_deltas),
+        local_rows=6, pad_rows=pad_rows,
     )
-    g_mfcc, g_deltas = allgather((out.mfcc_segment, out.mfcc_deltas))
-    # drop each process' pad rows (block p = rows [p*(6+pad), ...])
-    keep = np.concatenate(
-        [
-            np.arange(p * (6 + pad_rows), p * (6 + pad_rows) + 6)
-            for p in range(nproc)
-        ]
-    )
-    g_mel, g_valid = g_mel[keep], g_valid[keep]
-    g_mfcc, g_deltas = g_mfcc[keep], g_deltas[keep]
 
     ref_out, ref_valid, ref_stats = BatchedSndEnv(env).process(
         signals, lengths
