@@ -1463,6 +1463,25 @@ class CorpusRunner:
             # directly; nothing to merge
             return self.run(wav_paths, out_dir, resume=resume,
                             add_ms=add_ms), None
+        # guard: every process must pass the SAME ordered path list -- a
+        # drifted glob on one host would silently mis-shard (files double-
+        # processed or skipped) and corrupt the merged stats. Compare a
+        # digest across processes before any work starts.
+        import hashlib
+
+        from jax.experimental import multihost_utils
+
+        digest = hashlib.sha256(
+            "\n".join(wav_paths).encode()
+        ).digest()[:8]
+        mine = np.frombuffer(digest, dtype=np.int64)
+        allv = np.asarray(multihost_utils.process_allgather(mine))
+        if not (allv == allv[0]).all():
+            raise ValueError(
+                "run_distributed: wav_paths differ across processes "
+                "(path-list digests disagree); every process must pass "
+                "the same ordered list"
+            )
         stats = self.run(
             wav_paths, out_dir, resume=resume, add_ms=add_ms,
             shard_index=pid, num_shards=nproc,

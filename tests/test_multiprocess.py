@@ -72,6 +72,7 @@ def test_two_process_global_mesh_certifies(mp_run):
         assert rec["nproc"] == NPROC and rec["devices"] == 8
         assert rec["max_dev"] <= 3e-5
         assert rec["stats_dev"] <= 2e-5
+        assert rec["digest_guard_ok"]  # drifted path list refused
     # the file shard split covered all 5 corpus files between the ranks
     done = [
         json.load(open(os.path.join(workdir, f"rank{r}.json")))[

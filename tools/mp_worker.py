@@ -153,6 +153,16 @@ def main() -> None:
             f"{summary['manifest_shards']} process shards, rank-0 merged",
             flush=True,
         )
+    # negative: a drifted path list on one rank must be refused before any
+    # work (digest allgather disagrees on every rank)
+    drifted = paths if rank == 0 else list(reversed(paths))
+    try:
+        runner.run_distributed(drifted, os.path.join(workdir, "nope"))
+        raise AssertionError("drifted path list was not refused")
+    except ValueError as e:
+        assert "digests disagree" in str(e), e
+    digest_guard_ok = True
+
     with open(os.path.join(workdir, f"rank{rank}.json"), "w") as f:
         json.dump(
             {
@@ -163,6 +173,7 @@ def main() -> None:
                 "stats_dev": stats_dev,
                 "pad_rows": pad_rows,
                 "corpus_files_done": cstats.files_done,
+                "digest_guard_ok": digest_guard_ok,
             },
             f,
         )
