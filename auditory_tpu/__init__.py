@@ -31,7 +31,7 @@ from .pipeline.segments import SegmentPipeline, SegmentWindowParams
 from .pipeline.sndenv import SndEnv, SndEnvOutputs
 from .pipeline.streaming import StreamingProcessor
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "BatchedSndEnv",
