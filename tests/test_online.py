@@ -926,3 +926,43 @@ def test_multistream_pipelined_drop_oldest_accounting():
             np.asarray(offline.mel_fbank_segment[k]),
             atol=1e-9, err_msg=f"segment {k}",
         )
+
+
+def test_online_window_fn_matches_offline():
+    """The opt-in analysis window reaches the streaming path: OnlineSndEnv
+    with window_fn='hamming' is bit-identical to the offline hamming run
+    and differs from the rectangular default (the basis fold is shared
+    through SndEnv, but the ONLINE-specific chunk reassembly must not
+    bypass it)."""
+    import dataclasses as dc
+
+    cfg = default_cfg_2d()
+    hcfg = dc.replace(cfg, dft=dc.replace(cfg.dft, window_fn="hamming"))
+    sig = tone(987.0, 0.45, SR)
+
+    env = SndEnv(hcfg, SR, dtype=jnp.float64, spectrum_method="fft")
+    offline = env.process(env.pad(sig))
+
+    online = OnlineSndEnv(hcfg, SR, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    got = {}
+    for chunk in chunks_of(sig, rng):
+        for k, out in online.feed(chunk):
+            got[k] = out
+    for k, out in online.flush():
+        got[k] = out
+    assert len(got) == offline.power_segment.shape[0]
+    for k in got:
+        np.testing.assert_allclose(
+            np.asarray(got[k].mel_fbank_segment),
+            np.asarray(offline.mel_fbank_segment[k]),
+            atol=1e-9, err_msg=f"segment {k}",
+        )
+
+    rect = SndEnv(cfg, SR, dtype=jnp.float64, spectrum_method="fft").process(
+        env.pad(sig)
+    )
+    assert not np.allclose(
+        np.asarray(offline.mel_fbank_segment),
+        np.asarray(rect.mel_fbank_segment),
+    )
