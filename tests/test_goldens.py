@@ -18,11 +18,18 @@ GOLDENS = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.npz")))
 
 @pytest.mark.parametrize("path", GOLDENS, ids=[os.path.basename(p) for p in GOLDENS])
 def test_golden(path):
+    import dataclasses as dc
+
     g = np.load(path)
     sr = int(g["sample_rate"])
     sig = g["signal"]
     channels = int(g["channels"]) if "channels" in g.files else 1
-    env = SndEnv(default_cfg_2d(), sr, dtype=jnp.float64,
+    wfn = str(g["window_fn"]) if "window_fn" in g.files else ""
+    cfg = default_cfg_2d()
+    if wfn:
+        # frozen EXTENSION case (opt-in analysis window)
+        cfg = dc.replace(cfg, dft=dc.replace(cfg.dft, window_fn=wfn))
+    env = SndEnv(cfg, sr, dtype=jnp.float64,
                  spectrum_method="fft", channels=channels)
     out = env.process(sig)
     n_seg = int(g["n_segments"])

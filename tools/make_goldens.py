@@ -54,14 +54,24 @@ def synth(name: str, sr: int) -> np.ndarray:
     return sig.astype(np.float64)
 
 
-def run_oracle(sig: np.ndarray, sr: int, channels: int = 1) -> dict:
-    ref = SndEnvRef(cfg_default())
+def run_oracle(
+    sig: np.ndarray, sr: int, channels: int = 1, window_fn=None
+) -> dict:
+    import dataclasses
+
+    cfg = cfg_default()
+    if window_fn is not None:
+        cfg = dataclasses.replace(
+            cfg, dft=dataclasses.replace(cfg.dft, window_fn=window_fn)
+        )
+    ref = SndEnvRef(cfg)
     ref.init(sig, sr, channels=channels)
     segs = max(ref.seg_cnt, 0)
     out = {
         "signal": sig,
         "sample_rate": np.int64(sr),
         "channels": np.int64(channels),
+        "window_fn": np.str_(window_fn or ""),
         "n_segments": np.int64(segs),
     }
     keys = (
@@ -109,8 +119,12 @@ def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     cases = {}
     for name, sr in (("tone_mix", 16000), ("noise", 16000)):
-        cases[name] = (synth(name, sr), sr, 1)
-    cases["stereo_tones"] = (stereo_synth(16000), 16000, 2)
+        cases[name] = (synth(name, sr), sr, 1, None)
+    cases["stereo_tones"] = (stereo_synth(16000), 16000, 2, None)
+    # the opt-in analysis-window EXTENSION frozen too (co-drift insurance
+    # for the non-reference path; SURVEY.md:120-122)
+    cases["tone_mix_hamming"] = (synth("tone_mix", 16000), 16000, 1,
+                                 "hamming")
     for wav in REF_WAVS:
         path = os.path.join(REF_SOUNDS, wav + ".wav")
         if os.path.exists(path):
@@ -118,10 +132,10 @@ def main() -> None:
             ref = SndEnvRef(cfg_default())
             ref.init(np.zeros(1), w.sample_rate)  # timing only
             sig = ref.pad(w.sound_to_tensor())
-            cases["wav_" + wav] = (sig, w.sample_rate, 1)
+            cases["wav_" + wav] = (sig, w.sample_rate, 1, None)
 
-    for name, (sig, sr, ch) in cases.items():
-        data = run_oracle(sig, sr, channels=ch)
+    for name, (sig, sr, ch, wfn) in cases.items():
+        data = run_oracle(sig, sr, channels=ch, window_fn=wfn)
         out = os.path.join(OUT_DIR, f"{name}.npz")
         np.savez_compressed(out, **data)
         print(f"{out}: {data['n_segments']} segments, "
