@@ -223,7 +223,12 @@ def cmd_corpus(args) -> int:
         # real backend and its native fabric are used.
         from .parallel.distributed import initialize
 
-        cpu_devs = int(os.environ.get("AUDITORY_TPU_CPU_DEVICES", "0"))
+        try:
+            cpu_devs = int(os.environ.get("AUDITORY_TPU_CPU_DEVICES", "0"))
+        except ValueError:
+            print("error: AUDITORY_TPU_CPU_DEVICES must be an integer",
+                  file=sys.stderr)
+            return 2
         initialize(
             args.coordinator, args.num_processes, args.process_id,
             cpu_test_devices=cpu_devs or None,
