@@ -18,14 +18,18 @@ def test_api_docs_fresh():
     )
 
 
-def test_migration_symbols_resolve():
-    """Every dotted `auditory_tpu...`/`dsp...` reference in MIGRATION.md
-    must resolve to a real module attribute (guards doc rot when symbols
+import pytest
+
+
+@pytest.mark.parametrize("doc", ["docs/MIGRATION.md", "docs/DEPLOYMENT.md"])
+def test_doc_symbols_resolve(doc):
+    """Every dotted `auditory_tpu...`/`dsp...` reference in the doc must
+    resolve to a real module attribute (guards doc rot when symbols
     move)."""
-    text = open("docs/MIGRATION.md").read()
+    text = open(doc).read()
     pkg = importlib.import_module("auditory_tpu")
     pat = re.compile(
-        r"`((?:auditory_tpu|dsp|speech|pipeline|nn|io|utils|config)"
+        r"`((?:auditory_tpu|dsp|speech|pipeline|nn|io|utils|config|parallel)"
         r"(?:\.\w+)+)"
     )
     failures = []
@@ -48,4 +52,4 @@ def test_migration_symbols_resolve():
             break
         if obj is None:
             failures.append(ref)
-    assert not failures, f"MIGRATION.md references unresolvable: {failures}"
+    assert not failures, f"{doc} references unresolvable: {failures}"
