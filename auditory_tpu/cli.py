@@ -211,6 +211,17 @@ def cmd_corpus(args) -> int:
                   "distributed path shards by rank automatically)",
                   file=sys.stderr)
             return 2
+        if args.mesh:
+            # after jax.distributed.initialize, make_mesh() would span the
+            # GLOBAL device set, but each rank runs its own local file
+            # shard -- host batches cannot be placed on non-addressable
+            # devices, and rank-varying batch counts would desynchronize
+            # the stats all-reduce. Per-rank local compute is the model.
+            print("error: --mesh and --coordinator are exclusive (each "
+                  "process computes its file shard on its LOCAL devices; "
+                  "use process_local/global-mesh SPMD via the API for one "
+                  "global program)", file=sys.stderr)
+            return 2
         if args.num_processes < 1 or not (
             0 <= args.process_id < args.num_processes
         ):

@@ -317,6 +317,30 @@ def bucket_length(
     return out
 
 
+def _pad_batch_rows(xp, signals, lengths, divisors, multiple, min_rows=0):
+    """Pad the batch to a multiple of ``multiple`` with INERT rows (zero
+    signal, length 0, divisor 1 — the validity masks and stats moments
+    ignore them). THE single implementation of the pad-row invariant:
+    ``process()`` (xp=jnp, device arrays) and ``process_local()`` (xp=np,
+    host arrays pre-global-assembly) both use it, so the semantics cannot
+    drift. Returns (signals, lengths, divisors, pad_count)."""
+    b = signals.shape[0]
+    pad = pad_to_multiple(max(b, min_rows), multiple) - b
+    lengths = xp.asarray(lengths, dtype=xp.int32)
+    if divisors is not None:
+        divisors = xp.asarray(divisors, dtype=xp.float32)
+    if pad:
+        signals = xp.concatenate(
+            [signals, xp.zeros((pad,) + signals.shape[1:], signals.dtype)]
+        )
+        lengths = xp.concatenate([lengths, xp.zeros(pad, dtype=xp.int32)])
+        if divisors is not None:
+            divisors = xp.concatenate(
+                [divisors, xp.ones(pad, dtype=xp.float32)]
+            )
+    return signals, lengths, divisors, pad
+
+
 class BatchedSndEnv:
     """The SndEnv pipeline over a padded utterance batch, optionally sharded
     over a device mesh.
@@ -574,24 +598,11 @@ class BatchedSndEnv:
         returned outputs."""
         signals = jnp.asarray(signals)
         b = signals.shape[0]
-        mult = self.batch_multiple
-        b_padded = pad_to_multiple(b, mult)
         with_div = divisors is not None
-        if with_div:
-            divisors = jnp.asarray(divisors, dtype=jnp.float32)
-        if b_padded != b:
-            pad = b_padded - b
-            signals = jnp.concatenate(
-                [signals, jnp.zeros((pad,) + signals.shape[1:], signals.dtype)]
-            )
-            lengths = jnp.concatenate(
-                [jnp.asarray(lengths, dtype=jnp.int32),
-                 jnp.zeros(pad, dtype=jnp.int32)]
-            )
-            if with_div:
-                divisors = jnp.concatenate(
-                    [divisors, jnp.ones(pad, dtype=jnp.float32)]
-                )
+        signals, lengths, divisors, pad = _pad_batch_rows(
+            jnp, signals, lengths, divisors, self.batch_multiple
+        )
+        b_padded = b + pad
         fn, pack_meta = self._fn_and_meta(signals.shape[-1], add_ms, with_div)
         if self.mesh is not None and self.shard_axis == "batch":
             put1 = lambda x: jax.device_put(
@@ -670,22 +681,10 @@ class BatchedSndEnv:
                 "participating process must contribute devices"
             )
         signals = np.asarray(signals)
-        b = signals.shape[0]
-        b_padded = pad_to_multiple(max(b, 1), n_local)
-        pad = b_padded - b
-        lengths = np.asarray(lengths, dtype=np.int32)
         with_div = divisors is not None
-        if with_div:
-            divisors = np.asarray(divisors, dtype=np.float32)
-        if pad:
-            signals = np.concatenate(
-                [signals, np.zeros((pad,) + signals.shape[1:], signals.dtype)]
-            )
-            lengths = np.concatenate([lengths, np.zeros(pad, dtype=np.int32)])
-            if with_div:
-                divisors = np.concatenate(
-                    [divisors, np.ones(pad, dtype=np.float32)]
-                )
+        signals, lengths, divisors, pad = _pad_batch_rows(
+            np, signals, lengths, divisors, n_local, min_rows=1
+        )
         fn, pack_meta = self._fn_and_meta(
             signals.shape[-1], add_ms, with_div
         )
@@ -1197,6 +1196,22 @@ class CorpusRunner:
             raise failures[0]
 
         self._fold_moments_to_host()
+        if (
+            self.env.feature_stats
+            and self._moments_host is None
+            and not self._stats_partial
+            and not os.path.exists(self._stats_path)
+        ):
+            # a shard that processed no files (empty slice, or every file
+            # failed) must still write its stats shard: zero moments merge
+            # exactly, and merge_shards enforces a COMPLETE 0..N-1 set --
+            # a missing file would fail the whole multi-host merge
+            nf = self.env.cfg.mel.fbank.n_filters
+            self._moments_host = {
+                "sum": np.zeros(nf, dtype=np.float64),
+                "sumsq": np.zeros(nf, dtype=np.float64),
+                "count": np.float64(0.0),
+            }
         if self.env.feature_stats and self._moments_host is not None:
             # corpus-wide per-mel-band normalization statistics
             moments = self._moments_host
@@ -1206,7 +1221,9 @@ class CorpusRunner:
             payload = {
                 "mel_mean": mean.tolist(),
                 "mel_std": np.sqrt(var).tolist(),
-                "count_steps": cnt,
+                # the TRUE step count (not the divide clamp): an empty
+                # shard must contribute 0 to the merged corpus count
+                "count_steps": float(moments["count"]),
                 # raw f64 moments so shard files merge exactly (and so a
                 # resumed run can seed its accumulator)
                 "mel_sum": moments["sum"].tolist(),

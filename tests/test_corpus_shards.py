@@ -325,3 +325,38 @@ def test_iter_device_features_mirrors_frontend(tmp_path):
     batches = list(r.iter_device_features(paths))
     assert batches, "no batches yielded"
     assert r._batched_dev.env.spectrum_method == "windowed"
+
+
+def test_empty_shard_writes_zero_stats_and_merges(tmp_path):
+    """A shard whose interleaved slice is empty (more hosts than files)
+    must still write its stats shard -- zero moments merge exactly and
+    merge_shards enforces a complete 0..N-1 set (a missing file would
+    fail the whole multi-host merge)."""
+    paths = _make_wavs(tmp_path / "w", n=3)
+    out = str(tmp_path / "o")
+    for i in range(5):  # shards 3 and 4 get no files
+        r = CorpusRunner(default_cfg_2d(), SR, batch_size=2)
+        s = r.run(paths, out, shard_index=i, num_shards=5)
+        assert os.path.exists(
+            os.path.join(out, f"feature_stats.shard{i}of5.json")
+        )
+        if i >= 3:
+            assert s.files_done == 0
+            with open(os.path.join(
+                out, f"feature_stats.shard{i}of5.json"
+            )) as f:
+                z = json.load(f)
+            assert z["count_steps"] == 0.0
+            assert not any(z["mel_sum"]) and z["files_covered"] == 0
+
+    summary = CorpusRunner.merge_shards(out)
+    assert summary["files_ok"] == 3 and summary["manifest_shards"] == 5
+    with open(os.path.join(out, "feature_stats.json")) as f:
+        ms = json.load(f)
+    # zero shards contribute nothing: stats equal a single-process run
+    ref = str(tmp_path / "ref")
+    CorpusRunner(default_cfg_2d(), SR, batch_size=2).run(paths, ref)
+    with open(os.path.join(ref, "feature_stats.json")) as f:
+        fs = json.load(f)
+    assert ms["count_steps"] == fs["count_steps"]
+    np.testing.assert_allclose(ms["mel_mean"], fs["mel_mean"], rtol=1e-4)

@@ -184,7 +184,16 @@ def test_cli_corpus_distributed(tmp_path):
         )
         for rank in range(2)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = []
+    for p in procs:
+        try:
+            outs.append(p.communicate(timeout=600)[0])
+        except subprocess.TimeoutExpired:
+            # kill the sibling too: a wedged coordinator handshake blocks
+            # BOTH ranks, and a leaked process would pollute the session
+            for q in procs:
+                q.kill()
+            raise
     for rank, (p, o) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank}:\n{o[-3000:]}"
     assert '"merged"' in outs[0] and '"merged"' not in outs[1]
@@ -204,3 +213,8 @@ def test_cli_corpus_distributed(tmp_path):
     assert cli_main(["corpus", "--glob", str(corpus / "*.wav"),
                      "--out", str(out), "--coordinator", "x:1",
                      "--num-processes", "2", "--process-id", "5"]) == 2
+    # --mesh would build a GLOBAL mesh for per-rank local corpus runs:
+    # refused (non-addressable placement / desynchronized collectives)
+    assert cli_main(["corpus", "--glob", str(corpus / "*.wav"),
+                     "--out", str(out), "--coordinator", "x:1", "--mesh",
+                     "--num-processes", "2", "--process-id", "0"]) == 2

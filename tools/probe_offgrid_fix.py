@@ -144,7 +144,9 @@ def main() -> None:
             scale = float(np.abs(ref).max())
             dev = float(np.abs(np.asarray(out[:2]) - ref).max()) / scale
             print(json.dumps({"parity": name, "rel_dev": dev}), flush=True)
-            assert dev < 1e-5, (name, dev)
+            # f32-roundoff-tight gate (measured: span_windows 0.0,
+            # span_frames 2.4e-7 -- one reassociation level)
+            assert dev < 1e-6, (name, dev)
 
     def timer(call, reps=args.reps):
         def run():

@@ -57,16 +57,21 @@ WORDS_PER_S = 205e9       # HBM f32 words/s (~819 GB/s)
 GATHER_WORDS_PER_S = 89.6e9 / 4
 
 
-def geometry(rate: int, win_ms: float, step_ms: float):
-    """Same ms->samples derivation as the pipeline (config.Params.derive,
+def _derive(rate: int, win_ms: float, step_ms: float):
+    """The pipeline's ms->samples derivation (config.Params.derive,
     mirroring sound.Params.MSecToSamples -- 44.1 kHz gives win=1103,
-    which is prime; a naive round() would give 1102)."""
+    which is prime; a naive round() would give 1102). ONE derivation per
+    floors call; geometry() and the off-grid block both consume it."""
     cfg = SndEnvConfig()
     cfg = dataclasses.replace(
         cfg, params=dataclasses.replace(
             cfg.params, win_ms=win_ms, step_ms=step_ms)
     )
-    t = cfg.params.derive(rate)
+    return cfg.params.derive(rate)
+
+
+def geometry(rate: int, win_ms: float, step_ms: float):
+    t = _derive(rate, win_ms, step_ms)
     return t.win_samples, t.step_samples, t.win_samples // 2 + 1, \
         t.stride_samples
 
@@ -74,7 +79,9 @@ def geometry(rate: int, win_ms: float, step_ms: float):
 def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
                     batch: int = 512, seconds: float = 3.0) -> dict:
     """Floor times (ms) per frontend for a [batch, seconds] corpus slab."""
-    win, step, k, stride = geometry(rate, win_ms, step_ms)
+    tm = _derive(rate, win_ms, step_ms)
+    win, step, k, stride = (tm.win_samples, tm.step_samples,
+                            tm.win_samples // 2 + 1, tm.stride_samples)
     n_windows = int(seconds * 1000.0 / step_ms)  # per signal (grid steps)
     nw_total = batch * n_windows
 
@@ -166,12 +173,6 @@ def frontend_floors(rate: int, win_ms: float = 25.0, step_ms: float = 10.0,
         # off-grid window count: seg_cnt * segment_steps PER-SEGMENT
         # windows -- the border-overlap windows recompute per segment
         # (no shared grid to dedup on), ~40% more than the uniform grid's
-        cfg = SndEnvConfig()
-        cfg = dataclasses.replace(
-            cfg, params=dataclasses.replace(
-                cfg.params, win_ms=win_ms, step_ms=step_ms)
-        )
-        tm = cfg.params.derive(rate)
         n_samples = int(seconds * rate)
         seg_cnt = max((n_samples - tm.segment_samples) // stride + 1, 0)
         nw_off = batch * seg_cnt * tm.segment_steps
