@@ -97,6 +97,12 @@ def main() -> None:
         "'merged' its fused re|im-basis variant",
     )
     ap.add_argument(
+        "--window-fn", default=None, choices=("hamming", "hann"),
+        help="probe with the opt-in analysis window folded into the DFT "
+        "basis (both sides run it; certifies the folded basis stays at "
+        "the exact grade on-chip)",
+    )
+    ap.add_argument(
         "--frontend", default=None,
         choices=("conv", "frames", "windowed", "sliced", "factored"),
         help="pin the TPU pipeline's spectrum frontend (default: the "
@@ -120,6 +126,12 @@ def main() -> None:
     cpu = jax.devices("cpu")[0]
 
     cfg = default_cfg_2d()
+    if args.window_fn:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, dft=dataclasses.replace(cfg.dft, window_fn=args.window_fn)
+        )
     b, n = 8, 8000
     sigs = make_batch(b, n)
     lens = np.full(b, n, np.int32)
@@ -146,6 +158,8 @@ def main() -> None:
     # passes=1 is the documented bf16-operand mode and must FAIL the exact
     # bounds -- probe it only to see the measured numbers.
     fe = args.frontend or "conv"
+    if args.window_fn:
+        fe += f"+{args.window_fn}"
     tag = (
         f"pallas-{args.pallas_mode}-{args.pallas}p" if args.pallas
         else fe if args.precision == "highest"
