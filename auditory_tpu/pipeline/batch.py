@@ -655,6 +655,12 @@ class BatchedSndEnv:
         exclude them); they are NOT trimmed from the returned global
         arrays -- use the returned pad count after gathering.
 
+        With ``shard_axis='segment'`` (multi-host CP for few very long
+        utterances): every process passes the SAME full batch — the
+        signal is replicated across the pod (cheap relative to per-segment
+        compute) and the *segment* axis of every output comes back
+        sharded over the global mesh; ``pad_rows`` is then 0.
+
         Returns ``(res, pad_rows)``: ``res`` is the same tuple
         :meth:`process` returns pre-trim (outputs/packed, seg_valid, and
         the stats dict when ``feature_stats``), every leaf a global
@@ -663,13 +669,34 @@ class BatchedSndEnv:
         is the number of zero rows appended to each process' local block
         (global row ``p * (b_local + pad_rows) + i`` is process p's row i).
         """
+        import jax as _jax  # local, mirrors module-level jax
+
         from ..parallel.distributed import global_batch_from_local
 
-        if self.mesh is None or self.shard_axis != "batch":
-            raise ValueError(
-                "process_local requires a mesh with shard_axis='batch'"
-            )
+        if self.mesh is None:
+            raise ValueError("process_local requires a mesh")
         mesh = self.mesh
+        if self.shard_axis == "segment":
+            # replicated inputs (identical on every process by contract),
+            # segment-sharded outputs over the global mesh
+            signals = np.asarray(signals)
+            with_div = divisors is not None
+            fn, pack_meta = self._fn_and_meta(
+                signals.shape[-1], add_ms, with_div
+            )
+            repl = replicated(mesh)
+            g = lambda x, dt=None: _jax.make_array_from_process_local_data(
+                repl, np.asarray(x, dtype=dt) if dt else np.asarray(x)
+            )
+            args = (
+                (g(signals), g(divisors, np.float32),
+                 g(lengths, np.int32))
+                if with_div
+                else (g(signals), g(lengths, np.int32))
+            )
+            res = fn(*args)
+            assert self.pack_keys is None  # rejected at __init__
+            return res, 0
         n_local = sum(
             1
             for d in mesh.devices.flat

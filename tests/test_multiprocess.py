@@ -73,6 +73,9 @@ def test_two_process_global_mesh_certifies(mp_run):
         assert rec["max_dev"] <= 3e-5
         assert rec["stats_dev"] <= 2e-5
         assert rec["digest_guard_ok"]  # drifted path list refused
+        # multi-host CP: the long utterance's segment axis spanned both
+        # processes and gathered == single-process
+        assert rec["cp_segments"] == 16 and rec["cp_dev"] <= 3e-5
     # the file shard split covered all 5 corpus files between the ranks
     done = [
         json.load(open(os.path.join(workdir, f"rank{r}.json")))[

@@ -118,6 +118,36 @@ def main() -> None:
             stats_dev, float(np.max(np.abs(a - r) / np.maximum(np.abs(r), 1)))
         )
 
+    # ---- multi-host CP: one long utterance, segment axis sharded over
+    # the GLOBAL mesh (the DCN long-context story; replicated input by
+    # contract -- every rank passes the same signal) ----
+    long_n = env.timing.segment_samples + env.timing.stride_samples * (
+        2 * nproc * LOCAL_DEVICES - 1
+    )
+    long_sig = np.random.default_rng(11).normal(
+        scale=0.1, size=(1, long_n)
+    ).astype(np.float32)
+    seg_env = BatchedSndEnv(env, mesh=mesh, shard_axis="segment")
+    sres, spad = seg_env.process_local(
+        long_sig, np.array([long_n], dtype=np.int32)
+    )
+    sout, sv, _sstats = sres
+    assert spad == 0
+    n_seg = sout.mel_fbank_segment.shape[1]
+    assert n_seg == 2 * nproc * LOCAL_DEVICES
+    sown = {d.process_index for d in sout.mel_fbank_segment.sharding.device_set}
+    assert len(sown) == nproc, sown
+    gs_mel = allgather(sout.mel_fbank_segment)
+    sref, _srv, _ = BatchedSndEnv(env).process(
+        long_sig, np.array([long_n], dtype=np.int32)
+    )
+    np.testing.assert_allclose(
+        gs_mel, np.asarray(sref.mel_fbank_segment), atol=3e-5, rtol=1e-6
+    )
+    cp_dev = float(
+        np.max(np.abs(gs_mel - np.asarray(sref.mel_fbank_segment)))
+    )
+
     # ---- distributed corpus: per-process file shards, rank-0 merge ----
     corpus = os.path.join(workdir, "corpus")
     out_dir = os.path.join(workdir, "features")
@@ -149,6 +179,8 @@ def main() -> None:
             f"DP batch {b_global} (+{pad_rows} pad rows/process) "
             f"sharded across processes; gathered==single-process mel "
             f"max_dev={max_dev:.3e}, stats rel dev={stats_dev:.3e}; "
+            f"CP long utterance: {n_seg} segments sharded across "
+            f"processes, max_dev={cp_dev:.3e}; "
             f"distributed corpus: {summary['files_ok']} files over "
             f"{summary['manifest_shards']} process shards, rank-0 merged",
             flush=True,
@@ -172,6 +204,8 @@ def main() -> None:
                 "max_dev": max_dev,
                 "stats_dev": stats_dev,
                 "pad_rows": pad_rows,
+                "cp_segments": n_seg,
+                "cp_dev": cp_dev,
                 "corpus_files_done": cstats.files_done,
                 "digest_guard_ok": digest_guard_ok,
             },
