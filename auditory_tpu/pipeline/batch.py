@@ -669,8 +669,6 @@ class BatchedSndEnv:
         is the number of zero rows appended to each process' local block
         (global row ``p * (b_local + pad_rows) + i`` is process p's row i).
         """
-        import jax as _jax  # local, mirrors module-level jax
-
         from ..parallel.distributed import global_batch_from_local
 
         if self.mesh is None:
@@ -685,7 +683,7 @@ class BatchedSndEnv:
                 signals.shape[-1], add_ms, with_div
             )
             repl = replicated(mesh)
-            g = lambda x, dt=None: _jax.make_array_from_process_local_data(
+            g = lambda x, dt=None: jax.make_array_from_process_local_data(
                 repl, np.asarray(x, dtype=dt) if dt else np.asarray(x)
             )
             args = (

@@ -135,8 +135,15 @@ def main() -> None:
     assert spad == 0
     n_seg = sout.mel_fbank_segment.shape[1]
     assert n_seg == 2 * nproc * LOCAL_DEVICES
-    sown = {d.process_index for d in sout.mel_fbank_segment.sharding.device_set}
-    assert len(sown) == nproc, sown
+    # device_set spans the whole mesh even for replicated outputs, so
+    # certify the DISTRIBUTION: the spec names the mesh axis on the
+    # segment dim and each local shard holds only its slice of segments
+    sspec = sout.mel_fbank_segment.sharding.spec
+    assert tuple(sspec)[:2] == (None, "data"), sspec
+    local_seg = sout.mel_fbank_segment.addressable_shards[0].data.shape[1]
+    assert local_seg == n_seg // (nproc * LOCAL_DEVICES), (
+        local_seg, n_seg
+    )
     gs_mel = allgather(sout.mel_fbank_segment)
     sref, _srv, _ = BatchedSndEnv(env).process(
         long_sig, np.array([long_n], dtype=np.int32)
