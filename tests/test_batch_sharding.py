@@ -592,6 +592,18 @@ def test_process_local_single_process_equals_process():
             np.asarray(stats[k]), np.asarray(ref_stats[k]), rtol=1e-6
         )
 
+    # the production corpus tier through process_local: raw int16 rows +
+    # on-device normalization (divisors) must equal process() too
+    sig16 = np.clip(signals * 32767.0, -32768, 32767).astype(np.int16)
+    divisors = np.full(b, 32767.0, dtype=np.float32)
+    res16, pad16 = benv.process_local(sig16, lengths, divisors=divisors)
+    ref16 = benv.process(sig16, lengths, divisors=divisors)
+    assert pad16 == 2
+    np.testing.assert_array_equal(
+        np.asarray(res16[0].mel_fbank_segment)[:b],
+        np.asarray(ref16[0].mel_fbank_segment),
+    )
+
     # global_batch_from_local on one process == plain sharded device_put
     # (rows must divide over the local devices; process_local pads first)
     sig8 = np.concatenate([signals, signals[:2]])
