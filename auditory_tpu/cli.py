@@ -237,8 +237,10 @@ def cmd_corpus(args) -> int:
         try:
             cpu_devs = int(os.environ.get("AUDITORY_TPU_CPU_DEVICES", "0"))
         except ValueError:
-            print("error: AUDITORY_TPU_CPU_DEVICES must be an integer",
-                  file=sys.stderr)
+            cpu_devs = -1
+        if cpu_devs < 0:
+            print("error: AUDITORY_TPU_CPU_DEVICES must be a non-negative "
+                  "integer", file=sys.stderr)
             return 2
         initialize(
             args.coordinator, args.num_processes, args.process_id,
@@ -252,8 +254,18 @@ def cmd_corpus(args) -> int:
 
     paths = sorted(_glob.glob(args.glob))
     if not paths:
-        print(f"no files match {args.glob}", file=sys.stderr)
-        return 1
+        if distributed:
+            # do NOT exit before run_distributed's cross-process digest
+            # exchange: a one-rank early exit would leave the sibling
+            # ranks hung in the collective. An empty list either matches
+            # every rank (all agree, zero-file run merges cleanly) or
+            # disagrees with the others (digest guard raises the intended
+            # clean error on every rank).
+            print(f"warning: no files match {args.glob}; proceeding into "
+                  "the distributed digest exchange", file=sys.stderr)
+        else:
+            print(f"no files match {args.glob}", file=sys.stderr)
+            return 1
     cfg = _build_cfg(args)
     if args.f16_features and args.int8_features:
         print("error: --f16-features and --int8-features are exclusive",

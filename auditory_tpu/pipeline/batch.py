@@ -1225,12 +1225,18 @@ class CorpusRunner:
             self.env.feature_stats
             and self._moments_host is None
             and not self._stats_partial
-            and not os.path.exists(self._stats_path)
+            and not done
         ):
             # a shard that processed no files (empty slice, or every file
             # failed) must still write its stats shard: zero moments merge
             # exactly, and merge_shards enforces a COMPLETE 0..N-1 set --
-            # a missing file would fail the whole multi-host merge
+            # a missing file would fail the whole multi-host merge. Gate
+            # on THIS RUN's state (`done` empty), not on file existence:
+            # a no-resume rerun of a now-empty shard legitimately owns
+            # the path and must OVERWRITE any stale prior moments (which
+            # would otherwise silently join the merge). The resumed
+            # done-but-unusable-stats case is _stats_partial, excluded
+            # above.
             nf = self.env.cfg.mel.fbank.n_filters
             self._moments_host = {
                 "sum": np.zeros(nf, dtype=np.float64),
@@ -1460,7 +1466,9 @@ class CorpusRunner:
             merged_stats = {
                 "mel_mean": mean.tolist(),
                 "mel_std": np.sqrt(var).tolist(),
-                "count_steps": cnt,
+                # the TRUE total (cnt is only the divide clamp): an
+                # all-empty merge must report 0, matching the shard files
+                "count_steps": tot_cnt,
                 "mel_sum": tot_sum.tolist(),
                 "mel_sumsq": tot_sq.tolist(),
                 "files_covered": tot_cov,

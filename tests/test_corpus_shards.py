@@ -360,3 +360,24 @@ def test_empty_shard_writes_zero_stats_and_merges(tmp_path):
         fs = json.load(f)
     assert ms["count_steps"] == fs["count_steps"]
     np.testing.assert_allclose(ms["mel_mean"], fs["mel_mean"], rtol=1e-4)
+
+
+def test_empty_rerun_overwrites_stale_shard_stats(tmp_path):
+    """A no-resume rerun of a shard whose slice became empty must
+    OVERWRITE its previously written moments with zeros: gating on file
+    existence would let stale moments silently join the merge."""
+    paths = _make_wavs(tmp_path / "w", n=3)
+    out = str(tmp_path / "o")
+    r = CorpusRunner(default_cfg_2d(), SR, batch_size=2)
+    r.run(paths, out, shard_index=2, num_shards=3)  # 1 real file
+    sp = os.path.join(out, "feature_stats.shard2of3.json")
+    with open(sp) as f:
+        assert json.load(f)["count_steps"] > 0
+
+    # the corpus list shrinks; shard 2's slice is now empty
+    r2 = CorpusRunner(default_cfg_2d(), SR, batch_size=2)
+    s = r2.run(paths[:2], out, shard_index=2, num_shards=3, resume=False)
+    assert s.files_done == 0
+    with open(sp) as f:
+        z = json.load(f)
+    assert z["count_steps"] == 0.0 and not any(z["mel_sum"])

@@ -15,6 +15,25 @@ import time
 import numpy as np
 
 
+SERVING_SR = 16000
+SERVING_OUTPUTS = ("mel_fbank_segment", "gabor_kwta", "step_valid")
+
+
+def serving_cfg():
+    """THE serving benchmark config: one definition shared by the
+    single-stream/aggregate/overload scenarios AND the capacity table, so
+    the artifacts always measure the same program."""
+    from auditory_tpu.config import GaborSet, SndEnvConfig, \
+        default_gabor_specs
+
+    return SndEnvConfig(
+        gabor=GaborSet(
+            size_x=9, size_y=9, stride_x=3, stride_y=3, gain=2.0,
+            specs=default_gabor_specs(phases=(0.0, 1.5708)),
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=64)
@@ -64,21 +83,15 @@ def main() -> None:
                     "dispatch and the host copy)")
     args = ap.parse_args()
 
-    from auditory_tpu.config import GaborSet, SndEnvConfig, default_gabor_specs
     from auditory_tpu.pipeline.online import MultiStreamOnline, OnlineSndEnv
     from auditory_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     if args.capacity_table:
         return _capacity_table(args)
-    sr = 16000
+    sr = SERVING_SR
     chunk_n = sr // 10  # 100 ms
-    cfg = SndEnvConfig(
-        gabor=GaborSet(
-            size_x=9, size_y=9, stride_x=3, stride_y=3, gain=2.0,
-            specs=default_gabor_specs(phases=(0.0, 1.5708)),
-        )
-    )
+    cfg = serving_cfg()
     rng = np.random.default_rng(0)
 
     # single stream: per-100ms-chunk wall latency once steady-state
@@ -249,24 +262,14 @@ def _capacity_table(args) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from auditory_tpu.config import (
-        GaborSet,
-        SndEnvConfig,
-        default_gabor_specs,
-    )
     from auditory_tpu.pipeline.online import MultiStreamOnline
     from auditory_tpu.utils.canary import classify_link, d2h_canary, \
         make_canary_buffer
 
-    sr = 16000
+    sr = SERVING_SR
     chunk_n = sr // 10
-    cfg = SndEnvConfig(
-        gabor=GaborSet(
-            size_x=9, size_y=9, stride_x=3, stride_y=3, gain=2.0,
-            specs=default_gabor_specs(phases=(0.0, 1.5708)),
-        )
-    )
-    outputs_sel = ("mel_fbank_segment", "gabor_kwta", "step_valid")
+    cfg = serving_cfg()
+    outputs_sel = SERVING_OUTPUTS
     rng = np.random.default_rng(0)
     # pre-generated chunk pool: host-side rng must not sit inside the
     # timed windows (512 streams x 1600 samples x many cycles)
